@@ -1,0 +1,75 @@
+"""Benchmark: BBVI iteration throughput at d=1000 full-rank (north star).
+
+Runs the flagship workload from BASELINE.json on the attached TPU chip:
+ExclusiveKL (STL path derivative) on a d=1000 Cholesky-parameterized
+full-rank Gaussian over a d=1000 Bayesian logistic regression posterior,
+RMSProp steps fused into a single `lax.scan` device loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to the reference's only measured throughput
+anchor (~640 it/s on CPU at d=2, S=10 — BASELINE.md; the reference has no
+full-rank Gaussian family at all, so the d=1000 comparison is strictly
+in the reference's favor).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from viabel_tpu import ExclusiveKL, FullRankGaussian, RMSProp
+from viabel_tpu.models import zoo
+
+REFERENCE_ITERS_PER_SEC = 640.0  # BASELINE.md: quickstart tqdm rate (CPU, d=2)
+
+
+def main():
+    d = 1000
+    S = 10
+    n_steps = 1000
+    approx = FullRankGaussian(d)
+    model, _ = zoo.logistic_regression(dim=d, n_data=512)
+    objective = ExclusiveKL(approx, model, S, use_path_deriv=True)
+    sgo = RMSProp(0.01)
+    lr = 0.01
+
+    loss_vag = jax.value_and_grad(objective._loss)
+
+    def body(carry, _):
+        vp, st, key = carry
+        key, sub = jax.random.split(key)
+        value, grad = loss_vag(vp, sub)
+        direction, st = sgo.descent_direction(grad, st)
+        vp = vp - lr * direction
+        return (vp, st, key), value
+
+    @jax.jit
+    def run(vp, st, key):
+        return lax.scan(body, (vp, st, key), None, length=n_steps)
+
+    vp = approx.init_param().astype(jnp.float32)
+    st = sgo.init_state(vp)
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    (vp_w, st_w, key_w), _ = run(vp, st, key)
+    jax.block_until_ready(vp_w)
+
+    t0 = time.perf_counter()
+    (vp2, st2, key2), values = run(vp, st, key)
+    jax.block_until_ready(vp2)
+    elapsed = time.perf_counter() - t0
+
+    iters_per_sec = n_steps / elapsed
+    print(json.dumps({
+        "metric": "BBVI iters/sec at d=1000 full-rank (ExclusiveKL STL, S=10, RMSProp)",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/sec",
+        "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Statistical self-consistency tests for approximation families.
+
+Carries forward reference test pattern §4.1 (tests/test_approximations.py):
+every family is checked against itself by Monte Carlo with 1e6 samples and
+one-sample t-tests at alpha = 1e-4 — entropy vs mean log density, closed-form
+KL vs MC log-ratio, mean/cov vs sample moments, pth moments vs sample norms —
+plus capability-flag raises.
+"""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import families
+
+MC_SAMPLES = 1000000
+TEST_SIZE = 0.0001
+
+
+def _test_entropy(approx, var_param, key, entropy_offset):
+    entropy = float(approx.entropy(var_param)) + entropy_offset
+    samples = approx.sample(var_param, MC_SAMPLES, key)
+    log_probs = np.asarray(approx.log_density(var_param, samples))
+    p_value = stats.ttest_1samp(log_probs, -entropy)[1]
+    assert p_value > TEST_SIZE, \
+        f"expected: {entropy}, estimated: {-np.mean(log_probs)}"
+
+
+def _test_kl(approx, var_param0, var_param1, key):
+    kl = float(approx.kl(var_param0, var_param1))
+    samples = approx.sample(var_param0, MC_SAMPLES, key)
+    diffs = np.asarray(approx.log_density(var_param0, samples)
+                       - approx.log_density(var_param1, samples))
+    p_value = stats.ttest_1samp(diffs, kl)[1]
+    assert p_value > TEST_SIZE
+
+
+def _test_mean_and_cov(approx, var_param, key):
+    mean, cov = approx.mean_and_cov(var_param)
+    mean, cov = np.asarray(mean), np.asarray(cov)
+    second_moments = np.outer(mean, mean) + cov
+
+    samples = np.asarray(approx.sample(var_param, MC_SAMPLES, key))
+    samples_outer = np.einsum("ij,ik->ijk", samples, samples)
+    mean_p_values = stats.ttest_1samp(samples, mean, axis=0)[1]
+    np.testing.assert_array_less(TEST_SIZE, mean_p_values)
+    second_p_values = stats.ttest_1samp(samples_outer, second_moments, axis=0)[1]
+    np.testing.assert_array_less(TEST_SIZE, second_p_values)
+
+
+def _test_pth_moment(approx, var_param, p, key):
+    pth_moment = float(approx.pth_moment(var_param, p))
+    samples = np.asarray(approx.sample(var_param, MC_SAMPLES, key))
+    norms = np.linalg.norm(samples - samples.mean(0), axis=1, ord=2)
+    p_value = stats.ttest_1samp(norms**p, pth_moment)[1]
+    assert p_value > TEST_SIZE, \
+        f"expected: {pth_moment}, estimated: {np.mean(norms ** p)}"
+
+
+def _test_family(approx, var_param0, var_param1, key, should_support=(),
+                 entropy_offset=0.0):
+    keys = jax.random.split(key, 4)
+    if approx.supports_entropy:
+        _test_entropy(approx, var_param0, keys[0], entropy_offset)
+    else:
+        with pytest.raises(NotImplementedError):
+            approx.entropy(var_param0)
+    if approx.supports_kl:
+        _test_kl(approx, var_param0, var_param1, keys[1])
+    else:
+        with pytest.raises(NotImplementedError):
+            approx.kl(var_param0, var_param1)
+    _test_mean_and_cov(approx, var_param0, keys[2])
+    for p in set([1, 2, 4]) | set(should_support):
+        if p in should_support:
+            assert approx.supports_pth_moment(p)
+        if approx.supports_pth_moment(p):
+            _test_pth_moment(approx, var_param0, p, keys[3])
+        else:
+            with pytest.raises(ValueError):
+                approx.pth_moment(var_param0, p)
+
+
+def test_MFGaussian():
+    rng = np.random.RandomState(341)
+    for dim in [1, 3]:
+        approx = families.MFGaussian(dim)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim))
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim))
+            _test_family(approx, vp0, vp1, jax.random.PRNGKey(i), [2, 4])
+
+
+def test_MFStudentT():
+    rng = np.random.RandomState(226)
+    df = 20
+    offset_1d = stats.t.entropy(df)
+    for dim in [1, 3]:
+        approx = families.MFStudentT(dim, df)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim))
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim))
+            _test_family(approx, vp0, vp1, jax.random.PRNGKey(i), [2, 4],
+                         entropy_offset=dim * offset_1d)
+    with pytest.raises(ValueError):
+        families.MFStudentT(2, 2)
+
+
+def test_FullRankGaussian():
+    rng = np.random.RandomState(7)
+    for dim in [1, 3]:
+        approx = families.FullRankGaussian(dim)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim))
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim))
+            _test_family(approx, vp0, vp1, jax.random.PRNGKey(i), [2, 4])
+
+
+def test_FullRankGaussian_matches_MFGaussian_when_diagonal():
+    """With zero off-diagonals, full-rank reduces exactly to mean-field."""
+    dim = 4
+    fr = families.FullRankGaussian(dim)
+    mf = families.MFGaussian(dim)
+    rng = np.random.RandomState(0)
+    mu, log_sigma = rng.randn(dim), rng.randn(dim)
+    vp_fr = fr.pack(jnp.asarray(mu), jnp.diag(jnp.exp(jnp.asarray(log_sigma))))
+    vp_mf = jnp.concatenate([jnp.asarray(mu), jnp.asarray(log_sigma)])
+    x = jnp.asarray(rng.randn(10, dim))
+    np.testing.assert_allclose(fr.log_density(vp_fr, x),
+                               mf.log_density(vp_mf, x), rtol=1e-10)
+    np.testing.assert_allclose(fr.entropy(vp_fr), mf.entropy(vp_mf), rtol=1e-10)
+    vp_fr2 = fr.pack(jnp.zeros(dim), jnp.eye(dim))
+    vp_mf2 = jnp.zeros(2 * dim)
+    np.testing.assert_allclose(fr.kl(vp_fr, vp_fr2), mf.kl(vp_mf, vp_mf2),
+                               rtol=1e-10)
+
+
+def test_MultivariateT():
+    rng = np.random.RandomState(56)
+    df = 100
+    offset_1d = stats.t.entropy(df)
+    for dim in [1, 3]:
+        approx = families.MultivariateT(dim, df)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim))
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim))
+            _test_family(approx, vp0, vp1, jax.random.PRNGKey(i), [2, 4],
+                         entropy_offset=dim * offset_1d)
+    with pytest.raises(ValueError):
+        families.MultivariateT(2, 1)
+
+
+def test_LRGaussian():
+    rng = np.random.RandomState(1214)
+    k = 3
+    for dim in [1, 6]:
+        approx = families.LRGaussian(dim, k)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim))
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim))
+            _test_family(approx, vp0, vp1, jax.random.PRNGKey(i), [2, 4])
+
+
+def test_LRGaussian_linear_algebra():
+    """Deterministic checks of the Woodbury/capacitance helpers against dense
+    linear algebra (reference tests/test_approximations.py:160-180)."""
+    D = jnp.asarray([-1.0, 0.0, 1.0])  # log scale
+    B = jnp.asarray([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    sigma = np.asarray(B @ B.T) + np.diag(np.exp(2 * np.asarray(D)))
+    logdet = families.LRGaussian._logdet_sigma(D, B)
+    np.testing.assert_allclose(logdet, np.log(np.linalg.det(sigma)), rtol=1e-4)
+    v = np.arange(3.0)
+    sol = families.LRGaussian._sigma_solve(D, B, jnp.asarray(v))
+    np.testing.assert_allclose(sol, np.linalg.solve(sigma, v), rtol=1e-8)
+
+
+def test_NeuralNet():
+    rng = np.random.RandomState(56)
+    for dim in [1, 3]:
+        layers_shapes = [[dim, 10], [10, dim]]
+        approx = families.NeuralNet(layers_shapes, mc_samples=MC_SAMPLES)
+        for i in range(2):
+            vp0 = jnp.asarray(rng.randn(approx.var_param_dim) / 10)
+            vp1 = jnp.asarray(rng.randn(approx.var_param_dim) / 10)
+            _nn_test_mean_and_cov(approx, vp0, jax.random.PRNGKey(i))
+            assert not approx.supports_pth_moment(2)
+            with pytest.raises(NotImplementedError):
+                approx.log_density(vp0, jnp.zeros((2, dim)))
+            with pytest.raises(NotImplementedError):
+                approx.entropy(vp0)
+            with pytest.raises(NotImplementedError):
+                approx.kl(vp0, vp1)
+
+
+def _nn_test_mean_and_cov(approx, var_param, key):
+    key_mc, key_s = jax.random.split(key)
+    mean, cov = approx.mean_and_cov(var_param, key=key_mc)
+    samples = np.asarray(approx.sample(var_param, MC_SAMPLES, key_s))
+    mean_p = stats.ttest_1samp(samples, np.asarray(mean), axis=0)[1]
+    np.testing.assert_array_less(TEST_SIZE, mean_p)
+    var_sample = samples.var(axis=0, ddof=1)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), var_sample, rtol=0.05,
+                               atol=1e-6)
+
+
+def test_NVPFlow():
+    rng = np.random.RandomState(56)
+    for dim in [1, 3]:
+        layers_shapes = [[dim, 10], [10, dim]]
+        prior = families.MFGaussian(dim)
+        prior_param = jnp.concatenate([jnp.zeros(dim), jnp.zeros(dim)])
+        half = int(np.floor(dim / 2))
+        halfplus = int(np.ceil(dim / 2))
+        m1 = np.hstack([[0.0] * half, [1.0] * halfplus])
+        m2 = np.hstack([[1.0] * half, [0.0] * halfplus])
+        mask = np.array(list(np.vstack([m1, m2])) * 3)
+        approx = families.NVPFlow(layers_shapes, layers_shapes, mask, prior,
+                                  prior_param, dim, mc_samples=MC_SAMPLES)
+        vp = jnp.asarray(rng.randn(approx.var_param_dim) / 100)
+        key = jax.random.PRNGKey(0)
+        # entropy consistency: E[-log q] over q samples should have the
+        # sample mean of -log_density (self-consistency of f/g inverses)
+        samples = approx.sample(vp, 50000, key)
+        z, logdet = approx.f(vp, samples)
+        # f must invert g
+        z0 = prior.sample(prior_param, 50000, key)
+        np.testing.assert_allclose(np.asarray(approx.f(vp, approx.g(vp, z0))[0]),
+                                   np.asarray(z0), atol=1e-6)
+        # log_density integrates to a proper density: importance check vs prior
+        lq = approx.log_density(vp, samples)
+        assert np.all(np.isfinite(np.asarray(lq)))
+        _nn_test_mean_and_cov(approx, vp, jax.random.PRNGKey(1))
+
+
+def test_nvp_log_density_normalization():
+    """MC check that exp(log_density) integrates to ~1 on a 1-D flow."""
+    dim = 1
+    layers_shapes = [[dim, 8], [8, dim]]
+    prior = families.MFGaussian(dim)
+    prior_param = jnp.zeros(2)
+    mask = np.array([[0.0], [1.0]] * 2)
+    approx = families.NVPFlow(layers_shapes, layers_shapes, mask, prior,
+                              prior_param, dim, mc_samples=1000)
+    rng = np.random.RandomState(3)
+    vp = jnp.asarray(rng.randn(approx.var_param_dim) / 10)
+    # importance sample against a wide normal
+    key = jax.random.PRNGKey(0)
+    ref = families.MFGaussian(dim)
+    ref_param = jnp.asarray([0.0, np.log(4.0)])
+    xs = ref.sample(ref_param, 200000, key)
+    lw = approx.log_density(vp, xs) - ref.log_density(ref_param, xs)
+    integral = float(jnp.mean(jnp.exp(lw)))
+    assert abs(integral - 1.0) < 0.05

@@ -1,0 +1,110 @@
+"""End-to-end recovery tests for all objectives.
+
+Reference test pattern §4.2 (tests/test_objectives.py): optimize each
+objective (all four ExclusiveKL Hessian control-variate modes × the
+path-derivative estimator, DIS, alpha-divergence) against a known diagonal
+Gaussian target and assert recovered mean/stdev to 1 decimal.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import (
+    AlphaDivergence,
+    DISInclusiveKL,
+    ExclusiveKL,
+    MFGaussian,
+    MFStudentT,
+    RMSProp,
+)
+from viabel_tpu.models import zoo
+
+
+def _test_objective(objective_cls, num_mc_samples, seed=851, **kwargs):
+    mean = np.array([1.0, -1.0])
+    stdev = np.array([2.0, 5.0])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+
+    approx = MFStudentT(2, 100)
+    objective = objective_cls(approx, model, num_mc_samples, **kwargs)
+    init_param = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+    opt = RMSProp(0.1)
+    results = opt.optimize(1000, objective, init_param, key=jax.random.PRNGKey(seed))
+    est_mean, est_cov = approx.mean_and_cov(results["opt_param"])
+    est_stdev = np.sqrt(np.diag(np.asarray(est_cov)))
+    np.testing.assert_almost_equal(mean, np.asarray(est_mean), decimal=1)
+    np.testing.assert_almost_equal(stdev, est_stdev, decimal=1)
+
+
+def test_ExclusiveKL():
+    _test_objective(ExclusiveKL, 100)
+
+
+def test_ExclusiveKL_path_deriv():
+    _test_objective(ExclusiveKL, 100, use_path_deriv=True)
+
+
+@pytest.mark.parametrize("method", ["full", "mean_only", "loo_diag_approx",
+                                    "loo_direct_approx"])
+def test_ExclusiveKL_control_variates(method):
+    _test_objective(ExclusiveKL, 100, hessian_approx_method=method)
+
+
+@pytest.mark.parametrize("method", ["full", "mean_only", "loo_diag_approx",
+                                    "loo_direct_approx"])
+def test_ExclusiveKL_control_variates_path_deriv(method):
+    _test_objective(ExclusiveKL, 100, use_path_deriv=True,
+                    hessian_approx_method=method)
+
+
+def test_invalid_hessian_approx_method():
+    with pytest.raises(ValueError) as exception_info:
+        _test_objective(ExclusiveKL, 100, hessian_approx_method="invalid method")
+    assert "Name of approximation" in str(exception_info.value)
+
+
+def test_DISInclusiveKL():
+    dim = 2
+    _test_objective(DISInclusiveKL, 100,
+                    temper_prior=MFGaussian(dim),
+                    temper_prior_params=np.concatenate([[0] * dim, [1] * dim]),
+                    ess_target=50)
+
+
+def test_AlphaDivergence():
+    # The raw CUBO MC estimator (reference objectives.py:453-461) is
+    # bistable under gradient noise — like the reference's own test, this
+    # pins a seed in the convergent basin.
+    _test_objective(AlphaDivergence, 100, seed=1, alpha=2)
+
+
+def test_exclusive_kl_value_matches_analytic():
+    """At the optimum of a Gaussian target, -ELBO should be near the negative
+    log normalizer of the unnormalized density (which is normalized here,
+    so near 0)."""
+    mean = np.array([0.5, -0.25])
+    stdev = np.array([1.5, 0.7])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    vp_opt = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    objective = ExclusiveKL(approx, model, 10000)
+    value, grad = objective.value_and_grad(vp_opt, jax.random.PRNGKey(0))
+    assert abs(float(value)) < 0.05
+    assert np.linalg.norm(np.asarray(grad)) < 0.2
+
+
+def test_shared_samples_between_value_and_grad():
+    """The STL gradient at the exact optimum is identically ~0 per draw —
+    only true when value and grad share samples (reference's shared-seed
+    trick, objectives.py:443-455, is implicit in JAX)."""
+    mean = np.array([0.3, 0.9])
+    stdev = np.array([1.1, 0.6])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    vp_opt = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    objective = ExclusiveKL(approx, model, 5, use_path_deriv=True)
+    _, grad = objective.value_and_grad(vp_opt, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-8)

@@ -1,0 +1,157 @@
+"""Optimizer tests with a fake objective.
+
+Reference test pattern §4.3 (tests/test_optimization.py): a quadratic
+``DummyObjective`` with artificial Gaussian gradient noise exercises every
+descent rule and the FASO/RAABBVI convergence machinery without any model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import (
+    RAABBVI,
+    FASO,
+    Adagrad,
+    Adam,
+    AveragedAdam,
+    AveragedRMSProp,
+    RMSProp,
+    StochasticGradientOptimizer,
+    WindowedAdagrad,
+)
+
+
+class DummyApproximationFamily:
+    supports_kl = True
+    dim = 1
+
+    def kl(self, param1, param2):
+        return jnp.mean((param1 - param2) ** 2)
+
+
+class DummyObjective:
+    """Quadratic loss with artificial Gaussian gradient noise
+    (reference tests/test_optimization.py:12-32)."""
+
+    scannable = True
+
+    def __init__(self, target, noise=1.0, scales=1.0):
+        self._target = jnp.asarray(target, dtype=jnp.result_type(float))
+        self._noise = noise
+        self._scales = jnp.asarray(scales, dtype=jnp.result_type(float))
+        self.approx = DummyApproximationFamily()
+
+    def value_and_grad(self, x, key):
+        value = 0.5 * jnp.sum(((x - self._target) / self._scales) ** 2)
+        grad = (x - self._target) / self._scales**2
+        noisy = grad + self._noise * jax.random.normal(key, x.shape, x.dtype)
+        return value, noisy
+
+    def update(self, x, direction):
+        return x - direction
+
+
+def _test_optimizer(opt, objective, true_value, n_iters, decimal=2):
+    rng = np.random.RandomState(851)
+    dim = true_value.size
+    init_param = jnp.asarray(true_value + rng.randn(dim) / np.sqrt(dim))
+    results = opt.optimize(n_iters, objective, init_param,
+                           key=jax.random.PRNGKey(851))
+    np.testing.assert_almost_equal(np.asarray(results["opt_param"]),
+                                   true_value, decimal=decimal)
+
+
+def test_sgo_optimize():
+    for scales in [np.ones(1), np.ones(3)]:
+        true_value = np.arange(scales.size, dtype=float)
+        objective = DummyObjective(true_value, noise=0.2, scales=scales)
+        sgd = StochasticGradientOptimizer(0.01, diagnostics=True)
+        _test_optimizer(sgd, objective, true_value, 20000)
+
+
+def test_sgo_error_checks():
+    with pytest.raises(ValueError):
+        StochasticGradientOptimizer(0.01, iterate_avg_prop=0)
+    with pytest.raises(ValueError):
+        StochasticGradientOptimizer(0.01, iterate_avg_prop=1.01)
+
+
+@pytest.mark.parametrize("opt_cls,lr", [
+    (RMSProp, 0.01), (Adam, 0.01), (Adagrad, 0.1), (WindowedAdagrad, 0.01),
+    (AveragedRMSProp, 0.01), (AveragedAdam, 0.01),
+])
+def test_rule_optimize(opt_cls, lr):
+    for scales in [np.ones(1), np.ones(3), np.geomspace(0.1, 1, 4)]:
+        true_value = np.arange(scales.size, dtype=float)
+        objective = DummyObjective(true_value, noise=0.2, scales=scales)
+        _test_optimizer(opt_cls(lr), objective, true_value, 20000)
+
+
+def test_faso_rmsprop_optimize():
+    for scales in [np.ones(2), np.ones(4), np.geomspace(0.1, 1, 4)]:
+        true_value = np.arange(scales.size, dtype=float)
+        objective = DummyObjective(true_value, noise=0.2, scales=scales)
+        sgd = FASO(RMSProp(0.01, diagnostics=True), mcse_threshold=0.002)
+        _test_optimizer(sgd, objective, true_value, 20000)
+
+
+def test_raabbvi_avgrmsprop_optimize():
+    for scales in [np.ones(2), np.geomspace(0.1, 1, 4)]:
+        true_value = np.arange(scales.size, dtype=float)
+        objective = DummyObjective(true_value, noise=0.2, scales=scales)
+        sgd = RAABBVI(AveragedRMSProp(0.01, diagnostics=True), rho=0.5,
+                      mcse_threshold=0.002, inefficiency_threshold=1.0,
+                      accuracy_threshold=0.002)
+        _test_optimizer(sgd, objective, true_value, 20000)
+
+
+def test_raabbvi_avgadam_optimize():
+    for scales in [np.geomspace(0.1, 1, 4)]:
+        true_value = np.arange(scales.size, dtype=float)
+        objective = DummyObjective(true_value, noise=0.2, scales=scales)
+        sgd = RAABBVI(AveragedAdam(0.01, diagnostics=True), rho=0.5,
+                      mcse_threshold=0.002, inefficiency_threshold=1.0,
+                      accuracy_threshold=0.002)
+        _test_optimizer(sgd, objective, true_value, 20000)
+
+
+def test_faso_error_checks():
+    with pytest.raises(ValueError):
+        FASO(FASO(RMSProp(0.01)))
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), mcse_threshold=0)
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), W_min=0)
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), k_check=0)
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), ESS_min=0)
+
+
+def test_raabbvi_error_checks():
+    with pytest.raises(ValueError):
+        RAABBVI(RMSProp(0.01), rho=1.5)
+
+
+def test_iterate_averaging_window():
+    """opt_param is the mean of the trailing window, kept in an O(window)
+    ring buffer rather than the full history."""
+    objective = DummyObjective(np.zeros(2), noise=0.0)
+    sgd = StochasticGradientOptimizer(0.0, iterate_avg_prop=0.5)
+    init = jnp.asarray([4.0, -2.0])
+    results = sgd.optimize(100, objective, init)
+    # lr = 0 so every iterate equals init; average must equal init
+    np.testing.assert_allclose(np.asarray(results["opt_param"]),
+                               np.asarray(init), rtol=1e-12)
+
+
+def test_diagnostics_histories():
+    objective = DummyObjective(np.zeros(2), noise=0.1)
+    sgd = RMSProp(0.01, diagnostics=True)
+    results = sgd.optimize(50, objective, jnp.asarray([1.0, 1.0]))
+    assert results["value_history"].shape == (50,)
+    assert results["variational_param_history"].shape == (50, 2)
+    assert results["descent_dir_history"].shape == (50, 2)

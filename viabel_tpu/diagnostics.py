@@ -1,0 +1,136 @@
+"""Posterior-error diagnostics: divergence, Wasserstein, and moment bounds.
+
+TPU-native counterpart of reference ``viabel/diagnostics.py`` (Huggins et
+al., AISTATS 2020).  Pure vectorized XLA ops; formulas match the reference
+exactly: ``divergence_bound`` (reference diagnostics.py:148-186),
+``wasserstein_bounds`` (106-145), ``error_bounds`` (73-103),
+``all_diagnostics`` (13-64).
+"""
+
+from warnings import warn
+
+import jax.numpy as jnp
+
+__all__ = [
+    "all_diagnostics",
+    "error_bounds",
+    "wasserstein_bounds",
+    "divergence_bound",
+]
+
+
+def all_diagnostics(log_weights, *, samples=None, moment_bound_fn=None,
+                    q_var=None, p_var=None, log_norm_bound=None):
+    """Compute all VI diagnostics (reference diagnostics.py:13-64).
+
+    ``log_weights`` are ``log p(x_i) - log q(x_i)`` for ``x_i ~ q`` (``p``
+    may be unnormalized).  Returns a dict with ``mean_error``, ``std_error``,
+    ``cov_error``, ``W1``, ``W2``, ``d2``, ``log_norm_bound``.
+    """
+    d2, log_norm_bound = divergence_bound(
+        log_weights, log_norm_bound=log_norm_bound, return_log_norm_bound=True)
+    results = wasserstein_bounds(d2, samples=samples, moment_bound_fn=moment_bound_fn)
+
+    if q_var is None and samples is not None:
+        samples = jnp.asarray(samples)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        centered = samples - jnp.mean(samples, axis=0, keepdims=True)
+        q_var = centered.T @ centered / (samples.shape[0] - 1)
+
+    results.update(error_bounds(q_var=q_var, p_var=p_var, **results))
+    results["d2"] = d2
+    results["log_norm_bound"] = log_norm_bound
+    return results
+
+
+def _compute_norm_if_needed(var):
+    if var is None:
+        return jnp.inf
+    var = jnp.asarray(var)
+    if var.ndim == 2:
+        # spectral norm reduce for matrix (co)variances (reference 67-70)
+        return jnp.linalg.norm(var, ord=2)
+    return var
+
+
+def error_bounds(*, W1=jnp.inf, W2=jnp.inf, q_var=jnp.inf, p_var=jnp.inf):
+    """Mean/std/cov error bounds from Wasserstein bounds
+    (reference diagnostics.py:73-103)."""
+    results = dict()
+    results["mean_error"] = mean_bound(jnp.minimum(W1, W2))
+    results["std_error"] = std_bound(W2)
+    results["cov_error"] = var_bound(
+        W2, _compute_norm_if_needed(q_var), _compute_norm_if_needed(p_var))
+    return results
+
+
+def wasserstein_bounds(d2, *, samples=None, moment_bound_fn=None):
+    """1- and 2-Wasserstein bounds from a 2-divergence bound
+    (reference diagnostics.py:106-145): ``W_p <= 2 C_p^{1/2p} expm1(d2)^{1/2p}``."""
+    results = dict()
+    if moment_bound_fn is None:
+        if samples is None:
+            raise ValueError("must provides samples if moment_bound_fn not given")
+        samples = jnp.asarray(samples)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        centered = samples - jnp.mean(samples, axis=0, keepdims=True)
+
+        def moment_bound_fn(p):
+            return jnp.mean(jnp.sum(centered**p, axis=1))
+
+    for p in (1, 2):
+        Cp = moment_bound_fn(2 * p)
+        results[f"W{p}"] = 2.0 * Cp ** (0.5 / p) * jnp.expm1(d2) ** (0.5 / p)
+    return results
+
+
+def divergence_bound(log_weights, *, alpha=2.0, log_norm_bound=None,
+                     return_log_norm_bound=False):
+    """Bound on the alpha-divergence: ``alpha/(alpha-1) * (CUBO - ELBO)``
+    (reference diagnostics.py:148-186)."""
+    if alpha <= 1:
+        raise ValueError("alpha must be greater than 1")
+    log_weights = jnp.asarray(log_weights)
+    log_rescale = jnp.max(log_weights)
+    rescaled = jnp.exp(log_weights - log_rescale) ** alpha
+    mean_rescaled = mean_and_check_mc_error(rescaled, quantity_name="CUBO")
+    cubo = jnp.log(mean_rescaled) / alpha + log_rescale
+    if log_norm_bound is None:
+        log_norm_bound = mean_and_check_mc_error(log_weights, quantity_name="ELBO")
+    dalpha = alpha / (alpha - 1.0) * (cubo - log_norm_bound)
+    if return_log_norm_bound:
+        return dalpha, log_norm_bound
+    return dalpha
+
+
+def mean_and_check_mc_error(a, atol=0.01, rtol=0.0, quantity_name=None):
+    """Mean with a warning when its MC standard error is significant
+    (reference diagnostics.py:189-198)."""
+    m = jnp.mean(a)
+    s = jnp.std(a) / jnp.sqrt(a.size)
+    if float(s) > rtol * abs(float(m)) + atol:  # pragma: no cover
+        msg = "significant Monte Carlo error"
+        if quantity_name is not None:
+            msg += " when computing " + quantity_name
+        msg += f" (mean = {m}, standard deviation = {s})"
+        warn(msg)
+    return m
+
+
+def mean_bound(Wp):
+    return Wp
+
+
+def std_bound(W2):
+    return W2
+
+
+def var_bound(W2, var1, var2=None):
+    if var2 is not None:
+        min_var = jnp.minimum(var1, var2)
+    else:
+        min_var = var1
+    min_std = jnp.sqrt(min_var)
+    return 2.0 * (min_std * W2 + W2**2)

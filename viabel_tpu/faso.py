@@ -1,0 +1,599 @@
+"""FASO and RAABBVI meta-optimizers.
+
+TPU-native redesign of the adaptive half of reference
+``viabel/optimization.py`` (FASO 479-633, RAABBVI 635-931; Welandawe,
+Andersen, Vehtari & Huggins, JMLR 2024, arXiv:2203.15945).
+
+Architecture (SURVEY.md §7 "hard parts" #1): the per-step optimization runs
+on-device in ``lax.scan`` *segments* of ``k_check`` steps, writing iterates
+into a fixed-size device-resident history ring; the data-dependent control
+flow (R-hat window search, MCSE recheck scheduling, learning-rate decay,
+termination) runs on host *between* segments.  Convergence statistics are
+jitted masked kernels over the ring (:mod:`viabel_tpu.mc_diagnostics`), so
+one compilation serves every window size.
+
+Documented behavior deltas vs the per-iteration reference loop:
+
+- Convergence events are evaluated at segment boundaries (multiples of
+  ``k_check``), so the MCSE recheck scheduled ``W_check`` iterations after
+  ``k_conv`` (reference optimization.py:566) fires at the first boundary
+  ``>= k_conv + W_check`` with the actual elapsed window.  ``k_check``
+  defaults to ``W_min`` (200), bounding the deferral.
+- History memory is bounded by ``max_history`` (ring rows); candidate R-hat
+  windows are capped at the ring size.  Default (``None``) sizes the ring to
+  ``n_iters`` — the reference's effectively unbounded Python list.
+- RAABBVI's internal Bayesian weighted regression runs the pure-JAX HMC in
+  :mod:`viabel_tpu.hmc` instead of PyStan/NUTS (optimization.py:802-805).
+"""
+
+import math
+from collections import defaultdict
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .families import MFGaussian
+from .hmc import hmc_sample
+from .mc_diagnostics import ess_and_mcse_windowed, split_rhat_windowed
+from .optimizers import (
+    AveragedAdam,
+    AveragedRMSProp,
+    Optimizer,
+    RMSProp,
+    StochasticGradientOptimizer,
+)
+from .utils import Timer
+
+__all__ = ["FASO", "RAABBVI"]
+
+
+def _order_ring(ring, t):
+    """Reorder a ring buffer so rows are oldest-first.
+
+    Slot ``s % R`` holds step ``s``; after ``t`` total steps, ordered row
+    ``j`` is step ``t - R + j`` (rows with negative step are unwritten zeros,
+    which masked-window kernels never touch for windows ``<= t``).
+    """
+    R = ring.shape[0]
+    idx = (t + jnp.arange(R)) % R
+    return ring[idx]
+
+
+@jax.jit
+def _rhat_over_windows(ordered, windows):
+    """Max split-R-hat for each candidate window (reference
+    _mc_diagnostics.py:163-184 / optimization.py:553-556)."""
+    return jax.vmap(lambda w: jnp.max(split_rhat_windowed(ordered, w)))(windows)
+
+
+@jax.jit
+def _window_mean(ordered, w):
+    R = ordered.shape[0]
+    mask = (jnp.arange(R) >= R - w)[:, None]
+    return jnp.sum(jnp.where(mask, ordered, 0.0), axis=0) / w.astype(ordered.dtype)
+
+
+@partial(jax.jit, static_argnames=("mf_dim",))
+def _mcse_check(ordered, w, mf_dim):
+    """Windowed per-coordinate (ESS, MCSE) with the reference's MFGaussian
+    scaling and constant-coordinate handling (optimization.py:575-592).
+
+    For MFGaussian, ``mcse_mean = mcse_mu / exp(mean log_sigma)``; constant
+    coordinates (zero last-step difference) get ``ess = +inf, mcse = 0``
+    (the reference deletes them, optimization.py:580-584).
+    """
+    R, D = ordered.shape
+    eff, mcse = ess_and_mcse_windowed(ordered, w)
+    if mf_dim is not None:
+        dim = mf_dim
+        mask = (jnp.arange(R) >= R - w)[:, None]
+        log_sdevs = jnp.where(mask, ordered[:, dim:], 0.0)
+        mean_log_sdev = jnp.sum(log_sdevs, axis=0) / w.astype(ordered.dtype)
+        mcse = jnp.concatenate(
+            [mcse[:dim] / jnp.exp(mean_log_sdev), mcse[dim:]])
+    iterate_diff = ordered[R - 2] - ordered[R - 1]
+    const = iterate_diff == 0.0
+    eff = jnp.where(const, jnp.inf, eff)
+    mcse = jnp.where(const, 0.0, mcse)
+    return eff, mcse
+
+
+class FASO(Optimizer):
+    """Fixed-learning-rate stochastic optimization with convergence detection
+    (reference optimization.py:479-633).
+
+    Parameters
+    ----------
+    sgo : StochasticGradientOptimizer
+    mcse_threshold : float
+        MCSE convergence threshold (default 0.1).
+    W_min : int
+        Minimum convergence-check window (default 200).
+    ESS_min : int
+        Minimum ESS for the iterate average (default ``W_min / 8``).
+    k_check : int
+        Convergence-check cadence — also the device-segment length
+        (default ``W_min``).
+    max_history : int or None
+        History-ring rows; ``None`` sizes it to ``n_iters``.
+    """
+
+    def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
+                 k_check=None, max_history=None):
+        if not isinstance(sgo, StochasticGradientOptimizer):
+            raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
+        self._sgo = sgo
+        self._mcse_threshold = float(mcse_threshold)
+        self._W_min = int(W_min)
+        self._ESS_min = W_min // 8 if ESS_min is None else ESS_min
+        self._k_check = int(W_min if k_check is None else k_check)
+        self._max_history = max_history
+        if mcse_threshold <= 0:
+            raise ValueError('"mcse_threshold" must be greater than zero')
+        if W_min <= 0:
+            raise ValueError('"W_min" must be greater than zero')
+        if self._k_check <= 0:
+            raise ValueError('"k_check" must be greater than zero')
+        if self._ESS_min <= 0:
+            raise ValueError('"ESS_min" must be greater than zero')
+
+    # -- device segment runners -------------------------------------------------
+    def _build_segment_runner(self, objective, diagnostics):
+        sgo = self._sgo
+
+        def seg(vp, opt_state, key, ring, t, lr, steps):
+            R = ring.shape[0]
+
+            def body(carry, _):
+                vp, st, key, ring, t = carry
+                key, sub = jax.random.split(key)
+                value, grad = objective.value_and_grad(vp, sub)
+                direction, st = sgo.descent_direction(grad, st)
+                vp = objective.update(vp, lr * direction)
+                ring = lax.dynamic_update_index_in_dim(ring, vp, t % R, 0)
+                outs = (value, grad, direction) if diagnostics else (value,)
+                return (vp, st, key, ring, t + 1), outs
+
+            return lax.scan(body, (vp, opt_state, key, ring, t), None, length=steps)
+
+        return jax.jit(seg, static_argnames=("steps",), donate_argnums=(3,))
+
+    def _run_segment_host(self, objective, diagnostics, vp, opt_state, key,
+                          ring, t, lr, steps):
+        """Host-loop fallback for non-scannable objectives (DISInclusiveKL)."""
+        sgo = self._sgo
+        R = ring.shape[0]
+        write = jax.jit(
+            lambda ring, vp, i: lax.dynamic_update_index_in_dim(ring, vp, i, 0))
+        values, grads, dirs = [], [], []
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            value, grad = objective.value_and_grad(vp, sub)
+            direction, opt_state = sgo.descent_direction(grad, opt_state)
+            vp = objective.update(vp, lr * direction)
+            ring = write(ring, vp, int(t) % R)
+            t = t + 1
+            values.append(value)
+            if diagnostics:
+                grads.append(grad)
+                dirs.append(direction)
+        outs = (jnp.asarray(values),)
+        if diagnostics:
+            outs = (jnp.asarray(values), jnp.stack(grads), jnp.stack(dirs))
+        return (vp, opt_state, key, ring, t), outs
+
+    def optimize(self, n_iters, objective, init_param, key=None,
+                 init_opt_state=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n_iters = int(n_iters)
+        diagnostics = self._sgo._diagnostics
+        mf_dim = (objective.approx.dim
+                  if isinstance(getattr(objective, "approx", None), MFGaussian)
+                  else None)
+
+        var_param = jnp.asarray(init_param)
+        D = var_param.shape[0]
+        R = int(self._max_history) if self._max_history else max(n_iters, 2)
+        R = max(min(R, max(n_iters, 2)), 2 * self._W_min)
+        ring = jnp.zeros((R, D), dtype=var_param.dtype)
+        opt_state = (self._sgo.init_state(var_param)
+                     if init_opt_state is None else init_opt_state)
+        t = jnp.asarray(0)
+        lr = jnp.asarray(self._sgo._learning_rate, dtype=var_param.dtype)
+
+        scannable = getattr(objective, "scannable", True)
+        if scannable:
+            runner = self._build_segment_runner(objective, diagnostics)
+        else:
+            runner = partial(self._run_segment_host, objective, diagnostics)
+
+        history = defaultdict(list)
+        iterate_average = var_param
+        if diagnostics:
+            history["iterate_average_k_history"].append(0)
+            history["iterate_average_history"].append(iterate_average)
+
+        k = 0
+        k_conv = None   # iteration when stationarity was reached (back-dated)
+        k_Rhat = None   # iteration when the R-hat criterion was met
+        k_stopped = None
+        W_check = None
+        total_opt_time = 0.0
+        eff = mcse = None
+
+        while k < n_iters:
+            steps = min(self._k_check, n_iters - k)
+            with Timer() as opt_timer:
+                carry = (var_param, opt_state, key, ring, t)
+                carry, outs = runner(*carry, lr, steps=steps)
+                var_param, opt_state, key, ring, t = carry
+                jax.block_until_ready(var_param)
+            total_opt_time += opt_timer.interval
+            k += steps
+            history["value_history"].append(outs[0])
+            if diagnostics:
+                history["grad_history"].append(outs[1])
+                history["descent_dir_history"].append(outs[2])
+
+            ordered = None
+
+            # R-hat convergence check (reference optimization.py:550-563)
+            if k_conv is None:
+                W_upper = min(int(0.95 * k), R)
+                if W_upper > self._W_min:
+                    windows = np.linspace(self._W_min, W_upper, num=5, dtype=int)
+                    ordered = _order_ring(ring, t)
+                    r_hats = np.asarray(
+                        _rhat_over_windows(ordered, jnp.asarray(windows)))
+                    best = int(np.argmin(r_hats))
+                    best_W = int(windows[best])
+                    iterate_average = _window_mean(ordered, jnp.asarray(best_W))
+                    if diagnostics:
+                        history["iterate_average_k_history"].append(k)
+                        history["iterate_average_history"].append(iterate_average)
+                    if r_hats[best] <= 1.1:
+                        k_Rhat = k
+                        k_conv = k - best_W
+                        W_check = best_W  # immediately check MCSE
+
+            # MCSE / ESS stopping check (reference optimization.py:566-605)
+            if k_conv is not None and k - k_conv >= W_check:
+                W = min(k - k_conv, R, k)
+                if ordered is None:
+                    ordered = _order_ring(ring, t)
+                iterate_average = _window_mean(ordered, jnp.asarray(W))
+                if diagnostics and (not history["iterate_average_k_history"]
+                                    or history["iterate_average_k_history"][-1] != k):
+                    history["iterate_average_k_history"].append(k)
+                    history["iterate_average_history"].append(iterate_average)
+                with Timer() as mcse_timer:
+                    eff, mcse = _mcse_check(ordered, jnp.asarray(W), mf_dim)
+                    eff = np.asarray(eff)
+                    mcse = np.asarray(mcse)
+                if diagnostics:
+                    history["ess_and_mcse_k_history"].append(k)
+                    history["ess_history"].append(eff)
+                    history["mcse_history"].append(mcse)
+                if (np.max(mcse) < self._mcse_threshold
+                        and np.min(eff) > self._ESS_min):
+                    k_stopped = k
+                    break
+                # adaptive cost-aware recheck growth (reference 601-605)
+                relative_mcse_time = mcse_timer.interval / W
+                relative_opt_time = total_opt_time / k
+                ratio = relative_opt_time / max(relative_mcse_time, 1e-12)
+                recheck_scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
+                W_check = int(recheck_scale * W_check + 1)
+
+        if k_stopped is None:
+            if k_conv is None:
+                print("WARNING: stationarity not reached after maximum number "
+                      "of iterations")
+                print("WARNING: try incresing the learning rate or the maximum "
+                      "number of iterations")
+            else:
+                print("WARNING: stationarity reached but MCSE too large and/or "
+                      "ESS too small")
+                if mcse is not None:
+                    print("WARNING: maximum MCSE = {:.3g}".format(np.max(mcse)))
+                    print("WARNING: minimum ESS = {:.1f}".format(np.min(eff)))
+        else:
+            print("Convergence reached at iteration", k_stopped)
+
+        results = {d: (jnp.concatenate(h) if d in ("value_history",
+                                                   "grad_history",
+                                                   "descent_dir_history")
+                       else np.asarray(h))
+                   for d, h in history.items() if h}
+        results["k_conv"] = k_conv
+        results["k_Rhat"] = k_Rhat
+        results["k_stopped"] = k_stopped
+        results["opt_param"] = iterate_average
+        results["opt_state"] = opt_state
+        return results
+
+
+class RAABBVI(FASO):
+    """Robust, automated, and accurate BBVI (reference optimization.py:635-931).
+
+    Wraps FASO rounds at geometrically decaying learning rates; terminates
+    when the predicted benefit of a further decay (symmetrized-KL gap,
+    estimated by Bayesian weighted regression of ``log SKL`` on ``log lr``)
+    no longer justifies the predicted iteration cost.
+    """
+
+    def __init__(self, sgo, *, rho=0.5, iters0=1000, accuracy_threshold=0.1,
+                 inefficiency_threshold=1.0, init_rmsprop=False, **kwargs):
+        super().__init__(sgo, **kwargs)
+        self._iters0 = int(iters0)
+        self._rho = float(rho)
+        self._accuracy_threshold = float(accuracy_threshold)
+        self._inefficiency_threshold = float(inefficiency_threshold)
+        self._init_rmsprop = bool(init_rmsprop)
+        if rho < 0 or rho > 1:
+            raise ValueError('"rho" must be between zero and one')
+
+    # -- internal weighted Bayesian regression (replaces Stan/NUTS) -----------
+    def _averaged_sgo(self):
+        return isinstance(self._sgo, (AveragedRMSProp, AveragedAdam))
+
+    def weighted_linear_regression(self, y, x, s=9.0, a=0.25, n_chains=4,
+                                   key=None):
+        """Bayesian weighted regression of ``log SKL`` on ``log lr``.
+
+        Implements the posteriors of the reference's Stan programs
+        (stan_models/weighted_lin_regression.stan:1-30 and the kappa==1
+        ``_sgd`` variant): ``y_n ~ N(log_c + 2 log(rho^{-kappa} - 1)
+        + 2 kappa x_n, sigma)`` with per-observation likelihood weights
+        ``w_n = 1/(1 + rev_idx^2/s)^a`` (reference optimization.py:711),
+        priors ``kappa ~ U(0,1)``, ``log_c ~ Cauchy(0,10)``,
+        ``sigma ~ HalfCauchy(0,10)``; sampled with :func:`hmc_sample`
+        instead of PyStan NUTS (optimization.py:717-718).
+
+        Returns ``(fit_samples_dict, kappa, c)``.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        y = jnp.asarray(y, dtype=jnp.result_type(float))
+        x = jnp.asarray(x, dtype=y.dtype)
+        N = y.shape[0]
+        w = jnp.asarray(
+            1.0 / (1.0 + np.arange(N)[::-1] ** 2 / s) ** a, dtype=y.dtype)
+        rho = self._rho
+        averaged = self._averaged_sgo()
+
+        if averaged:
+            # kappa fixed at 1 (weighted_lin_regression_sgd.stan)
+            def log_prob(theta):
+                log_c, log_sigma = theta
+                sigma = jnp.exp(log_sigma)
+                mu = log_c + 2.0 * jnp.log(1.0 / rho - 1.0) + 2.0 * x
+                loglik = jnp.sum(
+                    w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
+                lp = -jnp.log1p((log_c / 10.0) ** 2)       # Cauchy(0,10)
+                lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma  # HalfCauchy
+                return loglik + lp
+
+            init = jnp.tile(jnp.asarray([float(jnp.mean(y)), 0.0]), (n_chains, 1))
+        else:
+            def log_prob(theta):
+                kappa_logit, log_c, log_sigma = theta
+                kappa = jax.nn.sigmoid(kappa_logit)
+                sigma = jnp.exp(log_sigma)
+                mu = (log_c + 2.0 * jnp.log(rho ** (-kappa) - 1.0)
+                      + 2.0 * kappa * x)
+                loglik = jnp.sum(
+                    w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
+                # uniform(0,1) prior on kappa + logit jacobian
+                lp = jnp.log(kappa) + jnp.log1p(-kappa)
+                lp += -jnp.log1p((log_c / 10.0) ** 2)
+                lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma
+                return loglik + lp
+
+            kappa0 = 0.8
+            log_c0 = float(jnp.mean(y)) - 2.0 * math.log(rho ** (-kappa0) - 1.0) \
+                - 2.0 * kappa0 * float(jnp.mean(x))
+            init = jnp.tile(
+                jnp.asarray([math.log(kappa0 / (1 - kappa0)), log_c0, 0.0]),
+                (n_chains, 1))
+
+        samples = hmc_sample(log_prob, init, key)  # (chains, draws, d)
+        flat = samples.reshape(-1, samples.shape[-1])
+        if averaged:
+            fit = {"log_c": flat[:, 0], "sigma": jnp.exp(flat[:, 1])}
+            kappa = 1.0
+        else:
+            fit = {"kappa": jax.nn.sigmoid(flat[:, 0]), "log_c": flat[:, 1],
+                   "sigma": jnp.exp(flat[:, 2])}
+            kappa = float(jnp.mean(fit["kappa"]))
+        log_c = float(jnp.mean(fit["log_c"]))
+        return fit, kappa, float(np.exp(log_c))
+
+    @staticmethod
+    def wls(x, y, s=9.0, a=0.25):
+        """Closed-form weighted least squares (reference optimization.py:728-755)."""
+        x = np.asarray(x, dtype=float)
+        y = np.asarray(y, dtype=float)
+        n = y.size
+        X = np.column_stack((np.ones(n), x))
+        w = 1.0 / (1.0 + np.arange(n)[::-1] ** 2 / s**2) ** a
+        XtW = X.T * w
+        beta = np.linalg.solve(XtW @ X, XtW @ y)
+        return beta[0], beta[1]
+
+    @staticmethod
+    def convg_iteration_trend_detection(slope):
+        """Negative lr-vs-iterations trend? (reference optimization.py:757-776)."""
+        return slope < 0
+
+    def optimize(self, K_max, objective, init_param, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if not objective.approx.supports_kl:
+            print("WARNING: approximation family does not support KL. "
+                  "Using FASO.", flush=True)
+            return super().optimize(K_max, objective, init_param, key=key)
+
+        K_max = int(K_max)
+        k_new = -1        # iterations used at the current learning rate
+        k = 0             # number of learning-rate decays
+        k_total = 0       # total iterations across rounds
+        k_add = 0
+        k_stopped_final = None
+        sgo = self._sgo
+        diagnostics = sgo._diagnostics
+        averaged = self._averaged_sgo()
+        iterate_average_curr = jnp.asarray(init_param)
+        opt_state = None
+        history = defaultdict(list)
+        history["iterate_average_curr_hist"].append(iterate_average_curr)
+        history["k_mcse"].append(0)
+        stopped = False
+        relative_skl = relative_iters = None
+
+        while not stopped:
+            K_max -= (k_new + 1)
+            if K_max <= 0:
+                break
+            iterate_average_prev = iterate_average_curr
+            key, key_round, key_reg = jax.random.split(key, 3)
+            if k == 0 and self._init_rmsprop:
+                # warm-start round with plain RMSProp (reference 815-818)
+                rmsprop = RMSProp(learning_rate=sgo._learning_rate,
+                                  diagnostics=diagnostics)
+                faso = FASO(sgo=rmsprop, max_history=self._max_history)
+                opt = faso.optimize(K_max, objective, iterate_average_curr,
+                                    key=key_round)
+            else:
+                opt = super().optimize(K_max, objective, iterate_average_curr,
+                                       key=key_round, init_opt_state=opt_state)
+                if not averaged:
+                    # persist non-averaged SGO state across rounds
+                    # (the reference only resets averaged SGOs, 865-866)
+                    opt_state = opt["opt_state"]
+            if opt["k_stopped"] is not None and k != 0:
+                history["conv_iters_hist"].append(opt["k_stopped"])
+            iterate_average_curr = opt["opt_param"]
+            history["iterate_average_curr_hist"].append(iterate_average_curr)
+            k_new = opt["k_stopped"]
+
+            history["k_Rhat"].append(
+                opt["k_Rhat"] + k_add
+                if opt["k_Rhat"] is not None and k_new is not None
+                else opt["k_Rhat"])
+            history["k_conv"].append(
+                opt["k_conv"] + k_add
+                if opt["k_conv"] is not None and k_new is not None
+                else opt["k_conv"])
+            history["k_mcse"].append(k_new + k_add if k_new is not None else k_new)
+            history["value_history"].append(opt["value_history"])
+            if diagnostics:
+                history["grad_history"].append(opt["grad_history"])
+                history["descent_dir_history"].append(opt["descent_dir_history"])
+                if opt["k_conv"] is not None and "ess_history" in opt:
+                    history["ess_history"].extend(opt["ess_history"])
+                    history["mcse_history"].extend(opt["mcse_history"])
+                    history["final_mcse_history"].append(opt["mcse_history"][-1])
+                if "iterate_average_k_history" in opt:
+                    offsets = np.asarray(opt["iterate_average_k_history"])
+                    if k > 0:
+                        offsets = offsets[1:] + k_add
+                        history["iterate_average_history"].extend(
+                            opt["iterate_average_history"][1:])
+                    else:
+                        history["iterate_average_history"].extend(
+                            opt["iterate_average_history"])
+                    history["iterate_average_k_history"].extend(offsets.tolist())
+            if history["iterate_average_k_history"]:
+                k_add = history["iterate_average_k_history"][-1]
+
+            if k_new is None:  # maximum iterations reached
+                break
+
+            # learning-rate decay and threshold tightening (reference 862-866)
+            k_total += k_new
+            sgo._learning_rate *= self._rho
+            self._mcse_threshold *= self._rho
+
+            if len(history["learning_rate_hist"]) > 0:
+                SKL = float(
+                    objective.approx.kl(iterate_average_prev, iterate_average_curr)
+                    + objective.approx.kl(iterate_average_curr, iterate_average_prev))
+                history["SKL_history"].append(SKL)
+
+                y_wlr = np.log(np.asarray(history["SKL_history"]))
+                x_wlr = np.log(np.asarray(history["learning_rate_hist"]))
+                fit, kappa, c = self.weighted_linear_regression(
+                    y_wlr, x_wlr, key=key_reg)
+                if diagnostics:
+                    history["c_sample_hist"].append(np.exp(np.asarray(fit["log_c"])))
+                    if averaged:
+                        history["kappa_sample_hist"] = None
+                    else:
+                        history["kappa_sample_hist"].append(
+                            np.asarray(fit["kappa"]))
+                history["kappa_hist"].append(kappa)
+                history["c_hist"].append(c)
+
+                # termination rule (reference optimization.py:888-913)
+                if len(history["learning_rate_hist"]) > 1 and history["conv_iters_hist"]:
+                    lr_hist = np.asarray(history["learning_rate_hist"], dtype=float)
+                    conv_hist = np.asarray(history["conv_iters_hist"], dtype=float)
+                    relative_skl = (self._rho**kappa
+                                    + self._accuracy_threshold
+                                    / (np.sqrt(c) * lr_hist[-1] ** kappa))
+                    curr_iters = conv_hist[-1]
+                    _, slope = self.wls(np.log(lr_hist[-len(conv_hist):]),
+                                        np.log(conv_hist))
+                    if self.convg_iteration_trend_detection(slope):
+                        y_wls, x_wls = conv_hist, lr_hist[-len(conv_hist):]
+                    else:
+                        y_wls, x_wls = conv_hist[1:], lr_hist[-len(conv_hist):][1:]
+                    if len(y_wls) >= 2:
+                        b0, b1 = self.wls(np.log(x_wls), np.log(y_wls))
+                        pred_iters = int(np.exp(b0)
+                                         * (self._rho * lr_hist[-1]) ** b1)
+                        history["predicted_iters_hist"].append(pred_iters)
+                        relative_iters = pred_iters / (curr_iters + self._iters0)
+                        history["stopping_crt"].append(relative_skl * relative_iters)
+                        if relative_skl * relative_iters > self._inefficiency_threshold:
+                            stopped = True
+                            k_stopped_final = k_total
+                            history["k_stopped_final_hist"].append(k_total)
+                            break
+
+            history["learning_rate_hist"].append(sgo._learning_rate)
+            k += 1
+
+        if stopped:
+            print("Termination rule reached at iteration", k_total)
+            print("Inefficiency Index:", relative_skl * relative_iters)
+        else:
+            print("WARNING: maximum number of iterations reached before "
+                  "stopping rule was triggered")
+
+        results = {}
+        for d, h in history.items():
+            if d in ("k_Rhat", "k_mcse", "k_conv"):
+                continue
+            if d == "value_history" and h:
+                results[d] = jnp.concatenate(h)
+            elif d in ("grad_history", "descent_dir_history") and h:
+                results[d] = jnp.concatenate(h)
+            elif d == "iterate_average_curr_hist":
+                results[d] = jnp.stack(h)
+            elif h is not None:
+                results[d] = np.asarray(h, dtype=object) \
+                    if isinstance(h, list) and h and isinstance(h[0], np.ndarray) \
+                    else h
+        results["opt_param"] = iterate_average_curr
+        results["k_stopped_final"] = k_stopped_final
+        results["k_Rhat"] = history["k_Rhat"]
+        results["k_mcse"] = history["k_mcse"]
+        results["k_conv"] = history["k_conv"]
+        return results

@@ -1,0 +1,107 @@
+"""A compact Hamiltonian Monte Carlo sampler in pure JAX.
+
+Replaces the reference's embedded PyStan/NUTS run inside RAABBVI
+(reference ``viabel/optimization.py:677-725``: ``model.sampling(iter=1000,
+chains=4, adapt_delta=0.98)`` on a 2-3 parameter weighted regression).  This
+is a fixed-trajectory HMC with dual-averaging step-size adaptation
+(Hoffman & Gelman 2014, §3.2), vmapped over chains and scanned over
+iterations — the entire multi-chain run is one XLA program.
+
+Exact numerical parity with Stan's NUTS is neither achievable nor required
+(SURVEY.md §7): RAABBVI only consumes the posterior means of ``kappa`` and
+``log_c``, which any correct sampler of the same posterior reproduces.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["hmc_sample"]
+
+
+def _dual_averaging_init(step_size):
+    return {
+        "log_eps": jnp.log(step_size),
+        "log_eps_bar": jnp.log(step_size),
+        "h_bar": jnp.asarray(0.0),
+        "mu": jnp.log(10.0 * step_size),
+    }
+
+
+def _dual_averaging_update(state, accept_prob, i, target_accept,
+                           gamma=0.05, t0=10.0, kappa=0.75):
+    t = i.astype(jnp.result_type(float)) + 1.0
+    eta_h = 1.0 / (t + t0)
+    h_bar = (1.0 - eta_h) * state["h_bar"] + eta_h * (target_accept - accept_prob)
+    log_eps = state["mu"] - jnp.sqrt(t) / gamma * h_bar
+    eta = t ** (-kappa)
+    log_eps_bar = eta * log_eps + (1.0 - eta) * state["log_eps_bar"]
+    return {"log_eps": log_eps, "log_eps_bar": log_eps_bar,
+            "h_bar": h_bar, "mu": state["mu"]}
+
+
+def _single_chain(log_prob, init_position, key, num_warmup, num_samples,
+                  num_leapfrog, target_accept, init_step_size):
+    grad_lp = jax.grad(log_prob)
+    d = init_position.shape[0]
+
+    def leapfrog(q, p, eps):
+        def body(_, qp):
+            q, p = qp
+            p = p + 0.5 * eps * grad_lp(q)
+            q = q + eps * p
+            p = p + 0.5 * eps * grad_lp(q)
+            return q, p
+
+        return lax.fori_loop(0, num_leapfrog, body, (q, p))
+
+    def step(carry, i):
+        q, key, da = carry
+        key, k_mom, k_acc = jax.random.split(key, 3)
+        warming = i < num_warmup
+        eps = jnp.exp(jnp.where(warming, da["log_eps"], da["log_eps_bar"]))
+        p0 = jax.random.normal(k_mom, (d,), dtype=q.dtype)
+        h0 = log_prob(q) - 0.5 * jnp.sum(p0**2)
+        q_new, p_new = leapfrog(q, p0, eps)
+        h1 = log_prob(q_new) - 0.5 * jnp.sum(p_new**2)
+        log_accept = jnp.minimum(0.0, h1 - h0)
+        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
+        q = jnp.where(accept, q_new, q)
+        da_new = _dual_averaging_update(da, jnp.exp(log_accept), i, target_accept)
+        da = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(warming, new, old), da_new, da)
+        return (q, key, da), q
+
+    da0 = _dual_averaging_init(jnp.asarray(init_step_size, init_position.dtype))
+    total = num_warmup + num_samples
+    (_, _, _), qs = lax.scan(step, (init_position, key, da0), jnp.arange(total))
+    return qs[num_warmup:]
+
+
+@partial(jax.jit, static_argnames=("log_prob", "num_warmup", "num_samples",
+                                   "num_leapfrog"))
+def hmc_sample(log_prob, init_positions, key, num_warmup=500, num_samples=500,
+               num_leapfrog=24, target_accept=0.85, init_step_size=0.1):
+    """Run multi-chain HMC.
+
+    Parameters
+    ----------
+    log_prob : callable
+        ``(d,) -> scalar`` unnormalized log density (static / hashable).
+    init_positions : array, shape (n_chains, d)
+    key : PRNG key
+
+    Returns
+    -------
+    samples : array, shape (n_chains, num_samples, d)
+    """
+    n_chains = init_positions.shape[0]
+    keys = jax.random.split(key, n_chains)
+    run = partial(_single_chain, log_prob,
+                  num_warmup=num_warmup, num_samples=num_samples,
+                  num_leapfrog=num_leapfrog, target_accept=target_accept,
+                  init_step_size=init_step_size)
+    return jax.vmap(run)(init_positions, keys)

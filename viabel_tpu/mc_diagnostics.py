@@ -1,0 +1,229 @@
+"""Markov-chain-style convergence statistics (ESS, MCSE, split-R-hat).
+
+TPU-native redesign of reference ``viabel/_mc_diagnostics.py``.  Two layers:
+
+1. A parity API matching the reference signatures: :func:`autocov`,
+   :func:`ess`, :func:`MCSE`, :func:`compute_R_hat`,
+   :func:`R_hat_convergence_check` (reference _mc_diagnostics.py:7-184).
+2. Masked fixed-shape kernels (:func:`ess_and_mcse_windowed`,
+   :func:`split_rhat_windowed`) operating on an *ordered history buffer*
+   whose trailing ``w`` rows form the analysis window, with ``w`` a traced
+   scalar.  These power FASO's on-device convergence checks: the buffer shape
+   is static, so one compilation serves every window size — the reference
+   instead re-slices Python lists per check (optimization.py:550-605).
+
+The ESS estimator is Geyer's initial-positive + initial-monotone sequence on
+FFT autocovariances (reference _mc_diagnostics.py:40-99); the data-dependent
+while-loops become ``lax.while_loop``s (vmap-batchable) over a fixed-size
+lag array.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "autocov",
+    "ess",
+    "MCSE",
+    "compute_R_hat",
+    "R_hat_convergence_check",
+    "ess_and_mcse_windowed",
+    "split_rhat_windowed",
+]
+
+
+def _fft_len(n):
+    """Static FFT length >= 2n (power of two; plays the role of
+    scipy's ``next_fast_len(2n)`` in reference _mc_diagnostics.py:20)."""
+    return int(2 ** np.ceil(np.log2(max(2 * n, 2))))
+
+
+def autocov(samples, axis=-1):
+    """FFT-based autocovariance for every lag (reference _mc_diagnostics.py:7-37)."""
+    samples = jnp.asarray(samples)
+    n = samples.shape[axis]
+    m = _fft_len(n)
+    centered = samples - samples.mean(axis, keepdims=True)
+    f = jnp.fft.rfft(centered, n=m, axis=axis)
+    power = f * jnp.conjugate(f)
+    acov = jnp.fft.irfft(power, n=m, axis=axis)
+    acov = lax.slice_in_dim(acov, 0, n, axis=axis)
+    return acov / n
+
+
+# ---------------------------------------------------------------------------
+# Geyer ESS on a fixed-size ordered buffer with a dynamic window
+# ---------------------------------------------------------------------------
+
+
+def _ess_1d_windowed(x, w):
+    """Geyer ESS of the trailing ``w`` entries of the ordered vector ``x``.
+
+    ``x`` has static length R; entries before ``R - w`` are ignored.  Exactly
+    reproduces reference ``ess`` (_mc_diagnostics.py:40-99) for a single
+    chain, including the ``>= 0`` store / ``> 0`` continue asymmetry of the
+    initial positive sequence and the post-loop even-lag improvement.
+    """
+    R = x.shape[0]
+    dtype = x.dtype
+    w_f = w.astype(dtype) if hasattr(w, "astype") else jnp.asarray(w, dtype)
+    idx = jnp.arange(R)
+    mask = idx >= (R - w)
+    xm = jnp.where(mask, x, 0.0)
+    mean = jnp.sum(xm) / w_f
+    xc = jnp.where(mask, x - mean, 0.0)
+
+    m = _fft_len(R)
+    f = jnp.fft.rfft(xc, n=m)
+    acov = jnp.fft.irfft(f * jnp.conjugate(f), n=m)[:R] / w_f
+
+    mean_var = acov[0] * w_f / (w_f - 1.0)
+    var_plus = acov[0]
+
+    rho = jnp.zeros(R, dtype=dtype).at[0].set(1.0)
+    rho_1 = 1.0 - (mean_var - acov[1]) / var_plus
+    rho = rho.at[1].set(rho_1)
+
+    # Geyer initial positive sequence (reference 72-79)
+    def cond_pos(c):
+        t, re, ro, _ = c
+        return (t < w - 3) & (re + ro > 0.0)
+
+    def body_pos(c):
+        t, _, _, rho = c
+        re = 1.0 - (mean_var - acov[t + 1]) / var_plus
+        ro = 1.0 - (mean_var - acov[t + 2]) / var_plus
+        store = (re + ro) >= 0.0
+        rho = rho.at[t + 1].set(jnp.where(store, re, rho[t + 1]))
+        rho = rho.at[t + 2].set(jnp.where(store, ro, rho[t + 2]))
+        return t + 2, re, ro, rho
+
+    t, re, _, rho = lax.while_loop(
+        cond_pos, body_pos, (jnp.asarray(1), jnp.asarray(1.0, dtype), rho_1, rho)
+    )
+    max_t = t - 2
+    # improve estimation with the last positive even lag (reference 83-84)
+    rho = rho.at[max_t + 1].set(jnp.where(re > 0.0, re, rho[max_t + 1]))
+
+    # Geyer initial monotone sequence (reference 86-91)
+    def cond_mono(c):
+        t, _ = c
+        return t <= max_t - 2
+
+    def body_mono(c):
+        t, rho = c
+        fix = (rho[t + 1] + rho[t + 2]) > (rho[t - 1] + rho[t])
+        new = (rho[t - 1] + rho[t]) / 2.0
+        rho = rho.at[t + 1].set(jnp.where(fix, new, rho[t + 1]))
+        rho = rho.at[t + 2].set(jnp.where(fix, new, rho[t + 2]))
+        return t + 2, rho
+
+    _, rho = lax.while_loop(cond_mono, body_mono, (jnp.asarray(1), rho))
+
+    tau = (
+        -1.0
+        + 2.0 * jnp.sum(jnp.where(idx <= max_t, rho, 0.0))
+        + rho[max_t + 1]
+    )
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(w_f))
+    out = w_f / tau
+    return jnp.where(jnp.any(jnp.isnan(rho)), jnp.nan, out)
+
+
+def ess_and_mcse_windowed(history, w):
+    """Per-coordinate ESS and MCSE over the trailing ``w`` rows of ``history``.
+
+    ``history``: ordered buffer ``(R, D)`` (oldest row first); ``w``: traced
+    window size.  Returns ``(ess (D,), mcse (D,))``.  This is the on-device
+    version of reference ``MCSE`` (_mc_diagnostics.py:102-121).
+    """
+    history = jnp.asarray(history)
+    R, _ = history.shape
+    w = jnp.asarray(w)
+    eff = jax.vmap(_ess_1d_windowed, in_axes=(1, None))(history, w)
+    mask = (jnp.arange(R) >= R - w)[:, None]
+    w_f = w.astype(history.dtype)
+    mean = jnp.sum(jnp.where(mask, history, 0.0), axis=0) / w_f
+    var = jnp.sum(jnp.where(mask, (history - mean) ** 2, 0.0), axis=0) / (w_f - 1.0)
+    mcse = jnp.sqrt(var) / jnp.sqrt(eff)
+    return eff, mcse
+
+
+def ess(samples):
+    """Reference-signature ESS of a ``(1, n)`` single chain
+    (reference _mc_diagnostics.py:40-99)."""
+    samples = jnp.atleast_2d(jnp.asarray(samples))
+    n = samples.shape[1]
+    return _ess_1d_windowed(samples[0], jnp.asarray(n))
+
+
+def MCSE(samples):
+    """Per-coordinate (ESS, MCSE) of ``(n_iters, D)`` samples
+    (reference _mc_diagnostics.py:102-121)."""
+    samples = jnp.asarray(samples)
+    n = samples.shape[0]
+    return ess_and_mcse_windowed(samples, jnp.asarray(n))
+
+
+# ---------------------------------------------------------------------------
+# Split-R-hat
+# ---------------------------------------------------------------------------
+
+
+def split_rhat_windowed(history, w, jitter=1e-8):
+    """Split-R-hat per coordinate over the trailing ``w`` rows of ``history``.
+
+    Splits the window into two half-chains of length ``h = w // 2`` (dropping
+    the most recent iterate when ``w`` is odd, matching reference
+    ``compute_R_hat``, _mc_diagnostics.py:144-151).  Fixed-shape masked
+    computation: one compilation serves all window sizes.
+    """
+    history = jnp.asarray(history)
+    R, D = history.shape
+    dtype = history.dtype
+    idx = jnp.arange(R)[:, None]
+    h = w // 2
+    start = R - w
+    m1 = (idx >= start) & (idx < start + h)
+    m2 = (idx >= start + h) & (idx < start + 2 * h)
+    h_f = h.astype(dtype) if hasattr(h, "astype") else jnp.asarray(h, dtype)
+
+    def half_stats(m):
+        mean = jnp.sum(jnp.where(m, history, 0.0), axis=0) / h_f
+        var = jnp.sum(jnp.where(m, (history - mean) ** 2, 0.0), axis=0) / (h_f - 1.0)
+        return mean, var
+
+    mean1, var1 = half_stats(m1)
+    mean2, var2 = half_stats(m2)
+    grand = (mean1 + mean2) / 2.0
+    B = h_f * ((mean1 - grand) ** 2 + (mean2 - grand) ** 2)  # / (n_chains-1)=1
+    W = (var1 + var2) / 2.0 + jitter
+    var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
+    return jnp.sqrt(var_hat)
+
+
+def compute_R_hat(chains, warmup=0, jitter=1e-8):
+    """Reference-signature split-R-hat of a single chain ``(n_iters, D)``
+    (reference _mc_diagnostics.py:124-160)."""
+    chains = jnp.asarray(chains)[warmup:, :]
+    n = chains.shape[0]
+    return split_rhat_windowed(chains, jnp.asarray(n), jitter)
+
+
+def R_hat_convergence_check(samples, windows, Rhat_threshold=1.1):
+    """Pick the window with the smallest max split-R-hat
+    (reference _mc_diagnostics.py:163-184).
+
+    ``samples``: array-like ``(n, D)`` (most recent last); ``windows``:
+    iterable of ints.  Returns ``(success, best_window)``.
+    """
+    samples = jnp.asarray(samples)
+    windows = np.asarray(windows, dtype=int)
+    r_hats = jax.vmap(lambda w: jnp.max(split_rhat_windowed(samples, w)))(
+        jnp.asarray(windows)
+    )
+    best = int(jnp.argmin(r_hats))
+    return bool(r_hats[best] <= Rhat_threshold), int(windows[best])

@@ -1,0 +1,410 @@
+"""Variational objectives as fused jit+vmap Monte Carlo kernels.
+
+TPU-native redesign of reference ``viabel/objectives.py``.  Each objective
+exposes a pure ``value_and_grad(var_param, key) -> (value, grad)`` compiled
+once with ``jax.jit``; the explicit PRNG key replaces the reference's
+stateful ``npr.RandomState`` and its shared-seed two-pass trick
+(objectives.py:443-455) — under ``jax.value_and_grad`` the value and
+gradient automatically see identical samples.
+
+Estimators reproduced (same math, different mechanism):
+
+- ``ExclusiveKL`` (ELBO): plain MC estimator, "sticking the landing" path
+  derivative via ``stop_gradient`` (reference objectives.py:156-159 used
+  autograd's ``getval``), and the four Miller et al. (2017) reduced-variance
+  control-variate estimators (reference objectives.py:170-273):
+  ``full`` / ``mean_only`` / ``loo_diag_approx`` / ``loo_direct_approx``,
+  built from ``jax.hessian`` / vmapped ``jvp``-of-``grad`` HVPs instead of
+  autograd ``make_hvp`` Python loops (objectives.py:222, 241).
+- ``AlphaDivergence`` (CUBO): stabilized ``log mean exp(alpha * lw)`` with
+  the reference's manually-assembled gradient ``alpha * vjp(lw)(w^alpha)/S``
+  (objectives.py:448-460), via one ``jax.vjp``.
+- ``DISInclusiveKL``: distilled importance sampling with tempering-epsilon
+  bisection as a ``lax.fori_loop`` (the reference's 50-iteration host loop,
+  objectives.py:338-368), correct proportional weight clipping (the
+  reference's ``_clip_weights`` crashes if its branch is ever reached —
+  objectives.py:385), and device-side multinomial resampling.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "VariationalObjective",
+    "StochasticVariationalObjective",
+    "ExclusiveKL",
+    "DISInclusiveKL",
+    "AlphaDivergence",
+]
+
+_HESSIAN_METHODS = (None, "full", "mean_only", "loo_diag_approx", "loo_direct_approx")
+
+
+class VariationalObjective:
+    """A variational objective to minimize (reference objectives.py:17-79)."""
+
+    #: whether ``value_and_grad`` is a pure function that may be traced into
+    #: a ``lax.scan`` device loop (False for objectives with Python-side
+    #: state, e.g. :class:`DISInclusiveKL`).
+    scannable = True
+
+    def __init__(self, approx, model):
+        self._approx = approx
+        self._model = model
+        self._value_and_grad = None
+        self._update_objective_and_grad()
+
+    def _update_objective_and_grad(self):
+        """(Re)build the compiled value-and-grad closure."""
+        raise NotImplementedError()
+
+    def value_and_grad(self, var_param, key):
+        """Evaluate the (stochastic) objective value and gradient."""
+        if self._value_and_grad is None:
+            raise RuntimeError("no objective and gradient available")
+        return self._value_and_grad(var_param, key)
+
+    def __call__(self, var_param, key):
+        return self.value_and_grad(var_param, key)
+
+    def update(self, var_param, direction):
+        """Apply a descent step (reference objectives.py:57-59)."""
+        return var_param - direction
+
+    @property
+    def approx(self):
+        return self._approx
+
+    @approx.setter
+    def approx(self, value):
+        self._approx = value
+        self._update_objective_and_grad()
+
+    @property
+    def model(self):
+        return self._model
+
+    @model.setter
+    def model(self, value):
+        self._model = value
+        self._update_objective_and_grad()
+
+
+class StochasticVariationalObjective(VariationalObjective):
+    """Adds the Monte Carlo sample count (reference objectives.py:82-105)."""
+
+    def __init__(self, approx, model, num_mc_samples):
+        self._num_mc_samples = int(num_mc_samples)
+        super().__init__(approx, model)
+
+    @property
+    def num_mc_samples(self):
+        return self._num_mc_samples
+
+    @num_mc_samples.setter
+    def num_mc_samples(self, value):
+        self._num_mc_samples = int(value)
+        self._update_objective_and_grad()
+
+
+class ExclusiveKL(StochasticVariationalObjective):
+    """Exclusive KL / negative ELBO (reference objectives.py:108-277).
+
+    Parameters
+    ----------
+    use_path_deriv : bool
+        "Sticking the landing" path-derivative estimator.
+    hessian_approx_method : str or None
+        One of ``full``, ``mean_only``, ``loo_diag_approx``,
+        ``loo_direct_approx`` — the Miller et al. (2017) control-variate
+        estimators; assumes a mean-field ``[mu, log_sigma]`` parameter layout
+        like the reference (objectives.py:196-198).
+    """
+
+    def __init__(self, approx, model, num_mc_samples, use_path_deriv=False,
+                 hessian_approx_method=None):
+        self._use_path_deriv = bool(use_path_deriv)
+        if hessian_approx_method in _HESSIAN_METHODS:
+            self.hessian_approx_method = hessian_approx_method
+        else:
+            raise ValueError(
+                "Name of approximation must be one of 'full', 'mean_only', "
+                "'loo_diag_approx', 'loo_direct_approx' or None object.")
+        super().__init__(approx, model, num_mc_samples)
+
+    # -- plain / STL path ----------------------------------------------------
+    def _loss(self, var_param, key, num_samples=None):
+        approx, model = self.approx, self.model
+        samples = approx.sample(
+            var_param, num_samples or self.num_mc_samples, key)
+        if self._use_path_deriv:
+            vp_stopped = lax.stop_gradient(var_param)
+            lower_bound = jnp.mean(model(samples) - approx.log_density(vp_stopped, samples))
+        elif approx.supports_entropy:
+            lower_bound = jnp.mean(model(samples)) + approx.entropy(var_param)
+        else:
+            lower_bound = jnp.mean(model(samples) - approx.log_density(var_param, samples))
+        return -lower_bound
+
+    def _update_objective_and_grad(self):
+        if self.hessian_approx_method is None:
+            self._value_and_grad = jax.jit(jax.value_and_grad(self._loss))
+        else:
+            self._value_and_grad = jax.jit(self._rge_value_and_grad)
+
+    # -- Miller et al. control-variate path -----------------------------------
+    def _rge_value_and_grad(self, var_param, key):
+        approx, model = self.approx, self.model
+        S = self.num_mc_samples
+
+        def f_single(x):
+            return model(x[None, :])[0]
+
+        grad_elementwise = jax.grad(lambda z: jnp.sum(model(z)))
+        grad_single = jax.grad(f_single)
+
+        z_samples = approx.sample(var_param, S, key)
+        m_mean, cov = approx.mean_and_cov(var_param)
+        s_scale = jnp.sqrt(jnp.diag(cov))
+        eps = (z_samples - m_mean) / s_scale
+
+        value = self._loss(var_param, key)
+
+        # raw reparameterization gradient samples, [mu | log_sigma] layout
+        dLdm = grad_elementwise(z_samples)              # (S, d)
+        dLdlns = dLdm * eps * s_scale + 1.0             # (S, d)
+        g_hat = jnp.concatenate([dLdm, dLdlns], axis=1)  # (S, 2d)
+
+        def hvp_at_mean(v):
+            return jax.jvp(grad_single, (m_mean,), (v,))[1]
+
+        method = self.hessian_approx_method
+        if method == "full":
+            # reference objectives.py:200-216
+            gmu = grad_single(m_mean)
+            H = jax.hessian(f_single)(m_mean)
+            Hdiag = jnp.diag(H)
+            dLdz = gmu + (s_scale * eps) @ H.T
+            dLds = dLdz * eps * s_scale + 1.0
+            tilde = jnp.concatenate([dLdz, dLds], axis=1)
+            dLds_mu = (Hdiag * s_scale + 1.0 / s_scale) * s_scale
+            tilde_mean = jnp.concatenate([gmu, dLds_mu])
+            g_rv = jnp.mean(g_hat - (tilde - tilde_mean), axis=0)
+        elif method == "mean_only":
+            # reference objectives.py:217-233: tilde - E[tilde] = [hvps, 0]
+            hvps = jax.vmap(hvp_at_mean)(s_scale * eps)  # (S, d)
+            g_rv_mu = jnp.mean(dLdm - hvps, axis=0)
+            g_rv_ls = jnp.mean(dLdlns, axis=0)
+            g_rv = jnp.concatenate([g_rv_mu, g_rv_ls])
+        elif method == "loo_diag_approx":
+            # reference objectives.py:234-255
+            hvps = jax.vmap(hvp_at_mean)(s_scale * eps)
+            dLdz = grad_single(m_mean) + hvps
+            dLds = dLdz * (eps * s_scale) + 1.0
+            Hdiag_sum = jnp.sum(eps * hvps, axis=0)
+            Hdiag_s = (Hdiag_sum[None, :] - eps * hvps) / float(S - 1)
+            dLds_mu = (Hdiag_s + 1.0 / s_scale[None, :]) * s_scale
+            g_rv_mu = jnp.mean(dLdm - hvps, axis=0)
+            g_rv_ls = jnp.mean(dLdlns - (dLds - dLds_mu), axis=0)
+            g_rv = jnp.concatenate([g_rv_mu, g_rv_ls])
+        else:  # loo_direct_approx, reference objectives.py:256-268
+            hvps = jax.vmap(hvp_at_mean)(s_scale * eps)
+            dLdz = grad_single(m_mean) + hvps
+            dLds = (dLdz * eps + 1.0 / s_scale[None, :]) * s_scale
+            dLds_sum = jnp.sum(dLds, axis=0)
+            dLds_mu = (dLds_sum[None, :] - dLds) / float(S - 1)
+            tilde_centered = jnp.concatenate([hvps, dLds - dLds_mu], axis=1)
+            g_rv = jnp.mean(g_hat - tilde_centered, axis=0)
+
+        return value, -g_rv
+
+    def hessian_vector_product(self, var_param, x, key):
+        """HVP of the (plain) objective (reference objectives.py:275-277)."""
+        g = jax.grad(self._loss)
+        return jax.jvp(lambda p: g(p, key), (var_param,), (x,))[1]
+
+
+class AlphaDivergence(StochasticVariationalObjective):
+    """Log alpha-divergence / CUBO objective (reference objectives.py:419-463).
+
+    The gradient follows the reference exactly:
+    ``alpha * J^T w^alpha / S`` where ``J`` is the Jacobian of the log
+    weights — a positive rescaling of the exact CUBO gradient (the
+    ``1/mean(w^alpha)`` normalizer is dropped, reference objectives.py:460).
+    """
+
+    def __init__(self, approx, model, num_mc_samples, alpha):
+        self._alpha = float(alpha)
+        super().__init__(approx, model, num_mc_samples)
+
+    @property
+    def alpha(self):
+        return self._alpha
+
+    def _update_objective_and_grad(self):
+        approx, model = self.approx, self.model
+        S, alpha = self.num_mc_samples, self._alpha
+
+        def log_weights_fn(var_param, key):
+            samples = approx.sample(var_param, S, key)
+            return model(samples) - approx.log_density(var_param, samples)
+
+        def objective_and_grad(var_param, key):
+            log_weights, vjp_fn = jax.vjp(lambda p: log_weights_fn(p, key), var_param)
+            log_norm = jnp.max(log_weights)
+            scaled = jnp.exp(alpha * (log_weights - log_norm))
+            value = jnp.log(jnp.mean(scaled)) / alpha + log_norm
+            grad = alpha * vjp_fn(lax.stop_gradient(scaled))[0] / scaled.size
+            return value, grad
+
+        self._value_and_grad = jax.jit(objective_and_grad)
+
+
+class DISInclusiveKL(StochasticVariationalObjective):
+    """Inclusive KL via Distilled Importance Sampling (reference 280-416).
+
+    Stateful between steps (tempering epsilon, resampling cache); the state
+    lives in device arrays on the Python object, while the per-step compute
+    (weight construction, bisection, surrogate loss) is jitted.
+    """
+
+    scannable = False
+
+    def __init__(self, approx, model, num_mc_samples, ess_target,
+                 temper_prior, temper_prior_params, use_resampling=True,
+                 num_resampling_batches=1, w_clip_threshold=10):
+        self._ess_target = float(ess_target)
+        self._w_clip_threshold = float(w_clip_threshold)
+        self._max_bisection_its = 50
+        self._max_eps = 1.0
+        self._eps = 1.0
+        self._use_resampling = bool(use_resampling)
+        self._num_resampling_batches = int(num_resampling_batches)
+        self._resampling_batch_size = max(1, int(ess_target) // int(num_resampling_batches))
+        self._objective_step = 0
+        self._state = None
+        self._temper_prior = temper_prior
+        self._temper_prior_params = jnp.asarray(temper_prior_params)
+        super().__init__(approx, model, num_mc_samples)
+
+    # -- pure helpers ---------------------------------------------------------
+    def _tempered_log_pdf(self, eps, samples, log_p_unnormalized):
+        ltp = self._temper_prior.log_density(self._temper_prior_params, samples)
+        return eps * ltp + (1.0 - eps) * log_p_unnormalized
+
+    def _weights(self, eps, samples, log_p, log_q):
+        logw = self._tempered_log_pdf(eps, samples, log_p) - log_q
+        return jnp.exp(logw)
+
+    def _eps_and_weights(self, eps_guess, samples, log_p, log_q):
+        """Bisection on epsilon to hit the ESS target (reference 338-368)."""
+
+        def ess_of(w):
+            return jnp.sum(w) ** 2 / jnp.sum(w**2)
+
+        def body(_, carry):
+            lower, upper, guess = carry
+            w = self._weights(guess, samples, log_p, log_q)
+            too_big = ess_of(w) > self._ess_target
+            upper = jnp.where(too_big, guess, upper)
+            lower = jnp.where(too_big, lower, guess)
+            return lower, upper, (lower + upper) / 2.0
+
+        lower0 = jnp.asarray(0.0, dtype=log_q.dtype)
+        upper0 = jnp.asarray(eps_guess, dtype=log_q.dtype)
+        lower, upper, guess = lax.fori_loop(
+            0, self._max_bisection_its, body, (lower0, upper0, (lower0 + upper0) / 2.0)
+        )
+        # endpoint handling (reference objectives.py:362-366)
+        guess = jnp.where(lower == 0.0, 0.0, guess)
+        guess = jnp.where(upper == self._max_eps, self._max_eps, guess)
+        w = self._weights(guess, samples, log_p, log_q)
+        return guess, ess_of(w), w
+
+    def _clip_weights(self, w):
+        """Proportional weight clipping (correct form of reference 370-386).
+
+        Ensures no weight exceeds ``threshold`` times the total weight, with
+        the clipped mass redistributed proportionally to unclipped weights;
+        total mass is preserved.  A no-op for ``threshold >= 1`` (the
+        reference default of 10 makes its branch unreachable).
+        """
+        tau = self._w_clip_threshold
+        n = w.shape[0]
+        if tau >= 1.0 or tau * n <= 1.0:
+            return w
+        total = jnp.sum(w)
+        p = w / total
+
+        def body(_, p):
+            over = p > tau
+            excess = jnp.sum(jnp.where(over, p - tau, 0.0))
+            keep = jnp.sum(jnp.where(over, 0.0, p))
+            scale = jnp.where(keep > 0, 1.0 + excess / keep, 1.0)
+            return jnp.where(over, tau, p * scale)
+
+        p = lax.fori_loop(0, 16, body, p)
+        return p * total
+
+    # -- objective construction -------------------------------------------------
+    def _update_objective_and_grad(self):
+        approx, model, S = self.approx, self.model, self.num_mc_samples
+
+        def refresh(var_param, key, eps_guess):
+            samples = lax.stop_gradient(approx.sample(var_param, S, key))
+            log_q = approx.log_density(var_param, samples)
+            log_p = model(samples)
+            eps, ess, w = self._eps_and_weights(
+                eps_guess, samples, log_p, lax.stop_gradient(log_q))
+            w_clipped = self._clip_weights(w)
+            return samples, log_q, w_clipped, eps
+
+        def loss_no_resampling(var_param, key, eps_guess):
+            samples, log_q, w_clipped, eps = refresh(var_param, key, eps_guess)
+            obj = -jnp.dot(lax.stop_gradient(w_clipped), log_q) / S
+            return obj, eps
+
+        self._vag_no_resampling = jax.jit(
+            jax.value_and_grad(loss_no_resampling, has_aux=True))
+
+        def refresh_state(var_param, key, eps_guess):
+            samples, _, w_clipped, eps = refresh(var_param, key, eps_guess)
+            w_sum = jnp.sum(w_clipped)
+            return samples, w_clipped / w_sum, w_sum, eps
+
+        self._refresh_state = jax.jit(refresh_state)
+
+        def loss_resampled(var_param, samples_resampled, w_sum):
+            obj = jnp.mean(-approx.log_density(var_param, samples_resampled))
+            return obj * w_sum / S
+
+        self._vag_resampled = jax.jit(jax.value_and_grad(loss_resampled))
+
+        def resample(key, w_normalized, samples):
+            idx = jax.random.choice(
+                key, S, shape=(self._resampling_batch_size,), p=w_normalized)
+            return samples[idx]
+
+        self._resample = jax.jit(resample)
+        self._value_and_grad = self._stateful_value_and_grad
+
+    def _stateful_value_and_grad(self, var_param, key):
+        if not self._use_resampling:
+            (value, eps), grad = self._vag_no_resampling(var_param, key, self._eps)
+            self._eps = eps
+            self._objective_step += 1
+            return value, grad
+
+        key_refresh, key_resample = jax.random.split(key)
+        if self._objective_step % self._num_resampling_batches == 0:
+            samples, w_normalized, w_sum, eps = self._refresh_state(
+                var_param, key_refresh, self._eps)
+            self._state = (samples, w_normalized, w_sum)
+            self._eps = eps
+        self._objective_step += 1
+        samples, w_normalized, w_sum = self._state
+        resampled = self._resample(key_resample, w_normalized, samples)
+        return self._vag_resampled(var_param, resampled, w_sum)

@@ -1,0 +1,4 @@
+from .mesh import make_mesh
+from .sharded import ShardedExclusiveKL, multistart_optimize
+
+__all__ = ["make_mesh", "ShardedExclusiveKL", "multistart_optimize"]

@@ -31,7 +31,7 @@ def main():
     n_steps = 1000
     approx = FullRankGaussian(d)
     model, _ = zoo.logistic_regression(dim=d, n_data=512)
-    objective = ExclusiveKL(approx, model, S, use_path_deriv=True)
+    objective = ExclusiveKL(approx, model, S)
     sgo = RMSProp(0.01)
     lr = 0.01
 
@@ -64,7 +64,7 @@ def main():
 
     iters_per_sec = n_steps / elapsed
     print(json.dumps({
-        "metric": "BBVI iters/sec at d=1000 full-rank (ExclusiveKL STL, S=10, RMSProp)",
+        "metric": "BBVI iters/sec at d=1000 full-rank (ExclusiveKL, S=10, RMSProp)",
         "value": round(iters_per_sec, 2),
         "unit": "iters/sec",
         "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 2),

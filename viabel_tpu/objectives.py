@@ -138,12 +138,12 @@ class ExclusiveKL(StochasticVariationalObjective):
     # -- plain / STL path ----------------------------------------------------
     def _loss(self, var_param, key, num_samples=None):
         approx, model = self.approx, self.model
-        samples = approx.sample(
-            var_param, num_samples or self.num_mc_samples, key)
+        n = num_samples or self.num_mc_samples
         if self._use_path_deriv:
-            vp_stopped = lax.stop_gradient(var_param)
-            lower_bound = jnp.mean(model(samples) - approx.log_density(vp_stopped, samples))
-        elif approx.supports_entropy:
+            samples, log_q = approx.sample_and_stl_log_density(var_param, n, key)
+            return -jnp.mean(model(samples) - log_q)
+        samples = approx.sample(var_param, n, key)
+        if approx.supports_entropy:
             lower_bound = jnp.mean(model(samples)) + approx.entropy(var_param)
         else:
             lower_bound = jnp.mean(model(samples) - approx.log_density(var_param, samples))

@@ -131,6 +131,16 @@ class ApproximationFamily:
     def log_density(self, var_param, x):
         raise NotImplementedError()
 
+    def sample_and_entropy(self, var_param, n_samples, key):
+        """Sample plus the entropy, for the closed-form-entropy ELBO.
+
+        Families may override with a fused implementation that shares
+        parameter reads between the sampler and the entropy (a full extra
+        pass over the parameters at large ``d``).
+        """
+        return (self.sample(var_param, n_samples, key),
+                self.entropy(var_param))
+
     def sample_and_stl_log_density(self, var_param, n_samples, key):
         """Sample plus the "sticking the landing" log density.
 
@@ -308,26 +318,33 @@ class _CholeskyFamily(ApproximationFamily):
     """
 
     def __init__(self, dim, supports_entropy, supports_kl):
-        self._tril_mask = jnp.asarray(np.tril(np.ones((dim, dim)), -1))
-        self._eye_bool = jnp.asarray(np.eye(dim, dtype=bool))
-        self._eye = jnp.asarray(np.eye(dim))
         super().__init__(dim, dim + dim * dim, supports_entropy, supports_kl)
+
+    @staticmethod
+    def _row_col_ids(d):
+        rows = lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        return rows, cols
 
     def unpack(self, var_param):
         """Return ``(mu, log_diag, L)`` with ``L`` lower-triangular.
 
-        Implementation note: both the factor and its diagonal come from
-        single fused elementwise passes over ``theta`` (``where`` + masked
-        reduce).  ``jnp.diag`` / ``jnp.diagonal`` are avoided deliberately —
-        their XLA:TPU lowering (pad/scatter and its transpose) measured
-        ~80us/step at d=1000, dominating the whole ELBO gradient step.
+        Implementation notes (all measured at d=1000 on TPU v5e):
+        ``jnp.diag``/``jnp.diagonal`` are avoided — their XLA:TPU lowering
+        (pad/scatter and its transpose) costs ~80us/step, dominating the
+        whole ELBO gradient step.  Masks are ``broadcasted_iota``
+        comparisons computed in-register rather than materialized d x d
+        constant arrays, which would add a full extra HBM read per pass.
         """
         d = self.dim
         mu = var_param[:d]
         theta = var_param[d:].reshape(d, d)
-        log_diag = jnp.sum(theta * self._eye.astype(var_param.dtype), axis=1)
-        L = jnp.where(self._eye_bool, jnp.exp(theta),
-                      theta * self._tril_mask.astype(var_param.dtype))
+        rows, cols = self._row_col_ids(d)
+        on_diag = rows == cols
+        log_diag = jnp.sum(jnp.where(on_diag, theta, jnp.zeros_like(theta)),
+                           axis=1)
+        L = jnp.where(on_diag, jnp.exp(theta),
+                      jnp.where(cols < rows, theta, jnp.zeros_like(theta)))
         return mu, log_diag, L
 
     def pack(self, mu, L):
@@ -394,6 +411,13 @@ class FullRankGaussian(_CholeskyFamily):
         mu, _, L = self.unpack(var_param)
         z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
         return mu + z @ L.T
+
+    def sample_and_entropy(self, var_param, n_samples, key):
+        mu, log_diag, L = self.unpack(var_param)
+        z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
+        samples = mu + z @ L.T
+        entropy = 0.5 * self.dim * (1.0 + _LOG_2PI) + jnp.sum(log_diag)
+        return samples, entropy
 
     def sample_and_stl_log_density(self, var_param, n_samples, key):
         mu, log_diag, L = self.unpack(var_param)

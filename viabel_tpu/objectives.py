@@ -142,10 +142,11 @@ class ExclusiveKL(StochasticVariationalObjective):
         if self._use_path_deriv:
             samples, log_q = approx.sample_and_stl_log_density(var_param, n, key)
             return -jnp.mean(model(samples) - log_q)
-        samples = approx.sample(var_param, n, key)
         if approx.supports_entropy:
-            lower_bound = jnp.mean(model(samples)) + approx.entropy(var_param)
+            samples, entropy = approx.sample_and_entropy(var_param, n, key)
+            lower_bound = jnp.mean(model(samples)) + entropy
         else:
+            samples = approx.sample(var_param, n, key)
             lower_bound = jnp.mean(model(samples) - approx.log_density(var_param, samples))
         return -lower_bound
 

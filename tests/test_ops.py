@@ -1,0 +1,79 @@
+"""Pallas kernel tests (interpreter mode on CPU, same code path as TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu.ops.chol import chol_sample_and_logdiag, chol_sample_matmul
+
+
+def _reference(theta, mu, z):
+    d = theta.shape[0]
+    eye_b = jnp.asarray(np.eye(d, dtype=bool))
+    tril = jnp.asarray(np.tril(np.ones((d, d)), -1))
+    L = jnp.where(eye_b, jnp.exp(theta), theta * tril.astype(theta.dtype))
+    ld = jnp.sum(jnp.where(eye_b, theta, 0.0), axis=1)
+    return mu + z @ L.T, ld
+
+
+@pytest.mark.parametrize("d,S", [(8, 4), (16, 3), (130, 5)])
+def test_chol_sample_forward(d, S):
+    rng = np.random.RandomState(0)
+    theta = jnp.asarray(rng.randn(d, d))
+    mu = jnp.asarray(rng.randn(d))
+    z = jnp.asarray(rng.randn(S, d))
+    x, ld = chol_sample_and_logdiag(theta, mu, z)
+    x_ref, ld_ref = _reference(theta, mu, z)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("d,S", [(8, 4), (32, 6)])
+def test_chol_sample_vjp(d, S):
+    rng = np.random.RandomState(1)
+    theta = jnp.asarray(rng.randn(d, d))
+    mu = jnp.asarray(rng.randn(d))
+    z = jnp.asarray(rng.randn(S, d))
+
+    def f_ker(th, m, zz):
+        x, ld = chol_sample_and_logdiag(th, m, zz)
+        return jnp.sum(jnp.sin(x)) + jnp.sum(jnp.cos(ld))
+
+    def f_ref(th, m, zz):
+        x, ld = _reference(th, m, zz)
+        return jnp.sum(jnp.sin(x)) + jnp.sum(jnp.cos(ld))
+
+    g_ker = jax.grad(f_ker, argnums=(0, 1, 2))(theta, mu, z)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(theta, mu, z)
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_chol_sample_matches_family():
+    """Kernel agrees with FullRankGaussian's jnp sampler given the same
+    theta layout and noise."""
+    from viabel_tpu import FullRankGaussian
+    d = 12
+    fam = FullRankGaussian(d)
+    rng = np.random.RandomState(2)
+    vp = jnp.asarray(rng.randn(fam.var_param_dim))
+    mu, log_diag, L = fam.unpack(vp)
+    z = jnp.asarray(rng.randn(7, d))
+    x, ld = chol_sample_and_logdiag(vp[d:].reshape(d, d), mu, z)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(mu + z @ L.T),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(log_diag),
+                               rtol=1e-12)
+
+
+def test_chol_sample_matmul_alias():
+    rng = np.random.RandomState(3)
+    d = 8
+    theta = jnp.asarray(rng.randn(d, d))
+    mu = jnp.asarray(rng.randn(d))
+    z = jnp.asarray(rng.randn(2, d))
+    np.testing.assert_allclose(
+        np.asarray(chol_sample_matmul(theta, mu, z)),
+        np.asarray(chol_sample_and_logdiag(theta, mu, z)[0]))

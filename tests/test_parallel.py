@@ -1,0 +1,109 @@
+"""Parallel-layer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+from viabel_tpu.models import zoo
+from viabel_tpu.parallel import (
+    ShardedExclusiveKL,
+    make_mesh,
+    multistart_optimize,
+)
+
+
+def _setup(dim=3):
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    return MFGaussian(dim), model
+
+
+def test_make_mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh((2, 4), ("restart", "mc"))
+    assert mesh.shape == {"restart": 2, "mc": 4}
+    with pytest.raises(ValueError):
+        make_mesh((16,), ("mc",))
+
+
+def test_sharded_exclusive_kl_matches_statistics():
+    """The sharded estimator is an unbiased ELBO estimator: over many keys
+    its mean matches the unsharded estimator's mean."""
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    sharded = ShardedExclusiveKL(approx, model, 64, mesh)
+    plain = ExclusiveKL(approx, model, 64)
+    vp = jnp.concatenate([0.3 * jnp.ones(3), -0.2 * jnp.ones(3)])
+    vals_s, vals_p = [], []
+    grads_s, grads_p = [], []
+    for i in range(50):
+        key = jax.random.PRNGKey(i)
+        v, g = sharded.value_and_grad(vp, key)
+        vals_s.append(float(v)); grads_s.append(np.asarray(g))
+        v2, g2 = plain.value_and_grad(vp, key)
+        vals_p.append(float(v2)); grads_p.append(np.asarray(g2))
+    # same expectation within MC error
+    se = np.std(vals_p) / np.sqrt(len(vals_p)) + np.std(vals_s) / np.sqrt(50)
+    assert abs(np.mean(vals_s) - np.mean(vals_p)) < 4 * se + 1e-3
+    np.testing.assert_allclose(np.mean(grads_s, axis=0),
+                               np.mean(grads_p, axis=0), atol=0.1)
+
+
+def test_sharded_divisibility_check():
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    with pytest.raises(ValueError):
+        ShardedExclusiveKL(approx, model, 10, mesh)
+
+
+def test_sharded_objective_optimizes():
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    obj = ShardedExclusiveKL(approx, model, 64, mesh)
+    results = RMSProp(0.05).optimize(2000, obj, approx.init_param(),
+                                     key=jax.random.PRNGKey(0))
+    mean, cov = approx.mean_and_cov(results["opt_param"])
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), 1.0, atol=0.1)
+
+
+def test_multistart_vmapped():
+    approx, model = _setup()
+    obj = ExclusiveKL(approx, model, 32)
+    init = jnp.tile(approx.init_param(), (4, 1))
+    res = multistart_optimize(RMSProp(0.05), 2000, obj, init,
+                              jax.random.PRNGKey(0))
+    assert res["opt_param"].shape == (4, 6)
+    assert res["value_history"].shape == (4, 2000)
+    for r in range(4):
+        mean, cov = approx.mean_and_cov(res["opt_param"][r])
+        np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.06)
+    # restarts differ (independent keys)
+    assert not np.allclose(np.asarray(res["opt_param"][0]),
+                           np.asarray(res["opt_param"][1]))
+
+
+def test_multistart_sharded_2d_mesh():
+    """Full restart x mc layout in one shard_map."""
+    approx, model = _setup()
+    obj = ExclusiveKL(approx, model, 32)
+    mesh = make_mesh((2, 4), ("restart", "mc"))
+    init = jnp.tile(approx.init_param(), (4, 1))
+    res = multistart_optimize(RMSProp(0.05), 1500, obj, init,
+                              jax.random.PRNGKey(0), mesh=mesh, mc_axis="mc")
+    assert res["opt_param"].shape == (4, 6)
+    for r in range(4):
+        mean, _ = approx.mean_and_cov(res["opt_param"][r])
+        np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.06)
+
+
+def test_multistart_divisibility_check():
+    approx, model = _setup()
+    obj = ExclusiveKL(approx, model, 32)
+    mesh = make_mesh((8,), ("restart",))
+    init = jnp.tile(approx.init_param(), (3, 1))
+    with pytest.raises(ValueError):
+        multistart_optimize(RMSProp(0.05), 10, obj, init,
+                            jax.random.PRNGKey(0), mesh=mesh)

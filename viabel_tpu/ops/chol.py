@@ -78,7 +78,7 @@ def _sample_kernel(theta_ref, z_ref, mu_ref, out_ref, ld_ref, *, row_tile):
     acc = jax.lax.dot_general(
         z_ref[...], L_tile,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (S, TI)
+        preferred_element_type=L_tile.dtype)                # (S, TI)
     out_ref[...] = (acc + mu_ref[...]).astype(out_ref.dtype)
     ld_ref[...] = jnp.sum(
         jnp.where(on_diag, theta_tile, jnp.zeros_like(theta_tile)),
@@ -119,7 +119,7 @@ def _dz_kernel(theta_ref, dx_ref, out_ref, *, col_tile):
     out_ref[...] = jax.lax.dot_general(
         dx_ref[...], L_tile,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        preferred_element_type=L_tile.dtype).astype(out_ref.dtype)
 
 
 def _dz_pallas(theta, dx):
@@ -147,7 +147,7 @@ def _dtheta_kernel(theta_ref, dx_ref, z_ref, dld_ref, out_ref, *, row_tile):
     dL = jax.lax.dot_general(
         dx_ref[...], z_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (TI, d)
+        preferred_element_type=theta_ref.dtype)             # (TI, d)
     theta_tile = theta_ref[...]
     rows, cols = _row_col_ids(theta_tile.shape, i * row_tile, 0)
     # dld broadcasts by column; at selected positions row == col, so

@@ -1,0 +1,49 @@
+"""Robust regression: mean-field vs full-rank families + diagnostics.
+
+Runnable counterpart of the reference tutorial
+``docs/source/robust-regression.ipynb``: fit a Student-t regression
+posterior with (a) the default mean-field Gaussian and (b) a full-rank
+multivariate-t family, and compare the error-bound diagnostics — the
+mean-field fit fails the k-hat gate while the full-rank fit passes all
+diagnostics (reference cells 12 and 20).
+
+Run: ``python examples/robust_regression.py``
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from viabel_tpu import MultivariateT, bbvi, vi_diagnostics
+from viabel_tpu.models import zoo
+
+
+def main():
+    model, dim = zoo.robust_regression()
+
+    print("=== mean-field Gaussian ===")
+    mf_results = bbvi(dim, log_density=model, num_mc_samples=50,
+                      n_iters=10000, key=jax.random.PRNGKey(0))
+    vi_diagnostics(mf_results["opt_param"], objective=mf_results["objective"])
+
+    print("\n=== full-rank multivariate-t (df=100) ===")
+    t_results = bbvi(dim, log_density=model, approx=MultivariateT(dim, 100),
+                     num_mc_samples=100, n_iters=2500, adaptive=True,
+                     fixed_lr=True, key=jax.random.PRNGKey(1))
+    diag = vi_diagnostics(t_results["opt_param"],
+                          objective=t_results["objective"])
+
+    approx = t_results["objective"].approx
+    mean, cov = approx.mean_and_cov(t_results["opt_param"])
+    print("\nposterior mean estimate:", np.asarray(mean))
+    print("posterior stdev estimate:", np.sqrt(np.diag(np.asarray(cov))))
+    print("mean error bound:", float(diag["mean_error"]))
+    print("stdev error bound:", float(diag["std_error"]))
+
+
+if __name__ == "__main__":
+    main()

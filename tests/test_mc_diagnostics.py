@@ -121,3 +121,77 @@ def test_R_hat_convergence_check():
     trending = samples + np.linspace(0, 50, 1000)[:, None]
     success2, _ = R_hat_convergence_check(trending, [200, 400, 800])
     assert not success2
+
+
+def test_split_rhat_ring_windows_matches_windowed():
+    from viabel_tpu.mc_diagnostics import ring_window_mean, split_rhat_ring_windows
+    rng = np.random.RandomState(9)
+    R, d = 128, 5
+    t = 200  # ring has wrapped
+    # simulate ring writes: step s -> slot s % R
+    ring = np.zeros((R, d))
+    full = rng.randn(t, d) + 50.0  # large offset exercises f32-style cancellation path
+    for s in range(t):
+        ring[s % R] = full[s]
+    windows = np.array([40, 61, 100])
+    r_ring = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
+                                                jnp.asarray(t),
+                                                jnp.asarray(windows)))
+    for i, w in enumerate(windows):
+        expected = float(jnp.max(compute_R_hat(jnp.asarray(full[t - w:]))))
+        np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)
+    # window mean equivalence
+    for w in windows:
+        m = np.asarray(ring_window_mean(jnp.asarray(ring), jnp.asarray(t),
+                                        jnp.asarray(int(w))))
+        np.testing.assert_allclose(m, full[t - w:].mean(0), rtol=1e-10)
+
+
+def test_split_rhat_ring_windows_unwrapped():
+    from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
+    rng = np.random.RandomState(10)
+    R, d, t = 256, 3, 100  # ring NOT full: slots >= t unwritten (garbage)
+    ring = 1e6 * np.ones((R, d))
+    full = rng.randn(t, d)
+    for s in range(t):
+        ring[s % R] = full[s]
+    windows = np.array([30, 80])
+    r_ring = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
+                                                jnp.asarray(t),
+                                                jnp.asarray(windows)))
+    for i, w in enumerate(windows):
+        expected = float(jnp.max(compute_R_hat(jnp.asarray(full[t - w:]))))
+        np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)
+
+
+def test_ess_vectorized_matches_while_loop():
+    """The cumulative-op Geyer ESS must agree with the literal while-loop
+    formulation across iid / AR(1) / trending / short-window inputs."""
+    from viabel_tpu.mc_diagnostics import _ess_1d_windowed, _ess_chunk_vectorized
+    rng = np.random.RandomState(11)
+    R = 256
+    cols = [rng.randn(R),                       # iid
+            _ar1(R, 0.8, rng)[:, 0],            # sticky
+            _ar1(R, -0.6, rng)[:, 0],           # anti-correlated
+            np.linspace(0, 5, R) + 0.01 * rng.randn(R),  # trending
+            np.ones(R) + 1e-9 * rng.randn(R)]   # nearly constant
+    X = np.stack(cols)                          # (C, R)
+    for w in [8, 37, 128, 256]:
+        vec = np.asarray(_ess_chunk_vectorized(jnp.asarray(X), jnp.asarray(w)))
+        for c in range(X.shape[0]):
+            ref = float(_ess_1d_windowed(jnp.asarray(X[c]), jnp.asarray(w)))
+            np.testing.assert_allclose(vec[c], ref, rtol=1e-8,
+                                       err_msg=f"w={w} col={c}")
+
+
+def test_ess_and_mcse_windowed_chunked():
+    from viabel_tpu.mc_diagnostics import ess_and_mcse_windowed
+    rng = np.random.RandomState(12)
+    R, D = 128, 37  # force chunking with chunk_size < D
+    hist = rng.randn(R, D)
+    e1, m1 = ess_and_mcse_windowed(jnp.asarray(hist), jnp.asarray(100),
+                                   chunk_size=8)
+    e2, m2 = ess_and_mcse_windowed(jnp.asarray(hist), jnp.asarray(100),
+                                   chunk_size=1000)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-10)

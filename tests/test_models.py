@@ -79,3 +79,28 @@ def test_model_from_single():
     model = Model.from_single(lambda x: -jnp.sum(x**2))
     x = jnp.asarray([[1.0, 1.0], [2.0, 0.0]])
     np.testing.assert_allclose(np.asarray(model(x)), [-2.0, -4.0])
+
+
+def test_multivariate_t_logpdf_standalone():
+    from scipy.stats import multivariate_t, multivariate_normal
+    from viabel_tpu.distributions import multivariate_t_logpdf
+    rng = np.random.RandomState(13)
+    d = 3
+    A = rng.randn(d, d)
+    S = A @ A.T + d * np.eye(d)
+    m = rng.randn(d)
+    x = rng.randn(5, d)
+    for df in [3.0, 25.0]:
+        expected = multivariate_t.logpdf(x, loc=m, shape=S, df=df)
+        got = np.asarray(multivariate_t_logpdf(jnp.asarray(x), jnp.asarray(m),
+                                               jnp.asarray(S), df))
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+        got_sing = np.asarray(multivariate_t_logpdf(
+            jnp.asarray(x), jnp.asarray(m), jnp.asarray(S), df,
+            allow_singular=True))
+        np.testing.assert_allclose(got_sing, expected, rtol=1e-8)
+    # df = inf -> multivariate normal
+    expected_n = multivariate_normal.logpdf(x, mean=m, cov=S)
+    got_n = np.asarray(multivariate_t_logpdf(jnp.asarray(x), jnp.asarray(m),
+                                             jnp.asarray(S), np.inf))
+    np.testing.assert_allclose(got_n, expected_n, rtol=1e-10)

@@ -48,6 +48,7 @@ from .diagnostics import (
     divergence_bound,
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
+from .distributions import multivariate_t_logpdf
 from .convenience import bbvi, vi_diagnostics
 
 __version__ = "0.1.0"
@@ -67,6 +68,7 @@ __all__ = [
     # diagnostics
     "all_diagnostics", "error_bounds", "wasserstein_bounds", "divergence_bound",
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
+    "multivariate_t_logpdf",
     # convenience
     "bbvi", "vi_diagnostics",
 ]

@@ -38,7 +38,11 @@ from jax import lax
 
 from .families import MFGaussian
 from .hmc import hmc_sample
-from .mc_diagnostics import ess_and_mcse_windowed, split_rhat_windowed
+from .mc_diagnostics import (
+    ess_and_mcse_windowed,
+    ring_window_mean,
+    split_rhat_ring_windows,
+)
 from .optimizers import (
     AveragedAdam,
     AveragedRMSProp,
@@ -63,18 +67,8 @@ def _order_ring(ring, t):
     return ring[idx]
 
 
-@jax.jit
-def _rhat_over_windows(ordered, windows):
-    """Max split-R-hat for each candidate window (reference
-    _mc_diagnostics.py:163-184 / optimization.py:553-556)."""
-    return jax.vmap(lambda w: jnp.max(split_rhat_windowed(ordered, w)))(windows)
-
-
-@jax.jit
-def _window_mean(ordered, w):
-    R = ordered.shape[0]
-    mask = (jnp.arange(R) >= R - w)[:, None]
-    return jnp.sum(jnp.where(mask, ordered, 0.0), axis=0) / w.astype(ordered.dtype)
+_rhat_ring = jax.jit(split_rhat_ring_windows)
+_ring_mean = jax.jit(ring_window_mean)
 
 
 @partial(jax.jit, static_argnames=("mf_dim",))
@@ -240,19 +234,23 @@ class FASO(Optimizer):
                 history["grad_history"].append(outs[1])
                 history["descent_dir_history"].append(outs[2])
 
-            ordered = None
-
-            # R-hat convergence check (reference optimization.py:550-563)
+            # R-hat convergence check (reference optimization.py:550-563);
+            # all candidate windows are scored from ONE pass over the raw
+            # (unordered) ring — see split_rhat_ring_windows.
             if k_conv is None:
                 W_upper = min(int(0.95 * k), R)
                 if W_upper > self._W_min:
                     windows = np.linspace(self._W_min, W_upper, num=5, dtype=int)
-                    ordered = _order_ring(ring, t)
                     r_hats = np.asarray(
-                        _rhat_over_windows(ordered, jnp.asarray(windows)))
+                        _rhat_ring(ring, t, jnp.asarray(windows)))
                     best = int(np.argmin(r_hats))
                     best_W = int(windows[best])
-                    iterate_average = _window_mean(ordered, jnp.asarray(best_W))
+                    # the best-window iterate average is only observable via
+                    # diagnostics until R-hat succeeds — skip the O(R*D)
+                    # reduction otherwise (reference computes it every check,
+                    # optimization.py:556)
+                    if diagnostics or r_hats[best] <= 1.1:
+                        iterate_average = _ring_mean(ring, t, jnp.asarray(best_W))
                     if diagnostics:
                         history["iterate_average_k_history"].append(k)
                         history["iterate_average_history"].append(iterate_average)
@@ -264,9 +262,8 @@ class FASO(Optimizer):
             # MCSE / ESS stopping check (reference optimization.py:566-605)
             if k_conv is not None and k - k_conv >= W_check:
                 W = min(k - k_conv, R, k)
-                if ordered is None:
-                    ordered = _order_ring(ring, t)
-                iterate_average = _window_mean(ordered, jnp.asarray(W))
+                ordered = _order_ring(ring, t)
+                iterate_average = _ring_mean(ring, t, jnp.asarray(W))
                 if diagnostics and (not history["iterate_average_k_history"]
                                     or history["iterate_average_k_history"][-1] != k):
                     history["iterate_average_k_history"].append(k)

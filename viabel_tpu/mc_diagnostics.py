@@ -133,17 +133,82 @@ def _ess_1d_windowed(x, w):
     return jnp.where(jnp.any(jnp.isnan(rho)), jnp.nan, out)
 
 
-def ess_and_mcse_windowed(history, w):
+def _ess_chunk_vectorized(x_chunk, w):
+    """Geyer ESS for a chunk of coordinates at once — no while loops.
+
+    ``x_chunk``: (C, R) rows-as-coordinates, window = trailing ``w`` columns.
+    Semantically identical to :func:`_ess_1d_windowed` (tested against it),
+    but expressed with cumulative ops so it vectorizes over millions of
+    coordinates: the initial-positive sequence is "the prefix of pairs with
+    positive sums" (a ``cumprod`` of positivity flags), the initial-monotone
+    adjustment is a running minimum of pair sums (``lax.cummin``), and the
+    final tau only needs the cumulative-min pair sums plus one boundary
+    element.  This is what makes FASO's MCSE check affordable at the
+    flagship d=1000 full-rank scale (1e6 flat coordinates): batched
+    while-loops would re-touch a (C, R) buffer every lag.
+    """
+    C, R = x_chunk.shape
+    dtype = x_chunk.dtype
+    w_f = w.astype(dtype)
+    col = jnp.arange(R)
+    mask = col[None, :] >= R - w
+    xm = jnp.where(mask, x_chunk, 0.0)
+    mean = jnp.sum(xm, axis=1, keepdims=True) / w_f
+    xc = jnp.where(mask, x_chunk - mean, 0.0)
+
+    m = _fft_len(R)
+    f = jnp.fft.rfft(xc, n=m, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conjugate(f), n=m, axis=1)[:, :R] / w_f
+
+    mean_var = acov[:, :1] * w_f / (w_f - 1.0)
+    var_plus = acov[:, :1]
+    rho = 1.0 - (mean_var - acov) / var_plus
+    rho = rho.at[:, 0].set(1.0)
+
+    K = R // 2
+    P = rho[:, 0::2][:, :K] + rho[:, 1::2][:, :K]     # pair sums (C, K)
+    kidx = jnp.arange(K)
+    B = (w - 2) // 2                                   # last computable pair
+    # first pair k >= 1 whose sum fails strict positivity
+    fail = (kidx[None, :] >= 1) & ~(P > 0.0)
+    first_fail = jnp.min(jnp.where(fail, kidx[None, :], K + 1), axis=1)
+    k_last = jnp.minimum(first_fail, B)                # (C,)
+
+    M = lax.cummin(P, axis=1)                          # monotone pair sums
+    sum_pairs = jnp.sum(
+        jnp.where(kidx[None, :] < k_last[:, None], M, 0.0), axis=1)
+    rho_even_last = jnp.take_along_axis(rho, 2 * k_last[:, None], axis=1)[:, 0]
+    P_last = jnp.take_along_axis(P, jnp.minimum(k_last, K - 1)[:, None],
+                                 axis=1)[:, 0]
+    extra = jnp.where((rho_even_last > 0.0) | (P_last >= 0.0),
+                      rho_even_last, 0.0)
+    tau = -1.0 + 2.0 * sum_pairs + extra
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(w_f))
+    eff = w_f / tau
+    return jnp.where(jnp.any(jnp.isnan(rho), axis=1), jnp.nan, eff)
+
+
+def ess_and_mcse_windowed(history, w, chunk_size=8192):
     """Per-coordinate ESS and MCSE over the trailing ``w`` rows of ``history``.
 
     ``history``: ordered buffer ``(R, D)`` (oldest row first); ``w``: traced
     window size.  Returns ``(ess (D,), mcse (D,))``.  This is the on-device
-    version of reference ``MCSE`` (_mc_diagnostics.py:102-121).
+    version of reference ``MCSE`` (_mc_diagnostics.py:102-121), with the
+    coordinate axis processed in chunks (the FFT scratch at full width
+    would be O(D * fft_len) — 8 GB at the d=1000 full-rank scale).
     """
     history = jnp.asarray(history)
-    R, _ = history.shape
+    R, D = history.shape
     w = jnp.asarray(w)
-    eff = jax.vmap(_ess_1d_windowed, in_axes=(1, None))(history, w)
+    xt = history.T  # (D, R)
+    if D <= chunk_size:
+        eff = _ess_chunk_vectorized(xt, w)
+    else:
+        pad = (-D) % chunk_size
+        xt_p = jnp.pad(xt, ((0, pad), (0, 0)))
+        chunks = xt_p.reshape(-1, chunk_size, R)
+        eff = lax.map(lambda c: _ess_chunk_vectorized(c, w), chunks)
+        eff = eff.reshape(-1)[:D]
     mask = (jnp.arange(R) >= R - w)[:, None]
     w_f = w.astype(history.dtype)
     mean = jnp.sum(jnp.where(mask, history, 0.0), axis=0) / w_f
@@ -203,6 +268,76 @@ def split_rhat_windowed(history, w, jitter=1e-8):
     W = (var1 + var2) / 2.0 + jitter
     var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
     return jnp.sqrt(var_hat)
+
+
+def split_rhat_ring_windows(ring, t, windows, jitter=1e-8):
+    """Max split-R-hat for several windows, directly on an *unordered* ring.
+
+    ``ring``: (R, D) circular buffer where slot ``s % R`` holds step ``s``;
+    ``t``: total steps taken; ``windows``: (K,) candidate window sizes
+    (each ``<= min(t, R)``).
+
+    All half-chain sums for all windows come from ONE read of the ring:
+    per-slot step ids are computed from ``t`` (order within a sum is
+    irrelevant), boundary-indicator rows form a ``(3K, R)`` matrix, and a
+    single MXU matmul against the ring (plus one against its square)
+    yields every needed partial sum.  At the flagship scale (R=600,
+    D=1e6) this is ~3 passes over the ring instead of the ~2 per window
+    per statistic a masked per-window formulation costs — the difference
+    between convergence checks being free and doubling the step budget.
+
+    Returns ``(K,)`` max-over-coordinates split-R-hat values.  Matches
+    :func:`split_rhat_windowed` (same half-split and odd-window handling
+    as reference _mc_diagnostics.py:144-159).
+    """
+    ring = jnp.asarray(ring)
+    R, D = ring.shape
+    dtype = ring.dtype
+    windows = jnp.asarray(windows)
+    K = windows.shape[0]
+    t = jnp.asarray(t)
+
+    # step id held by each slot: largest step < t congruent to slot mod R
+    p = jnp.arange(R)
+    steps = (t - 1) - ((t - 1 - p) % R)          # negative => never written
+
+    h = windows // 2
+    lo = t - windows
+    mid = lo + h
+    hi = lo + 2 * h
+    bounds = jnp.concatenate([lo, mid, hi])      # (3K,)
+    ind = (steps[None, :] >= bounds[:, None]).astype(dtype)  # (3K, R)
+
+    # Center by the most recent iterate before squaring: near stationarity
+    # the per-step wander is orders of magnitude below the parameter values,
+    # and an uncentered one-pass sum-of-squares would cancel catastrophically
+    # in float32.  Variances are shift-invariant and B uses mean differences.
+    center = ring[(t - 1) % R]
+    ringc = ring - center
+    S = ind @ ringc                              # (3K, D) partial sums
+    Q = ind @ (ringc * ringc)                    # (3K, D) partial sq-sums
+
+    h_f = h.astype(dtype)[:, None]
+    sum1, sq1 = S[:K] - S[K:2 * K], Q[:K] - Q[K:2 * K]
+    sum2, sq2 = S[K:2 * K] - S[2 * K:], Q[K:2 * K] - Q[2 * K:]
+    m1, m2 = sum1 / h_f, sum2 / h_f
+    v1 = (sq1 - h_f * m1**2) / (h_f - 1.0)
+    v2 = (sq2 - h_f * m2**2) / (h_f - 1.0)
+    grand = (m1 + m2) / 2.0
+    B = h_f * ((m1 - grand) ** 2 + (m2 - grand) ** 2)
+    W = (v1 + v2) / 2.0 + jitter
+    var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
+    return jnp.max(jnp.sqrt(var_hat), axis=1)
+
+
+def ring_window_mean(ring, t, w):
+    """Mean of the last ``w`` iterates directly from the unordered ring."""
+    ring = jnp.asarray(ring)
+    R, _ = ring.shape
+    p = jnp.arange(R)
+    steps = (t - 1) - ((t - 1 - p) % R)
+    ind = (steps >= t - w).astype(ring.dtype)
+    return (ind @ ring) / w.astype(ring.dtype)
 
 
 def compute_R_hat(chains, warmup=0, jitter=1e-8):

@@ -1,0 +1,76 @@
+"""Checkpoint / resume tests (a subsystem the reference lacks — SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import FASO, ExclusiveKL, MFGaussian, RMSProp
+from viabel_tpu.checkpoint import load_pytree, save_pytree
+from viabel_tpu.models import zoo
+
+
+def test_pytree_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3)), "d": 7},
+            "e": [jnp.asarray(1.5), jnp.asarray([True, False])]}
+    path = str(tmp_path / "state.npz")
+    save_pytree(path, tree)
+    restored = load_pytree(path, like=tree)
+    flat1 = jax.tree_util.tree_leaves(tree)
+    flat2 = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pytree_structure_mismatch(tmp_path):
+    path = str(tmp_path / "state.npz")
+    save_pytree(path, {"a": jnp.zeros(3)})
+    with pytest.raises(ValueError):
+        load_pytree(path, like={"a": jnp.zeros(3), "b": jnp.zeros(2)})
+
+
+def test_faso_resume_matches_uninterrupted(tmp_path):
+    """Run FASO 3000 iters straight vs 1500 + checkpoint + resume 3000:
+    identical final parameters and convergence bookkeeping."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    approx = MFGaussian(2)
+    obj = ExclusiveKL(approx, model, 20)
+
+    def make_opt():
+        # pin the ring size so the interrupted and uninterrupted runs see
+        # identical window caps
+        return FASO(RMSProp(0.05), W_min=200, mcse_threshold=0.05,
+                    max_history=600)
+
+    full = make_opt().optimize(3000, obj, approx.init_param(),
+                               key=jax.random.PRNGKey(0))
+
+    # interrupt BEFORE the first convergence check (first boundary where
+    # 0.95k > W_min is k=400)
+    part = make_opt().optimize(300, obj, approx.init_param(),
+                               key=jax.random.PRNGKey(0))
+    assert part["k_stopped"] is None
+    path = str(tmp_path / "faso.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+    resumed = make_opt().optimize(3000, obj, approx.init_param(),
+                                  key=jax.random.PRNGKey(0),
+                                  resume_state=restored)
+
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-6)
+    assert resumed["k_stopped"] == full["k_stopped"]
+    assert resumed["k_conv"] == full["k_conv"]
+
+
+def test_progress_callback():
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    approx = MFGaussian(2)
+    obj = ExclusiveKL(approx, model, 10)
+    seen = []
+    FASO(RMSProp(0.05), W_min=100).optimize(
+        500, obj, approx.init_param(), key=jax.random.PRNGKey(0),
+        progress_callback=lambda k, loss: seen.append((k, loss)))
+    assert [k for k, _ in seen] == [100, 200, 300, 400, 500]
+    assert all(np.isfinite(l) for _, l in seen)

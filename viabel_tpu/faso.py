@@ -181,7 +181,18 @@ class FASO(Optimizer):
         return (vp, opt_state, key, ring, t), outs
 
     def optimize(self, n_iters, objective, init_param, key=None,
-                 init_opt_state=None):
+                 init_opt_state=None, resume_state=None,
+                 progress_callback=None):
+        """Run FASO.
+
+        ``resume_state``: the ``results["resume_state"]`` pytree of a prior
+        (possibly interrupted) run — optimization continues from that
+        segment boundary with identical convergence statistics (the history
+        ring is the detection state).  Serialize it across processes with
+        :mod:`viabel_tpu.checkpoint`.  ``progress_callback(k, avg_loss)``
+        is invoked at each segment boundary (the host-side counterpart of
+        the reference's tqdm descriptions, optimization.py:606-610).
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
         n_iters = int(n_iters)
@@ -220,8 +231,24 @@ class FASO(Optimizer):
         total_opt_time = 0.0
         eff = mcse = None
 
+        if resume_state is not None:
+            var_param = jnp.asarray(resume_state["var_param"])
+            opt_state = resume_state["opt_state"]
+            key = resume_state["key"]
+            ring = jnp.asarray(resume_state["ring"])
+            t = jnp.asarray(resume_state["t"])
+            k = int(resume_state["k"])
+            k_conv = None if int(resume_state["k_conv"]) < 0 else int(resume_state["k_conv"])
+            k_Rhat = None if int(resume_state["k_Rhat"]) < 0 else int(resume_state["k_Rhat"])
+            W_check = None if int(resume_state["W_check"]) < 0 else int(resume_state["W_check"])
+            total_opt_time = float(resume_state["total_opt_time"])
+            iterate_average = jnp.asarray(resume_state["iterate_average"])
+
         while k < n_iters:
-            steps = min(self._k_check, n_iters - k)
+            # segments stay aligned to the k_check grid (a resumed run's
+            # first segment may be shorter to realign)
+            to_boundary = self._k_check - (k % self._k_check)
+            steps = min(to_boundary, n_iters - k)
             with Timer() as opt_timer:
                 carry = (var_param, opt_state, key, ring, t)
                 carry, outs = runner(*carry, lr, steps=steps)
@@ -233,11 +260,15 @@ class FASO(Optimizer):
             if diagnostics:
                 history["grad_history"].append(outs[1])
                 history["descent_dir_history"].append(outs[2])
+            if progress_callback is not None:
+                progress_callback(k, float(jnp.mean(outs[0])))
 
             # R-hat convergence check (reference optimization.py:550-563);
             # all candidate windows are scored from ONE pass over the raw
-            # (unordered) ring — see split_rhat_ring_windows.
-            if k_conv is None:
+            # (unordered) ring — see split_rhat_ring_windows.  Checked only
+            # at k_check multiples like the reference (a final partial
+            # segment ends between checks).
+            if k_conv is None and k % self._k_check == 0:
                 W_upper = min(int(0.95 * k), R)
                 if W_upper > self._W_min:
                     windows = np.linspace(self._W_min, W_upper, num=5, dtype=int)
@@ -312,6 +343,19 @@ class FASO(Optimizer):
         results["k_stopped"] = k_stopped
         results["opt_param"] = iterate_average
         results["opt_state"] = opt_state
+        results["resume_state"] = {
+            "var_param": var_param,
+            "opt_state": opt_state,
+            "key": key,
+            "ring": ring,
+            "t": t,
+            "k": k,
+            "k_conv": -1 if k_conv is None else k_conv,
+            "k_Rhat": -1 if k_Rhat is None else k_Rhat,
+            "W_check": -1 if W_check is None else W_check,
+            "total_opt_time": total_opt_time,
+            "iterate_average": iterate_average,
+        }
         return results
 
 

@@ -21,6 +21,9 @@ from jax import lax
 
 from viabel_tpu import ExclusiveKL, FullRankGaussian, RMSProp
 from viabel_tpu.models import zoo
+from viabel_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 REFERENCE_ITERS_PER_SEC = 640.0  # BASELINE.md: quickstart tqdm rate (CPU, d=2)
 

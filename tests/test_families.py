@@ -254,3 +254,41 @@ def test_nvp_log_density_normalization():
     lw = approx.log_density(vp, xs) - ref.log_density(ref_param, xs)
     integral = float(jnp.mean(jnp.exp(lw)))
     assert abs(integral - 1.0) < 0.05
+
+
+def test_stl_fused_log_density_matches_generic():
+    """The fused custom-VJP STL paths (FullRankGaussian, MultivariateT)
+    must match the generic stop_gradient formulation in value and grad."""
+    from viabel_tpu.models import zoo
+    model, _ = zoo.diagonal_gaussian(np.zeros(5), np.ones(5))
+    for approx in [families.FullRankGaussian(5), families.MultivariateT(5, 30)]:
+        rng = np.random.RandomState(0)
+        vp = jnp.asarray(rng.randn(approx.var_param_dim))
+        key = jax.random.PRNGKey(4)
+
+        def generic(v):
+            s = approx.sample(v, 40, key)
+            return -jnp.mean(model(s)
+                             - approx.log_density(jax.lax.stop_gradient(v), s))
+
+        def fused(v):
+            s, lq = approx.sample_and_stl_log_density(v, 40, key)
+            return -jnp.mean(model(s) - lq)
+
+        v1, g1 = jax.value_and_grad(generic)(vp)
+        v2, g2 = jax.value_and_grad(fused)(vp)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_sample_and_entropy_fused_matches():
+    for approx in [families.FullRankGaussian(4), families.MultivariateT(4, 50),
+                   families.MFGaussian(4)]:
+        rng = np.random.RandomState(1)
+        vp = jnp.asarray(rng.randn(approx.var_param_dim))
+        key = jax.random.PRNGKey(9)
+        s1, e1 = approx.sample_and_entropy(vp, 11, key)
+        s2 = approx.sample(vp, 11, key)
+        e2 = approx.entropy(vp)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-12)
+        np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)

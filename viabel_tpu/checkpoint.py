@@ -14,7 +14,6 @@ last segment boundary with identical statistics (the history ring *is* the
 convergence-detection state).
 """
 
-import io
 import json
 import os
 

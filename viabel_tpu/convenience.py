@@ -9,7 +9,6 @@ JAX-traceable function; there is no Stan FFI in this framework).
 """
 
 import jax
-import jax.numpy as jnp
 
 from .families import MFGaussian
 from .faso import FASO, RAABBVI

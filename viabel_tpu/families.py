@@ -39,6 +39,7 @@ log-densities, closed-form moments, and the convention that Student-t
 entropies drop df-only constants (reference approximations.py:277, 352).
 """
 
+
 from functools import partial
 
 import numpy as np
@@ -467,6 +468,40 @@ class FullRankGaussian(_CholeskyFamily):
         return p in (2, 4)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _stl_student_t_logq(x, L_stop, log_diag_stop, w, df):
+    """Student-t log density at ``x = mu + L w`` under *stopped* params,
+    with ``w`` the whitened deviation ``L^{-1}(x - mu)`` (known from the
+    sampler).  Value: no solve; VJP: one triangular solve for
+    ``d log q / dx = -(df + d)/(df + maha) * L^{-T} w``."""
+    d = w.shape[-1]
+    maha = jnp.sum(w**2, axis=-1)
+    return (
+        gammaln(0.5 * (df + d))
+        - gammaln(0.5 * df)
+        - 0.5 * d * jnp.log(jnp.pi * df)
+        - jnp.sum(log_diag_stop)
+        - 0.5 * (df + d) * jnp.log1p(maha / df)
+    )
+
+
+def _stl_student_t_logq_fwd(x, L_stop, log_diag_stop, w, df):
+    return _stl_student_t_logq(x, L_stop, log_diag_stop, w, df), (L_stop, w)
+
+
+def _stl_student_t_logq_bwd(df, res, g):
+    L_stop, w = res
+    d = w.shape[-1]
+    maha = jnp.sum(w**2, axis=-1)
+    scale = (df + d) / (df + maha)
+    dx = -solve_triangular(L_stop.T, w.T, lower=False).T * (scale * g)[:, None]
+    return (dx, jnp.zeros_like(L_stop),
+            jnp.zeros(L_stop.shape[0], dtype=L_stop.dtype), jnp.zeros_like(w))
+
+
+_stl_student_t_logq.defvjp(_stl_student_t_logq_fwd, _stl_student_t_logq_bwd)
+
+
 class MultivariateT(_CholeskyFamily):
     """Full-rank multivariate Student-t (reference approximations.py:322-381).
 
@@ -490,13 +525,32 @@ class MultivariateT(_CholeskyFamily):
         # Sigma = 10 * I (reference approximations.py:337-340)
         return self._init_chol_param(0.5 * np.log(10.0))
 
-    def sample(self, var_param, n_samples, key):
-        mu, _, L = self.unpack(var_param)
+    def _draw(self, var_param, n_samples, key):
+        mu, log_diag, L = self.unpack(var_param)
         key_z, key_c = jax.random.split(key)
         z = jax.random.normal(key_z, (n_samples, self.dim), dtype=var_param.dtype)
         chi2 = jax.random.chisquare(key_c, self.df, (n_samples,), dtype=var_param.dtype)
         s = jnp.sqrt(chi2 / self.df)
-        return mu + (z @ L.T) / s[:, None]
+        samples = mu + (z @ L.T) / s[:, None]
+        return samples, z / s[:, None], mu, log_diag, L
+
+    def sample(self, var_param, n_samples, key):
+        return self._draw(var_param, n_samples, key)[0]
+
+    def sample_and_entropy(self, var_param, n_samples, key):
+        samples, _, _, log_diag, _ = self._draw(var_param, n_samples, key)
+        return samples, jnp.sum(log_diag)
+
+    def sample_and_stl_log_density(self, var_param, n_samples, key):
+        """Fused STL log density: the whitened deviation ``L^{-1}(x - mu)``
+        equals the scaled noise ``z / s`` by construction, so the value
+        needs no triangular solve; the VJP does exactly one (see
+        :func:`_stl_student_t_logq`)."""
+        samples, w, _, log_diag, L = self._draw(var_param, n_samples, key)
+        log_q = _stl_student_t_logq(
+            samples, lax.stop_gradient(L), lax.stop_gradient(log_diag),
+            lax.stop_gradient(w), self.df)
+        return samples, log_q
 
     def _entropy(self, var_param):
         # 0.5 log det Sigma, dropping df-only constants (reference 351-354)

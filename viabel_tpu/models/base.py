@@ -12,7 +12,7 @@ end-to-end.  For genuinely external log-densities, wrap them with
 """
 
 import jax
-import jax.numpy as jnp
+
 
 __all__ = ["Model", "TemperedModel"]
 

@@ -26,7 +26,6 @@ Estimators reproduced (same math, different mechanism):
   objectives.py:385), and device-side multinomial resampling.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ place per-device computation, and combine with XLA collectives (``pmean``
 over ICI) — no hand-written communication layer.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -77,3 +77,37 @@ def test_chol_sample_matmul_alias():
     np.testing.assert_allclose(
         np.asarray(chol_sample_matmul(theta, mu, z)),
         np.asarray(chol_sample_and_logdiag(theta, mu, z)[0]))
+
+
+class TestBlockedTriangularSolve:
+    def _make(self, d, lower, rng):
+        A = np.tril(rng.randn(d, d)) + d * np.eye(d)
+        return A if lower else A.T
+
+    @pytest.mark.parametrize("d,S,lower", [(8, 3, True), (130, 5, True),
+                                           (256, 10, False), (300, 7, True)])
+    def test_matches_solve_triangular(self, d, S, lower):
+        from jax.scipy.linalg import solve_triangular
+        from viabel_tpu.ops.trsm import blocked_solve_triangular
+        rng = np.random.RandomState(d)
+        A = jnp.asarray(self._make(d, lower, rng))
+        B = jnp.asarray(rng.randn(d, S))
+        ref = solve_triangular(A, B, lower=lower)
+        got = blocked_solve_triangular(A, B, lower)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_vjp_matches(self):
+        from jax.scipy.linalg import solve_triangular
+        from viabel_tpu.ops.trsm import blocked_solve_triangular
+        rng = np.random.RandomState(1)
+        d, S = 96, 4
+        A = jnp.asarray(self._make(d, True, rng))
+        B = jnp.asarray(rng.randn(d, S))
+        f_ref = lambda A, B: jnp.sum(jnp.sin(solve_triangular(A, B, lower=True)))
+        f_blk = lambda A, B: jnp.sum(jnp.sin(blocked_solve_triangular(A, B, True)))
+        g_ref = jax.grad(f_ref, (0, 1))(A, B)
+        g_blk = jax.grad(f_blk, (0, 1))(A, B)
+        for a, b in zip(g_ref, g_blk):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-12)

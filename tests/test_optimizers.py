@@ -155,3 +155,26 @@ def test_diagnostics_histories():
     assert results["value_history"].shape == (50,)
     assert results["variational_param_history"].shape == (50, 2)
     assert results["descent_dir_history"].shape == (50, 2)
+
+
+def test_raabbvi_fullrank_end_to_end():
+    """RAABBVI with a real full-rank family: exercises the closed-form KL
+    (SKL), the HMC weighted regression, and the termination rule together."""
+    from viabel_tpu import ExclusiveKL, FullRankGaussian
+    from viabel_tpu.models import zoo
+    model, _, info = zoo.correlated_gaussian(4, rho=0.6)
+    approx = FullRankGaussian(4)
+    obj = ExclusiveKL(approx, model, 40)
+    opt = RAABBVI(RMSProp(0.1, diagnostics=True), rho=0.5,
+                  mcse_threshold=0.05, accuracy_threshold=0.05,
+                  inefficiency_threshold=1.0, W_min=100)
+    res = opt.optimize(15000, obj, approx.init_param(),
+                       key=jax.random.PRNGKey(0))
+    mean, cov = approx.mean_and_cov(res["opt_param"])
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(info["mean"]),
+                               atol=0.08)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(info["cov"]),
+                               atol=0.15)
+    # the adaptive machinery actually ran: at least one LR decay + SKL fit
+    assert len(res.get("SKL_history", [])) >= 1
+    assert len(res.get("kappa_hist", [])) >= 1

@@ -244,16 +244,23 @@ class FASO(Optimizer):
             total_opt_time = float(resume_state["total_opt_time"])
             iterate_average = jnp.asarray(resume_state["iterate_average"])
 
+        interrupted = False
         while k < n_iters:
             # segments stay aligned to the k_check grid (a resumed run's
             # first segment may be shorter to realign)
             to_boundary = self._k_check - (k % self._k_check)
             steps = min(to_boundary, n_iters - k)
-            with Timer() as opt_timer:
-                carry = (var_param, opt_state, key, ring, t)
-                carry, outs = runner(*carry, lr, steps=steps)
-                var_param, opt_state, key, ring, t = carry
-                jax.block_until_ready(var_param)
+            try:
+                with Timer() as opt_timer:
+                    carry = (var_param, opt_state, key, ring, t)
+                    carry, outs = runner(*carry, lr, steps=steps)
+                    var_param, opt_state, key, ring, t = carry
+                    jax.block_until_ready(var_param)
+            except (KeyboardInterrupt, StopIteration):  # pragma: no cover
+                # return partial results (reference optimization.py:611-615)
+                print("Interrupted: returning partial results")
+                interrupted = True
+                break
             total_opt_time += opt_timer.interval
             k += steps
             history["value_history"].append(outs[0])
@@ -318,7 +325,7 @@ class FASO(Optimizer):
                 recheck_scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
                 W_check = int(recheck_scale * W_check + 1)
 
-        if k_stopped is None:
+        if k_stopped is None and not interrupted:
             if k_conv is None:
                 print("WARNING: stationarity not reached after maximum number "
                       "of iterations")

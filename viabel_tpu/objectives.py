@@ -402,6 +402,10 @@ class DISInclusiveKL(StochasticVariationalObjective):
         if self._objective_step % self._num_resampling_batches == 0:
             samples, w_normalized, w_sum, eps = self._refresh_state(
                 var_param, key_refresh, self._eps)
+            if not bool(jnp.isfinite(w_sum)) or float(w_sum) <= 0.0:
+                # reference objectives.py:326-329
+                raise ValueError("All weights zero! "
+                                 "Suggests overflow in importance density.")
             self._state = (samples, w_normalized, w_sum)
             self._eps = eps
         self._objective_step += 1

@@ -108,3 +108,28 @@ def test_shared_samples_between_value_and_grad():
     objective = ExclusiveKL(approx, model, 5, use_path_deriv=True)
     _, grad = objective.value_and_grad(vp_opt, jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-8)
+
+
+def test_nvpflow_as_variational_family():
+    """Flows as q: ExclusiveKL falls back to the exact log-density path
+    (no closed-form entropy) and the whole loop still scans on device."""
+    from viabel_tpu import NVPFlow, MFGaussian
+    dim = 2
+    target_mean = np.array([1.0, -0.5])
+    target_stdev = np.array([0.8, 1.4])
+    model, _ = zoo.diagonal_gaussian(target_mean, target_stdev)
+    prior = MFGaussian(dim)
+    prior_param = jnp.zeros(2 * dim)
+    mask = np.array([[0.0, 1.0], [1.0, 0.0]] * 2)
+    approx = NVPFlow([[dim, 16], [16, dim]], [[dim, 16], [16, dim]], mask,
+                     prior, prior_param, dim, mc_samples=200000)
+    objective = ExclusiveKL(approx, model, 64)
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(rng.randn(approx.var_param_dim) / 100)
+    results = RMSProp(0.005).optimize(4000, objective, init,
+                                      key=jax.random.PRNGKey(0))
+    mean, cov = approx.mean_and_cov(results["opt_param"],
+                                    key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(mean), target_mean, atol=0.15)
+    np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))),
+                               target_stdev, rtol=0.15)

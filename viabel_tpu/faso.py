@@ -636,9 +636,11 @@ class RAABBVI(FASO):
             elif d == "iterate_average_curr_hist":
                 results[d] = jnp.stack(h)
             elif h is not None:
-                results[d] = np.asarray(h, dtype=object) \
-                    if isinstance(h, list) and h and isinstance(h[0], np.ndarray) \
-                    else h
+                # scalar histories become arrays; ragged ones stay lists
+                if isinstance(h, list) and h and np.isscalar(h[0]):
+                    results[d] = np.asarray(h)
+                else:
+                    results[d] = h
         results["opt_param"] = iterate_average_curr
         results["k_stopped_final"] = k_stopped_final
         results["k_Rhat"] = history["k_Rhat"]

@@ -2,10 +2,12 @@
 
 Replaces the reference's embedded PyStan/NUTS run inside RAABBVI
 (reference ``viabel/optimization.py:677-725``: ``model.sampling(iter=1000,
-chains=4, adapt_delta=0.98)`` on a 2-3 parameter weighted regression).  This
-is a fixed-trajectory HMC with dual-averaging step-size adaptation
-(Hoffman & Gelman 2014, §3.2), vmapped over chains and scanned over
-iterations — the entire multi-chain run is one XLA program.
+chains=4, adapt_delta=0.98)`` on a 2-3 parameter weighted regression).
+Fixed-trajectory HMC with dual-averaging step-size adaptation (Hoffman &
+Gelman 2014, §3.2) and two-phase warmup with diagonal mass-matrix
+estimation (Welford statistics over the first warmup phase set the metric
+for the second, whose dual averaging restarts), vmapped over chains and
+scanned over iterations — the entire multi-chain run is one XLA program.
 
 Exact numerical parity with Stan's NUTS is neither achievable nor required
 (SURVEY.md §7): RAABBVI only consumes the posterior means of ``kappa`` and
@@ -21,63 +23,91 @@ from jax import lax
 __all__ = ["hmc_sample"]
 
 
-def _dual_averaging_init(step_size):
+def _da_init(step_size):
     return {
         "log_eps": jnp.log(step_size),
         "log_eps_bar": jnp.log(step_size),
-        "h_bar": jnp.asarray(0.0),
+        "h_bar": jnp.zeros_like(step_size),
         "mu": jnp.log(10.0 * step_size),
+        "i": jnp.asarray(0.0, step_size.dtype),
     }
 
 
-def _dual_averaging_update(state, accept_prob, i, target_accept,
-                           gamma=0.05, t0=10.0, kappa=0.75):
-    t = i.astype(jnp.result_type(float)) + 1.0
+def _da_update(state, accept_prob, target_accept,
+               gamma=0.05, t0=10.0, kappa=0.75):
+    t = state["i"] + 1.0
     eta_h = 1.0 / (t + t0)
     h_bar = (1.0 - eta_h) * state["h_bar"] + eta_h * (target_accept - accept_prob)
     log_eps = state["mu"] - jnp.sqrt(t) / gamma * h_bar
     eta = t ** (-kappa)
     log_eps_bar = eta * log_eps + (1.0 - eta) * state["log_eps_bar"]
     return {"log_eps": log_eps, "log_eps_bar": log_eps_bar,
-            "h_bar": h_bar, "mu": state["mu"]}
+            "h_bar": h_bar, "mu": state["mu"], "i": t}
 
 
 def _single_chain(log_prob, init_position, key, num_warmup, num_samples,
                   num_leapfrog, target_accept, init_step_size):
     grad_lp = jax.grad(log_prob)
     d = init_position.shape[0]
+    dtype = init_position.dtype
+    phase_switch = num_warmup // 2
 
-    def leapfrog(q, p, eps):
+    def leapfrog(q, p, eps, inv_mass):
         def body(_, qp):
             q, p = qp
             p = p + 0.5 * eps * grad_lp(q)
-            q = q + eps * p
+            q = q + eps * inv_mass * p
             p = p + 0.5 * eps * grad_lp(q)
             return q, p
 
         return lax.fori_loop(0, num_leapfrog, body, (q, p))
 
     def step(carry, i):
-        q, key, da = carry
+        q, key, da, inv_mass, wf_mean, wf_m2, wf_n = carry
         key, k_mom, k_acc = jax.random.split(key, 3)
         warming = i < num_warmup
         eps = jnp.exp(jnp.where(warming, da["log_eps"], da["log_eps_bar"]))
-        p0 = jax.random.normal(k_mom, (d,), dtype=q.dtype)
-        h0 = log_prob(q) - 0.5 * jnp.sum(p0**2)
-        q_new, p_new = leapfrog(q, p0, eps)
-        h1 = log_prob(q_new) - 0.5 * jnp.sum(p_new**2)
+        # momenta ~ N(0, M) with M = diag(1 / inv_mass)
+        p0 = jax.random.normal(k_mom, (d,), dtype) / jnp.sqrt(inv_mass)
+        h0 = log_prob(q) - 0.5 * jnp.sum(inv_mass * p0**2)
+        q_new, p_new = leapfrog(q, p0, eps, inv_mass)
+        h1 = log_prob(q_new) - 0.5 * jnp.sum(inv_mass * p_new**2)
         log_accept = jnp.minimum(0.0, h1 - h0)
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
         accept = jnp.log(jax.random.uniform(k_acc)) < log_accept
         q = jnp.where(accept, q_new, q)
-        da_new = _dual_averaging_update(da, jnp.exp(log_accept), i, target_accept)
+
+        da_new = _da_update(da, jnp.exp(log_accept), target_accept)
         da = jax.tree_util.tree_map(
             lambda new, old: jnp.where(warming, new, old), da_new, da)
-        return (q, key, da), q
 
-    da0 = _dual_averaging_init(jnp.asarray(init_step_size, init_position.dtype))
+        # Welford accumulation during the first warmup phase
+        in_phase_a = i < phase_switch
+        n1 = wf_n + jnp.where(in_phase_a, 1.0, 0.0)
+        delta = q - wf_mean
+        upd = jnp.where(in_phase_a, 1.0, 0.0)
+        wf_mean = wf_mean + upd * delta / jnp.maximum(n1, 1.0)
+        wf_m2 = wf_m2 + upd * delta * (q - wf_mean)
+        wf_n = n1
+
+        # phase switch: install the estimated metric, restart dual averaging
+        # from the current averaged step size
+        at_switch = i == phase_switch
+        var = wf_m2 / jnp.maximum(wf_n - 1.0, 1.0)
+        var = jnp.clip(var, 1e-6, 1e6)
+        inv_mass = jnp.where(at_switch & (wf_n > 10.0), var, inv_mass)
+        da_reset = _da_init(jnp.exp(da["log_eps_bar"]))
+        da = jax.tree_util.tree_map(
+            lambda r, old: jnp.where(at_switch, r, old), da_reset, da)
+
+        return (q, key, da, inv_mass, wf_mean, wf_m2, wf_n), q
+
+    init = (init_position, key,
+            _da_init(jnp.asarray(init_step_size, dtype)),
+            jnp.ones(d, dtype), jnp.zeros(d, dtype), jnp.zeros(d, dtype),
+            jnp.asarray(0.0, dtype))
     total = num_warmup + num_samples
-    (_, _, _), qs = lax.scan(step, (init_position, key, da0), jnp.arange(total))
+    _, qs = lax.scan(step, init, jnp.arange(total))
     return qs[num_warmup:]
 
 

@@ -35,8 +35,8 @@ def main():
     approx = FullRankGaussian(d)
     model, _ = zoo.logistic_regression(dim=d, n_data=512)
     objective = ExclusiveKL(approx, model, S)
-    sgo = RMSProp(0.01)
-    lr = 0.01
+    sgo = RMSProp(0.001)
+    lr = 0.001
 
     loss_vag = jax.value_and_grad(objective._loss)
 

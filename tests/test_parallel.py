@@ -107,3 +107,40 @@ def test_multistart_divisibility_check():
     with pytest.raises(ValueError):
         multistart_optimize(RMSProp(0.05), 10, obj, init,
                             jax.random.PRNGKey(0), mesh=mesh)
+
+
+def test_fsdp_fullrank_trainer():
+    """Parameter-sharded full-rank ELBO: theta row-sharded over 'fsdp',
+    MC samples over 'mc'; converges toward the target posterior."""
+    from viabel_tpu.parallel.fsdp import FSDPFullRankELBO
+    d, S = 8, 32
+    model, _, info = zoo.correlated_gaussian(d, rho=0.5)
+    mesh = make_mesh((2, 4), ("fsdp", "mc"))
+    trainer = FSDPFullRankELBO(d, model, S, mesh, mc_axis="mc",
+                               learning_rate=0.05)
+    params = trainer.init_params()
+    opt_state = trainer.init_opt_state(params)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(1500):
+        key, sub = jax.random.split(key)
+        params, opt_state, v = trainer.step(params, opt_state, sub)
+        if first is None:
+            first = float(v)
+    theta = np.asarray(params[1])
+    L = np.tril(theta, -1) + np.diag(np.exp(np.diag(theta)))
+    np.testing.assert_allclose(np.asarray(params[0]),
+                               np.asarray(info["mean"]), atol=0.2)
+    np.testing.assert_allclose(L @ L.T, np.asarray(info["cov"]), atol=0.5)
+    # sharding preserved across steps
+    assert "fsdp" in str(params[1].sharding)
+
+
+def test_fsdp_divisibility_checks():
+    from viabel_tpu.parallel.fsdp import FSDPFullRankELBO
+    model, _, _ = zoo.correlated_gaussian(6)
+    mesh = make_mesh((4, 2), ("fsdp", "mc"))
+    with pytest.raises(ValueError):
+        FSDPFullRankELBO(6, model, 8, mesh, mc_axis="mc")  # 6 % 4 != 0
+    with pytest.raises(ValueError):
+        FSDPFullRankELBO(8, model, 7, mesh, mc_axis="mc")  # 7 % 2 != 0

@@ -136,6 +136,18 @@ class FASO(Optimizer):
             raise ValueError('"ESS_min" must be greater than zero')
 
     # -- device segment runners -------------------------------------------------
+    def _segment_runner(self, objective, diagnostics):
+        """Memoized per (objective, diagnostics): RAABBVI calls optimize()
+        once per learning-rate round, and rebuilding the closure would
+        retrace (and re-look-up) the compiled segment every round."""
+        cache = getattr(self, "_runner_cache", None)
+        if cache is None:
+            cache = self._runner_cache = {}
+        key = (id(objective), diagnostics)
+        if key not in cache:
+            cache[key] = self._build_segment_runner(objective, diagnostics)
+        return cache[key]
+
     def _build_segment_runner(self, objective, diagnostics):
         sgo = self._sgo
 
@@ -213,7 +225,7 @@ class FASO(Optimizer):
 
         scannable = getattr(objective, "scannable", True)
         if scannable:
-            runner = self._build_segment_runner(objective, diagnostics)
+            runner = self._segment_runner(objective, diagnostics)
         else:
             runner = partial(self._run_segment_host, objective, diagnostics)
 
@@ -366,6 +378,38 @@ class FASO(Optimizer):
         return results
 
 
+def _wlr_logprob_general(theta, data):
+    """Posterior of stan_models/weighted_lin_regression.stan (kappa free):
+    ``y ~ N(log_c + 2 log(rho^{-kappa} - 1) + 2 kappa x, sigma)`` with
+    per-observation weights; kappa ~ U(0,1) (logit transform), log_c ~
+    Cauchy(0,10), sigma ~ HalfCauchy(0,10)."""
+    y, x, w, rho = data
+    kappa_logit, log_c, log_sigma = theta
+    kappa = jax.nn.sigmoid(kappa_logit)
+    sigma = jnp.exp(log_sigma)
+    mu = log_c + 2.0 * jnp.log(rho ** (-kappa) - 1.0) + 2.0 * kappa * x
+    loglik = jnp.sum(w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
+    lp = jnp.log(kappa) + jnp.log1p(-kappa)            # U(0,1) + jacobian
+    lp += -jnp.log1p((log_c / 10.0) ** 2)              # Cauchy(0,10)
+    lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma  # HalfCauchy + jacobian
+    return loglik + lp
+
+
+def _wlr_logprob_averaged(theta, data):
+    """kappa == 1 variant (stan_models/weighted_lin_regression_sgd.stan)."""
+    y, x, w, rho = data
+    log_c, log_sigma = theta
+    sigma = jnp.exp(log_sigma)
+    mu = log_c + 2.0 * jnp.log(1.0 / rho - 1.0) + 2.0 * x
+    loglik = jnp.sum(w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
+    lp = -jnp.log1p((log_c / 10.0) ** 2)
+    lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma
+    return loglik + lp
+
+
+_WLR_PAD = 32  # rounds are padded (weight 0) so one HMC compilation serves all
+
+
 class RAABBVI(FASO):
     """Robust, automated, and accurate BBVI (reference optimization.py:635-931).
 
@@ -407,50 +451,35 @@ class RAABBVI(FASO):
         """
         if key is None:
             key = jax.random.PRNGKey(0)
-        y = jnp.asarray(y, dtype=jnp.result_type(float))
-        x = jnp.asarray(x, dtype=y.dtype)
+        y = np.asarray(y, dtype=float)
+        x = np.asarray(x, dtype=float)
         N = y.shape[0]
-        w = jnp.asarray(
-            1.0 / (1.0 + np.arange(N)[::-1] ** 2 / s) ** a, dtype=y.dtype)
-        rho = self._rho
+        w = 1.0 / (1.0 + np.arange(N)[::-1] ** 2 / s) ** a
         averaged = self._averaged_sgo()
 
+        # pad to a fixed shape with zero-weight rows so every round reuses
+        # one HMC compilation (log_prob identity + shapes stay constant)
+        pad = -N % _WLR_PAD
+        y_p = jnp.asarray(np.pad(y, (0, pad)))
+        x_p = jnp.asarray(np.pad(x, (0, pad)))
+        w_p = jnp.asarray(np.pad(w, (0, pad)))
+        data = (y_p, x_p, w_p, jnp.asarray(self._rho, y_p.dtype))
+
         if averaged:
-            # kappa fixed at 1 (weighted_lin_regression_sgd.stan)
-            def log_prob(theta):
-                log_c, log_sigma = theta
-                sigma = jnp.exp(log_sigma)
-                mu = log_c + 2.0 * jnp.log(1.0 / rho - 1.0) + 2.0 * x
-                loglik = jnp.sum(
-                    w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
-                lp = -jnp.log1p((log_c / 10.0) ** 2)       # Cauchy(0,10)
-                lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma  # HalfCauchy
-                return loglik + lp
-
-            init = jnp.tile(jnp.asarray([float(jnp.mean(y)), 0.0]), (n_chains, 1))
+            log_prob = _wlr_logprob_averaged
+            init = jnp.tile(jnp.asarray([float(np.mean(y)), 0.0]),
+                            (n_chains, 1))
         else:
-            def log_prob(theta):
-                kappa_logit, log_c, log_sigma = theta
-                kappa = jax.nn.sigmoid(kappa_logit)
-                sigma = jnp.exp(log_sigma)
-                mu = (log_c + 2.0 * jnp.log(rho ** (-kappa) - 1.0)
-                      + 2.0 * kappa * x)
-                loglik = jnp.sum(
-                    w * (-0.5 * ((y - mu) / sigma) ** 2 - log_sigma))
-                # uniform(0,1) prior on kappa + logit jacobian
-                lp = jnp.log(kappa) + jnp.log1p(-kappa)
-                lp += -jnp.log1p((log_c / 10.0) ** 2)
-                lp += -jnp.log1p((sigma / 10.0) ** 2) + log_sigma
-                return loglik + lp
-
+            log_prob = _wlr_logprob_general
             kappa0 = 0.8
-            log_c0 = float(jnp.mean(y)) - 2.0 * math.log(rho ** (-kappa0) - 1.0) \
-                - 2.0 * kappa0 * float(jnp.mean(x))
+            log_c0 = float(np.mean(y)) \
+                - 2.0 * math.log(self._rho ** (-kappa0) - 1.0) \
+                - 2.0 * kappa0 * float(np.mean(x))
             init = jnp.tile(
                 jnp.asarray([math.log(kappa0 / (1 - kappa0)), log_c0, 0.0]),
                 (n_chains, 1))
 
-        samples = hmc_sample(log_prob, init, key)  # (chains, draws, d)
+        samples = hmc_sample(log_prob, init, key, data=data)  # (chains, draws, d)
         flat = samples.reshape(-1, samples.shape[-1])
         if averaged:
             fit = {"log_c": flat[:, 0], "sigma": jnp.exp(flat[:, 1])}

@@ -113,24 +113,32 @@ def _single_chain(log_prob, init_position, key, num_warmup, num_samples,
 
 @partial(jax.jit, static_argnames=("log_prob", "num_warmup", "num_samples",
                                    "num_leapfrog"))
-def hmc_sample(log_prob, init_positions, key, num_warmup=500, num_samples=500,
-               num_leapfrog=24, target_accept=0.85, init_step_size=0.1):
+def hmc_sample(log_prob, init_positions, key, data=None, num_warmup=500,
+               num_samples=500, num_leapfrog=24, target_accept=0.85,
+               init_step_size=0.1):
     """Run multi-chain HMC.
 
     Parameters
     ----------
     log_prob : callable
-        ``(d,) -> scalar`` unnormalized log density (static / hashable).
+        ``(d,) -> scalar`` unnormalized log density (static / hashable), or
+        ``(d,), data -> scalar`` when ``data`` is given.
     init_positions : array, shape (n_chains, d)
     key : PRNG key
+    data : pytree, optional
+        Traced auxiliary data passed through to ``log_prob``.  Use a
+        module-level ``log_prob`` plus ``data`` (fixed shapes) to reuse one
+        compilation across calls — a fresh closure per call retraces and
+        recompiles every time.
 
     Returns
     -------
     samples : array, shape (n_chains, num_samples, d)
     """
+    lp = log_prob if data is None else (lambda q: log_prob(q, data))
     n_chains = init_positions.shape[0]
     keys = jax.random.split(key, n_chains)
-    run = partial(_single_chain, log_prob,
+    run = partial(_single_chain, lp,
                   num_warmup=num_warmup, num_samples=num_samples,
                   num_leapfrog=num_leapfrog, target_accept=target_accept,
                   init_step_size=init_step_size)

@@ -81,3 +81,26 @@ def test_vi_diagnostics_arg_validation():
     with pytest.raises(ValueError):
         convenience.vi_diagnostics(np.zeros(4), objective=object(),
                                    model=object())
+
+
+def test_vi_diagnostics_with_flow_family():
+    """Diagnostics work for families without closed-form moments (flows):
+    the moment bound falls back to samples."""
+    import jax.numpy as jnp
+    from viabel_tpu import ExclusiveKL, MFGaussian, NVPFlow, RMSProp
+    import numpy as np
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    prior = MFGaussian(dim)
+    mask = np.array([[0.0, 1.0], [1.0, 0.0]] * 2)
+    approx = NVPFlow([[dim, 8], [8, dim]], [[dim, 8], [8, dim]], mask,
+                     prior, jnp.zeros(2 * dim), dim)
+    obj = ExclusiveKL(approx, model, 64)
+    rng = np.random.RandomState(0)
+    res = RMSProp(0.005).optimize(2500, obj,
+                                  jnp.asarray(rng.randn(approx.var_param_dim) / 100),
+                                  key=jax.random.PRNGKey(0))
+    diag = convenience.vi_diagnostics(res["opt_param"], objective=obj,
+                                      n_samples=20000)
+    assert float(diag["khat"]) < 0.7
+    assert "d2" in diag

@@ -133,3 +133,23 @@ def test_nvpflow_as_variational_family():
     np.testing.assert_allclose(np.asarray(mean), target_mean, atol=0.15)
     np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))),
                                target_stdev, rtol=0.15)
+
+
+def test_objective_setters_rebuild():
+    """Approx/model setters rebuild the compiled closure
+    (reference objectives.py:66-79)."""
+    m1, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    m2, _ = zoo.diagonal_gaussian(np.ones(2), np.ones(2))
+    approx = MFGaussian(2)
+    obj = ExclusiveKL(approx, m1, 1000)
+    vp = jnp.zeros(4)
+    v1, _ = obj.value_and_grad(vp, jax.random.PRNGKey(0))
+    obj.model = m2
+    v2, _ = obj.value_and_grad(vp, jax.random.PRNGKey(0))
+    assert abs(float(v2) - float(v1) - 1.0) < 0.1  # mean shift adds d/2 * 1
+    obj.num_mc_samples = 500
+    v3, _ = obj.value_and_grad(vp, jax.random.PRNGKey(0))
+    assert np.isfinite(float(v3))
+    obj.approx = MFGaussian(2)
+    v4, _ = obj.value_and_grad(vp, jax.random.PRNGKey(0))
+    assert np.isfinite(float(v4))

@@ -114,10 +114,16 @@ class FASO(Optimizer):
         (default ``W_min``).
     max_history : int or None
         History-ring rows; ``None`` sizes it to ``n_iters``.
+    rhat_threshold : float
+        Split-R-hat convergence threshold (the reference hardcodes 1.1,
+        _mc_diagnostics.py:163).  The criterion takes the max over all flat
+        coordinates, which becomes very strict at large var_param_dim
+        (1e6 coordinates at the d=1000 full-rank flagship) — relax it
+        there.
     """
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
-                 k_check=None, max_history=None):
+                 k_check=None, max_history=None, rhat_threshold=1.1):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -126,6 +132,7 @@ class FASO(Optimizer):
         self._ESS_min = W_min // 8 if ESS_min is None else ESS_min
         self._k_check = int(W_min if k_check is None else k_check)
         self._max_history = max_history
+        self._rhat_threshold = float(rhat_threshold)
         if mcse_threshold <= 0:
             raise ValueError('"mcse_threshold" must be greater than zero')
         if W_min <= 0:
@@ -299,12 +306,12 @@ class FASO(Optimizer):
                     # diagnostics until R-hat succeeds — skip the O(R*D)
                     # reduction otherwise (reference computes it every check,
                     # optimization.py:556)
-                    if diagnostics or r_hats[best] <= 1.1:
+                    if diagnostics or r_hats[best] <= self._rhat_threshold:
                         iterate_average = _ring_mean(ring, t, jnp.asarray(best_W))
                     if diagnostics:
                         history["iterate_average_k_history"].append(k)
                         history["iterate_average_history"].append(iterate_average)
-                    if r_hats[best] <= 1.1:
+                    if r_hats[best] <= self._rhat_threshold:
                         k_Rhat = k
                         k_conv = k - best_W
                         W_check = best_W  # immediately check MCSE

@@ -36,7 +36,7 @@ def main():
 
     # -- single-chip fused loop ------------------------------------------------
     objective = ExclusiveKL(approx, model, 10)
-    opt = RMSProp(0.01)
+    opt = RMSProp(0.001)
     t0 = time.perf_counter()
     results = opt.optimize(2000, objective, approx.init_param().astype(jnp.float32),
                            key=jax.random.PRNGKey(0))

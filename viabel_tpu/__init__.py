@@ -50,6 +50,7 @@ from .diagnostics import (
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
 from .convenience import bbvi, vi_diagnostics
+from . import checkpoint, hmc, ops, parallel
 
 __version__ = "0.1.0"
 

@@ -111,3 +111,41 @@ class TestBlockedTriangularSolve:
         for a, b in zip(g_ref, g_blk):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-12)
+
+
+def test_ring_window_sums_matches_jnp():
+    from viabel_tpu.ops.ringstats import ring_window_sums
+    rng = np.random.RandomState(5)
+    B, R, D = 9, 64, 1000  # D not a tile multiple
+    ind = jnp.asarray((rng.rand(B, R) > 0.5).astype(np.float64))
+    ring = jnp.asarray(rng.randn(R, D) + 10.0)
+    center = jnp.asarray(ring[-1])
+    S, Q = ring_window_sums(ind, ring, center)
+    ringc = np.asarray(ring) - np.asarray(center)
+    np.testing.assert_allclose(np.asarray(S), np.asarray(ind) @ ringc,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Q), np.asarray(ind) @ (ringc**2),
+                               rtol=1e-10)
+
+
+def test_split_rhat_pallas_path_matches_jnp_path():
+    """Force-enable the Pallas ring-stats path (interpret mode on CPU) and
+    compare against the jnp path."""
+    from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
+    from viabel_tpu.ops.chol import set_pallas_enabled
+    rng = np.random.RandomState(6)
+    R, d, t = 128, 7, 200
+    ring = np.zeros((R, d))
+    full = rng.randn(t, d) + 5.0
+    for s in range(t):
+        ring[s % R] = full[s]
+    windows = jnp.asarray(np.array([40, 100]))
+    base = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
+                                              jnp.asarray(t), windows))
+    try:
+        set_pallas_enabled(True)
+        forced = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
+                                                    jnp.asarray(t), windows))
+    finally:
+        set_pallas_enabled(None)
+    np.testing.assert_allclose(forced, base, rtol=1e-9)

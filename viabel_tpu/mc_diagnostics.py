@@ -313,9 +313,16 @@ def split_rhat_ring_windows(ring, t, windows, jitter=1e-8):
     # and an uncentered one-pass sum-of-squares would cancel catastrophically
     # in float32.  Variances are shift-invariant and B uses mean differences.
     center = ring[(t - 1) % R]
-    ringc = ring - center
-    S = ind @ ringc                              # (3K, D) partial sums
-    Q = ind @ (ringc * ringc)                    # (3K, D) partial sq-sums
+    from .ops.chol import pallas_enabled
+    if pallas_enabled():
+        # one streaming read of the ring (the jnp path materializes the
+        # centered ring and its square: ~4 passes)
+        from .ops.ringstats import ring_window_sums
+        S, Q = ring_window_sums(ind, ring, center)
+    else:
+        ringc = ring - center
+        S = ind @ ringc                          # (3K, D) partial sums
+        Q = ind @ (ringc * ringc)                # (3K, D) partial sq-sums
 
     h_f = h.astype(dtype)[:, None]
     sum1, sq1 = S[:K] - S[K:2 * K], Q[:K] - Q[K:2 * K]

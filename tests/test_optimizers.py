@@ -178,3 +178,24 @@ def test_raabbvi_fullrank_end_to_end():
     # the adaptive machinery actually ran: at least one LR decay + SKL fit
     assert len(res.get("SKL_history", [])) >= 1
     assert len(res.get("kappa_hist", [])) >= 1
+
+
+def test_faso_with_host_loop_objective():
+    """DISInclusiveKL is not scannable; FASO must drive it through the
+    host-loop segment runner and still detect convergence."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 100, ess_target=50,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.array([0.0] * dim + [0.0] * dim))
+    opt = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.1)
+    res = opt.optimize(1200, obj, approx.init_param(),
+                       key=jax.random.PRNGKey(0))
+    assert len(np.asarray(res["value_history"])) <= 1200
+    mean, cov = approx.mean_and_cov(res["opt_param"])
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.15)
+    np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))), 1.0,
+                               atol=0.25)

@@ -180,6 +180,68 @@ def test_raabbvi_fullrank_end_to_end():
     assert len(res.get("kappa_hist", [])) >= 1
 
 
+def test_faso_opt_param_when_rhat_never_passes():
+    """If the R-hat gate never opens, opt_param must still be the best-window
+    iterate average (reference optimization.py:556, 632) — not init_param —
+    and must not depend on the diagnostics flag."""
+    true_value = np.arange(2, dtype=float)
+    init = jnp.asarray(true_value + 1.0)
+    results = {}
+    for diagnostics in (False, True):
+        objective = DummyObjective(true_value, noise=0.2)
+        opt = FASO(RMSProp(0.01, diagnostics=diagnostics), W_min=100,
+                   rhat_threshold=0.0)  # unattainable: gate never opens
+        results[diagnostics] = opt.optimize(600, objective, init,
+                                            key=jax.random.PRNGKey(7))
+        assert results[diagnostics]["k_conv"] is None
+    for res in results.values():
+        assert not np.allclose(np.asarray(res["opt_param"]), np.asarray(init))
+    np.testing.assert_allclose(np.asarray(results[False]["opt_param"]),
+                               np.asarray(results[True]["opt_param"]),
+                               rtol=1e-12)
+
+
+def test_raabbvi_is_reusable(monkeypatch):
+    """Two consecutive optimize() calls on one RAABBVI object behave
+    identically — rounds carry their own lr/threshold instead of mutating
+    shared state (the reference's optimizers are single-use,
+    optimization.py:863-864).  The wall-clock-driven MCSE recheck schedule
+    is made deterministic by stubbing the Timer (compile time in the first
+    call would otherwise legitimately shift the recheck points)."""
+
+    class FixedTimer:
+        interval = 1.0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    import viabel_tpu.faso as faso_mod
+    monkeypatch.setattr(faso_mod, "Timer", FixedTimer)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    opt = RAABBVI(AveragedRMSProp(0.01, diagnostics=True), rho=0.5,
+                  mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01)
+    init = jnp.asarray(true_value + 0.5)
+    res1 = opt.optimize(20000, objective, init, key=jax.random.PRNGKey(3))
+    res2 = opt.optimize(20000, objective, init, key=jax.random.PRNGKey(3))
+    # multiple LR rounds actually ran, and the shared objects kept their
+    # constructor values
+    assert len(res1["learning_rate_hist"]) >= 2
+    assert opt._sgo._learning_rate == 0.01
+    assert opt._mcse_threshold == 0.01
+    np.testing.assert_allclose(np.asarray(res1["opt_param"]),
+                               np.asarray(res2["opt_param"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res1["learning_rate_hist"]),
+                               np.asarray(res2["learning_rate_hist"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res1["SKL_history"]),
+                               np.asarray(res2["SKL_history"]), rtol=1e-12)
+
+
 def test_faso_with_host_loop_objective():
     """DISInclusiveKL is not scannable; FASO must drive it through the
     host-loop segment runner and still detect convergence."""

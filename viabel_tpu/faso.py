@@ -201,7 +201,8 @@ class FASO(Optimizer):
 
     def optimize(self, n_iters, objective, init_param, key=None,
                  init_opt_state=None, resume_state=None,
-                 progress_callback=None):
+                 progress_callback=None, learning_rate=None,
+                 mcse_threshold=None):
         """Run FASO.
 
         ``resume_state``: the ``results["resume_state"]`` pytree of a prior
@@ -211,10 +212,18 @@ class FASO(Optimizer):
         :mod:`viabel_tpu.checkpoint`.  ``progress_callback(k, avg_loss)``
         is invoked at each segment boundary (the host-side counterpart of
         the reference's tqdm descriptions, optimization.py:606-610).
+
+        ``learning_rate`` / ``mcse_threshold`` override the constructor
+        values for this run only — RAABBVI threads its per-round decayed
+        values through these instead of mutating shared optimizer state
+        (the reference mutates ``self`` at optimization.py:863-864, making
+        its optimizer objects single-use; see SURVEY.md §7 hard-part 6).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
         n_iters = int(n_iters)
+        mcse_threshold = (self._mcse_threshold if mcse_threshold is None
+                          else float(mcse_threshold))
         diagnostics = self._sgo._diagnostics
         mf_dim = (objective.approx.dim
                   if isinstance(getattr(objective, "approx", None), MFGaussian)
@@ -228,7 +237,8 @@ class FASO(Optimizer):
         opt_state = (self._sgo.init_state(var_param)
                      if init_opt_state is None else init_opt_state)
         t = jnp.asarray(0)
-        lr = jnp.asarray(self._sgo._learning_rate, dtype=var_param.dtype)
+        lr = jnp.asarray(self._sgo._learning_rate if learning_rate is None
+                         else learning_rate, dtype=var_param.dtype)
 
         scannable = getattr(objective, "scannable", True)
         if scannable:
@@ -247,6 +257,7 @@ class FASO(Optimizer):
         k_Rhat = None   # iteration when the R-hat criterion was met
         k_stopped = None
         W_check = None
+        last_best_W = None  # best R-hat window at the most recent check
         total_opt_time = 0.0
         eff = mcse = None
 
@@ -302,10 +313,12 @@ class FASO(Optimizer):
                         _rhat_ring(ring, t, jnp.asarray(windows)))
                     best = int(np.argmin(r_hats))
                     best_W = int(windows[best])
-                    # the best-window iterate average is only observable via
-                    # diagnostics until R-hat succeeds — skip the O(R*D)
-                    # reduction otherwise (reference computes it every check,
-                    # optimization.py:556)
+                    last_best_W = best_W
+                    # until R-hat succeeds the best-window iterate average is
+                    # only needed for diagnostics histories — without them the
+                    # O(R*D) reduction is deferred to loop exit (reference
+                    # computes it every check, optimization.py:556; the final
+                    # value is the same)
                     if diagnostics or r_hats[best] <= self._rhat_threshold:
                         iterate_average = _ring_mean(ring, t, jnp.asarray(best_W))
                     if diagnostics:
@@ -333,7 +346,7 @@ class FASO(Optimizer):
                     history["ess_and_mcse_k_history"].append(k)
                     history["ess_history"].append(eff)
                     history["mcse_history"].append(mcse)
-                if (np.max(mcse) < self._mcse_threshold
+                if (np.max(mcse) < mcse_threshold
                         and np.min(eff) > self._ESS_min):
                     k_stopped = k
                     break
@@ -344,12 +357,19 @@ class FASO(Optimizer):
                 recheck_scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
                 W_check = int(recheck_scale * W_check + 1)
 
+        if k_conv is None and last_best_W is not None and not diagnostics:
+            # R-hat never passed and diagnostics histories were off, so the
+            # per-check iterate-average update was deferred — compute the
+            # best-window average once now so opt_param matches the reference
+            # (optimization.py:556, 632) instead of handing back init_param.
+            iterate_average = _ring_mean(ring, t, jnp.asarray(last_best_W))
+
         if k_stopped is None and not interrupted:
             if k_conv is None:
                 print("WARNING: stationarity not reached after maximum number "
                       "of iterations")
-                print("WARNING: try incresing the learning rate or the maximum "
-                      "number of iterations")
+                print("WARNING: consider raising the learning rate or the "
+                      "maximum number of iterations")
             else:
                 print("WARNING: stationarity reached but MCSE too large and/or "
                       "ESS too small")
@@ -532,6 +552,12 @@ class RAABBVI(FASO):
         sgo = self._sgo
         diagnostics = sgo._diagnostics
         averaged = self._averaged_sgo()
+        # explicit per-round state: the reference decays by mutating the SGO
+        # and itself (optimization.py:863-864), making its optimizer objects
+        # single-use; here rounds carry their own lr / threshold so repeated
+        # optimize() calls on one RAABBVI behave identically.
+        lr_round = sgo._learning_rate
+        mcse_round = self._mcse_threshold
         iterate_average_curr = jnp.asarray(init_param)
         opt_state = None
         history = defaultdict(list)
@@ -548,14 +574,16 @@ class RAABBVI(FASO):
             key, key_round, key_reg = jax.random.split(key, 3)
             if k == 0 and self._init_rmsprop:
                 # warm-start round with plain RMSProp (reference 815-818)
-                rmsprop = RMSProp(learning_rate=sgo._learning_rate,
+                rmsprop = RMSProp(learning_rate=lr_round,
                                   diagnostics=diagnostics)
                 faso = FASO(sgo=rmsprop, max_history=self._max_history)
                 opt = faso.optimize(K_max, objective, iterate_average_curr,
                                     key=key_round)
             else:
                 opt = super().optimize(K_max, objective, iterate_average_curr,
-                                       key=key_round, init_opt_state=opt_state)
+                                       key=key_round, init_opt_state=opt_state,
+                                       learning_rate=lr_round,
+                                       mcse_threshold=mcse_round)
                 if not averaged:
                     # persist non-averaged SGO state across rounds
                     # (the reference only resets averaged SGOs, 865-866)
@@ -601,8 +629,8 @@ class RAABBVI(FASO):
 
             # learning-rate decay and threshold tightening (reference 862-866)
             k_total += k_new
-            sgo._learning_rate *= self._rho
-            self._mcse_threshold *= self._rho
+            lr_round *= self._rho
+            mcse_round *= self._rho
 
             if len(history["learning_rate_hist"]) > 0:
                 SKL = float(
@@ -651,7 +679,7 @@ class RAABBVI(FASO):
                             history["k_stopped_final_hist"].append(k_total)
                             break
 
-            history["learning_rate_hist"].append(sgo._learning_rate)
+            history["learning_rate_hist"].append(lr_round)
             k += 1
 
         if stopped:

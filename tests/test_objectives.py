@@ -63,7 +63,18 @@ def test_ExclusiveKL_control_variates_path_deriv(method):
 def test_invalid_hessian_approx_method():
     with pytest.raises(ValueError) as exception_info:
         _test_objective(ExclusiveKL, 100, hessian_approx_method="invalid method")
-    assert "Name of approximation" in str(exception_info.value)
+    assert "hessian_approx_method" in str(exception_info.value)
+
+
+def test_control_variates_require_mean_field():
+    """The Miller CV estimators assume the [mu, log_sigma] layout; a
+    full-rank family must be rejected up front rather than silently
+    building a d x d covariance per step."""
+    from viabel_tpu import FullRankGaussian
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    with pytest.raises(ValueError, match="mean-field"):
+        ExclusiveKL(FullRankGaussian(2), model, 10,
+                    hessian_approx_method="full")
 
 
 def test_DISInclusiveKL():

@@ -242,9 +242,10 @@ def test_raabbvi_is_reusable(monkeypatch):
                                np.asarray(res2["SKL_history"]), rtol=1e-12)
 
 
-def test_faso_with_host_loop_objective():
-    """DISInclusiveKL is not scannable; FASO must drive it through the
-    host-loop segment runner and still detect convergence."""
+def test_faso_with_stateful_objective():
+    """DISInclusiveKL carries its estimator state through the scan carry;
+    FASO must drive it fused in the jitted segment runner and still detect
+    convergence."""
     from viabel_tpu import DISInclusiveKL, MFGaussian
     from viabel_tpu.models import zoo
     dim = 2
@@ -253,6 +254,7 @@ def test_faso_with_host_loop_objective():
     obj = DISInclusiveKL(approx, model, 100, ess_target=50,
                          temper_prior=MFGaussian(dim),
                          temper_prior_params=np.array([0.0] * dim + [0.0] * dim))
+    assert obj.scannable
     opt = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.1)
     res = opt.optimize(1200, obj, approx.init_param(),
                        key=jax.random.PRNGKey(0))
@@ -261,3 +263,26 @@ def test_faso_with_host_loop_objective():
     np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.15)
     np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))), 1.0,
                                atol=0.25)
+    # the carried estimator state round-trips through resume_state
+    assert "obj_state" in res["resume_state"]
+    assert int(res["resume_state"]["obj_state"]["step"]) == \
+        len(np.asarray(res["value_history"]))
+
+
+def test_faso_with_host_loop_objective():
+    """User objectives that declare scannable=False still run through the
+    host-loop segment runner, with identical results to the fused path."""
+    true_value = np.arange(2, dtype=float)
+
+    class HostLoopObjective(DummyObjective):
+        scannable = False
+
+    init = jnp.asarray(true_value + 0.3)
+    res = {}
+    for cls in (DummyObjective, HostLoopObjective):
+        opt = FASO(RMSProp(0.01), W_min=100, mcse_threshold=0.01)
+        res[cls.__name__] = opt.optimize(
+            600, cls(true_value, noise=0.1), init, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(res["DummyObjective"]["opt_param"]),
+        np.asarray(res["HostLoopObjective"]["opt_param"]), rtol=1e-6)

@@ -201,6 +201,12 @@ class _MeanFieldLocScale(ApproximationFamily):
         # mu = 0, log_sigma = 2 (reference approximations.py:207-210)
         return jnp.concatenate([jnp.zeros(self.dim), 2.0 * jnp.ones(self.dim)])
 
+    # Subclasses define mean_and_stdevs(var_param) -> (mean, stdevs), the
+    # O(d) capability hook for estimators that only need marginal scales
+    # (ExclusiveKL's Miller et al. control-variate path).  The reference
+    # extracts them as sqrt(diag(mean_and_cov()[1])) (objectives.py:172-173),
+    # materializing a d x d matrix per step.
+
 
 class MFGaussian(_MeanFieldLocScale):
     """Mean-field Gaussian family (reference approximations.py:192-251)."""
@@ -236,6 +242,10 @@ class MFGaussian(_MeanFieldLocScale):
     def mean_and_cov(self, var_param):
         mu, log_sigma = self.unpack(var_param)
         return mu, jnp.diag(jnp.exp(2.0 * log_sigma))
+
+    def mean_and_stdevs(self, var_param):
+        mu, log_sigma = self.unpack(var_param)
+        return mu, jnp.exp(log_sigma)
 
     def _pth_moment(self, var_param, p):
         _, log_sigma = self.unpack(var_param)
@@ -292,6 +302,10 @@ class MFStudentT(_MeanFieldLocScale):
         mu, log_sigma = self.unpack(var_param)
         c = self.df / (self.df - 2.0)
         return mu, c * jnp.diag(jnp.exp(2.0 * log_sigma))
+
+    def mean_and_stdevs(self, var_param):
+        mu, log_sigma = self.unpack(var_param)
+        return mu, jnp.sqrt(self.df / (self.df - 2.0)) * jnp.exp(log_sigma)
 
     def _pth_moment(self, var_param, p):
         df = self.df

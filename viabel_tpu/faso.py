@@ -49,6 +49,9 @@ from .optimizers import (
     Optimizer,
     RMSProp,
     StochasticGradientOptimizer,
+    _obj_check_state,
+    _obj_init_state,
+    _obj_step_fn,
 )
 from .utils import Timer
 
@@ -157,35 +160,39 @@ class FASO(Optimizer):
 
     def _build_segment_runner(self, objective, diagnostics):
         sgo = self._sgo
+        obj_step = _obj_step_fn(objective)
 
-        def seg(vp, opt_state, key, ring, t, lr, steps):
+        def seg(vp, opt_state, obj_state, key, ring, t, lr, steps):
             R = ring.shape[0]
 
             def body(carry, _):
-                vp, st, key, ring, t = carry
+                vp, st, ost, key, ring, t = carry
                 key, sub = jax.random.split(key)
-                value, grad = objective.value_and_grad(vp, sub)
+                value, grad, ost = obj_step(vp, sub, ost)
                 direction, st = sgo.descent_direction(grad, st)
                 vp = objective.update(vp, lr * direction)
                 ring = lax.dynamic_update_index_in_dim(ring, vp, t % R, 0)
                 outs = (value, grad, direction) if diagnostics else (value,)
-                return (vp, st, key, ring, t + 1), outs
+                return (vp, st, ost, key, ring, t + 1), outs
 
-            return lax.scan(body, (vp, opt_state, key, ring, t), None, length=steps)
+            return lax.scan(body, (vp, opt_state, obj_state, key, ring, t),
+                            None, length=steps)
 
-        return jax.jit(seg, static_argnames=("steps",), donate_argnums=(3,))
+        return jax.jit(seg, static_argnames=("steps",), donate_argnums=(4,))
 
-    def _run_segment_host(self, objective, diagnostics, vp, opt_state, key,
-                          ring, t, lr, steps):
-        """Host-loop fallback for non-scannable objectives (DISInclusiveKL)."""
+    def _run_segment_host(self, objective, diagnostics, vp, opt_state,
+                          obj_state, key, ring, t, lr, steps):
+        """Host-loop fallback for user objectives that declare
+        ``scannable = False``."""
         sgo = self._sgo
+        obj_step = _obj_step_fn(objective)
         R = ring.shape[0]
         write = jax.jit(
             lambda ring, vp, i: lax.dynamic_update_index_in_dim(ring, vp, i, 0))
         values, grads, dirs = [], [], []
         for _ in range(steps):
             key, sub = jax.random.split(key)
-            value, grad = objective.value_and_grad(vp, sub)
+            value, grad, obj_state = obj_step(vp, sub, obj_state)
             direction, opt_state = sgo.descent_direction(grad, opt_state)
             vp = objective.update(vp, lr * direction)
             ring = write(ring, vp, int(t) % R)
@@ -197,7 +204,7 @@ class FASO(Optimizer):
         outs = (jnp.asarray(values),)
         if diagnostics:
             outs = (jnp.asarray(values), jnp.stack(grads), jnp.stack(dirs))
-        return (vp, opt_state, key, ring, t), outs
+        return (vp, opt_state, obj_state, key, ring, t), outs
 
     def optimize(self, n_iters, objective, init_param, key=None,
                  init_opt_state=None, resume_state=None,
@@ -236,6 +243,7 @@ class FASO(Optimizer):
         ring = jnp.zeros((R, D), dtype=var_param.dtype)
         opt_state = (self._sgo.init_state(var_param)
                      if init_opt_state is None else init_opt_state)
+        obj_state = _obj_init_state(objective, var_param)
         t = jnp.asarray(0)
         lr = jnp.asarray(self._sgo._learning_rate if learning_rate is None
                          else learning_rate, dtype=var_param.dtype)
@@ -264,6 +272,7 @@ class FASO(Optimizer):
         if resume_state is not None:
             var_param = jnp.asarray(resume_state["var_param"])
             opt_state = resume_state["opt_state"]
+            obj_state = resume_state.get("obj_state", obj_state)
             key = resume_state["key"]
             ring = jnp.asarray(resume_state["ring"])
             t = jnp.asarray(resume_state["t"])
@@ -282,15 +291,16 @@ class FASO(Optimizer):
             steps = min(to_boundary, n_iters - k)
             try:
                 with Timer() as opt_timer:
-                    carry = (var_param, opt_state, key, ring, t)
+                    carry = (var_param, opt_state, obj_state, key, ring, t)
                     carry, outs = runner(*carry, lr, steps=steps)
-                    var_param, opt_state, key, ring, t = carry
+                    var_param, opt_state, obj_state, key, ring, t = carry
                     jax.block_until_ready(var_param)
             except (KeyboardInterrupt, StopIteration):  # pragma: no cover
                 # return partial results (reference optimization.py:611-615)
                 print("Interrupted: returning partial results")
                 interrupted = True
                 break
+            _obj_check_state(objective, obj_state)
             total_opt_time += opt_timer.interval
             k += steps
             history["value_history"].append(outs[0])
@@ -392,6 +402,7 @@ class FASO(Optimizer):
         results["resume_state"] = {
             "var_param": var_param,
             "opt_state": opt_state,
+            "obj_state": obj_state,
             "key": key,
             "ring": ring,
             "t": t,

@@ -24,6 +24,15 @@ Estimators reproduced (same math, different mechanism):
   objectives.py:338-368), correct proportional weight clipping (the
   reference's ``_clip_weights`` crashes if its branch is ever reached —
   objectives.py:385), and device-side multinomial resampling.
+
+Objective state protocol: objectives whose estimator carries state between
+steps (DIS: tempering epsilon + resample cache, reference objectives.py
+392-403) expose it as an explicit pytree — ``init_obj_state`` /
+``value_and_grad_with_state`` — so optimizers thread it through the
+``lax.scan`` carry and the whole loop stays fused on device.  Stateless
+objectives return ``()`` and pay nothing.  ``value_and_grad`` remains the
+convenience surface for direct host-side calls (it mirrors the state on the
+Python object).
 """
 
 
@@ -45,9 +54,10 @@ _HESSIAN_METHODS = (None, "full", "mean_only", "loo_diag_approx", "loo_direct_ap
 class VariationalObjective:
     """A variational objective to minimize (reference objectives.py:17-79)."""
 
-    #: whether ``value_and_grad`` is a pure function that may be traced into
-    #: a ``lax.scan`` device loop (False for objectives with Python-side
-    #: state, e.g. :class:`DISInclusiveKL`).
+    #: whether ``value_and_grad_with_state`` is a pure function that may be
+    #: traced into a ``lax.scan`` device loop.  True for every shipped
+    #: objective; user objectives with untraceable Python-side state may set
+    #: False to request the optimizers' host-loop path.
     scannable = True
 
     def __init__(self, approx, model):
@@ -65,6 +75,21 @@ class VariationalObjective:
         if self._value_and_grad is None:
             raise RuntimeError("no objective and gradient available")
         return self._value_and_grad(var_param, key)
+
+    # -- objective-state protocol (stateful estimators; see module docstring) --
+    def init_obj_state(self, var_param):
+        """Initial estimator-state pytree carried through the optimizer loop
+        (``()`` for stateless objectives)."""
+        return ()
+
+    def value_and_grad_with_state(self, var_param, key, obj_state):
+        """Pure step: ``(var_param, key, state) -> (value, grad, state)``."""
+        value, grad = self.value_and_grad(var_param, key)
+        return value, grad, obj_state
+
+    def check_obj_state(self, obj_state):
+        """Host-side validity hook; optimizers call it at segment
+        boundaries.  Raises if the fused loop recorded a failure."""
 
     def __call__(self, var_param, key):
         return self.value_and_grad(var_param, key)
@@ -130,8 +155,18 @@ class ExclusiveKL(StochasticVariationalObjective):
             self.hessian_approx_method = hessian_approx_method
         else:
             raise ValueError(
-                "Name of approximation must be one of 'full', 'mean_only', "
-                "'loo_diag_approx', 'loo_direct_approx' or None object.")
+                "hessian_approx_method must be one of 'full', 'mean_only', "
+                "'loo_diag_approx', 'loo_direct_approx', or None")
+        if hessian_approx_method is not None and not hasattr(
+                approx, "mean_and_stdevs"):
+            # the estimator's gradient assembly assumes the mean-field
+            # [mu, log_sigma] parameter layout (reference objectives.py:
+            # 196-198 has the same implicit assumption and would silently
+            # build a d x d covariance per step via mean_and_cov)
+            raise ValueError(
+                "the Hessian control-variate estimators require a "
+                "mean-field [mu, log_sigma] family (one providing "
+                "mean_and_stdevs), e.g. MFGaussian")
         super().__init__(approx, model, num_mc_samples)
 
     # -- plain / STL path ----------------------------------------------------
@@ -167,8 +202,7 @@ class ExclusiveKL(StochasticVariationalObjective):
         grad_single = jax.grad(f_single)
 
         z_samples = approx.sample(var_param, S, key)
-        m_mean, cov = approx.mean_and_cov(var_param)
-        s_scale = jnp.sqrt(jnp.diag(cov))
+        m_mean, s_scale = approx.mean_and_stdevs(var_param)
         eps = (z_samples - m_mean) / s_scale
 
         value = self._loss(var_param, key)
@@ -266,12 +300,19 @@ class AlphaDivergence(StochasticVariationalObjective):
 class DISInclusiveKL(StochasticVariationalObjective):
     """Inclusive KL via Distilled Importance Sampling (reference 280-416).
 
-    Stateful between steps (tempering epsilon, resampling cache); the state
-    lives in device arrays on the Python object, while the per-step compute
-    (weight construction, bisection, surrogate loss) is jitted.
-    """
+    The estimator carries state between steps (tempering epsilon, resample
+    cache — reference objectives.py:392-403, where it lives in mutable
+    Python attributes).  Here the state is an explicit pytree threaded
+    through the objective-state protocol, so optimizers run DIS fused in
+    the same ``lax.scan`` device loop as every other objective; the
+    refresh-every-``num_resampling_batches`` cadence becomes a ``lax.cond``
+    on the carried step counter.
 
-    scannable = False
+    Behavior delta vs the reference: degenerate importance weights (all
+    zero / non-finite — reference objectives.py:326-329 raises mid-step)
+    are recorded in the carried state and raised by the optimizer at the
+    next segment boundary instead of mid-scan.
+    """
 
     def __init__(self, approx, model, num_mc_samples, ess_target,
                  temper_prior, temper_prior_params, use_resampling=True,
@@ -280,12 +321,10 @@ class DISInclusiveKL(StochasticVariationalObjective):
         self._w_clip_threshold = float(w_clip_threshold)
         self._max_bisection_its = 50
         self._max_eps = 1.0
-        self._eps = 1.0
         self._use_resampling = bool(use_resampling)
         self._num_resampling_batches = int(num_resampling_batches)
         self._resampling_batch_size = max(1, int(ess_target) // int(num_resampling_batches))
-        self._objective_step = 0
-        self._state = None
+        self._obj_state = None  # host-side mirror for direct value_and_grad calls
         self._temper_prior = temper_prior
         self._temper_prior_params = jnp.asarray(temper_prior_params)
         super().__init__(approx, model, num_mc_samples)
@@ -367,48 +406,81 @@ class DISInclusiveKL(StochasticVariationalObjective):
             obj = -jnp.dot(lax.stop_gradient(w_clipped), log_q) / S
             return obj, eps
 
-        self._vag_no_resampling = jax.jit(
-            jax.value_and_grad(loss_no_resampling, has_aux=True))
+        vag_no_resampling = jax.value_and_grad(loss_no_resampling, has_aux=True)
 
-        def refresh_state(var_param, key, eps_guess):
+        def refresh_cache(var_param, key, eps_guess):
             samples, _, w_clipped, eps = refresh(var_param, key, eps_guess)
             w_sum = jnp.sum(w_clipped)
             return samples, w_clipped / w_sum, w_sum, eps
-
-        self._refresh_state = jax.jit(refresh_state)
 
         def loss_resampled(var_param, samples_resampled, w_sum):
             obj = jnp.mean(-approx.log_density(var_param, samples_resampled))
             return obj * w_sum / S
 
-        self._vag_resampled = jax.jit(jax.value_and_grad(loss_resampled))
+        vag_resampled = jax.value_and_grad(loss_resampled)
 
         def resample(key, w_normalized, samples):
             idx = jax.random.choice(
                 key, S, shape=(self._resampling_batch_size,), p=w_normalized)
             return samples[idx]
 
-        self._resample = jax.jit(resample)
-        self._value_and_grad = self._stateful_value_and_grad
+        def step_no_resampling(var_param, key, state):
+            (value, eps), grad = vag_no_resampling(var_param, key, state["eps"])
+            return value, grad, {"eps": eps, "step": state["step"] + 1}
 
-    def _stateful_value_and_grad(self, var_param, key):
-        if not self._use_resampling:
-            (value, eps), grad = self._vag_no_resampling(var_param, key, self._eps)
-            self._eps = eps
-            self._objective_step += 1
-            return value, grad
+        def step_resampling(var_param, key, state):
+            key_refresh, key_resample = jax.random.split(key)
+            # the refresh branch is entirely stop-gradient'd (samples and
+            # weights are constants for the surrogate loss), so the cond
+            # sits outside the differentiated function
+            samples, w_norm, w_sum, eps = lax.cond(
+                state["step"] % self._num_resampling_batches == 0,
+                lambda: refresh_cache(var_param, key_refresh, state["eps"]),
+                lambda: (state["samples"], state["w_norm"], state["w_sum"],
+                         state["eps"]),
+            )
+            ok = state["ok"] & jnp.isfinite(w_sum) & (w_sum > 0.0)
+            resampled = resample(key_resample, w_norm, samples)
+            value, grad = vag_resampled(var_param, resampled, w_sum)
+            new_state = {"eps": eps, "step": state["step"] + 1,
+                         "samples": samples, "w_norm": w_norm,
+                         "w_sum": w_sum, "ok": ok}
+            return value, grad, new_state
 
-        key_refresh, key_resample = jax.random.split(key)
-        if self._objective_step % self._num_resampling_batches == 0:
-            samples, w_normalized, w_sum, eps = self._refresh_state(
-                var_param, key_refresh, self._eps)
-            if not bool(jnp.isfinite(w_sum)) or float(w_sum) <= 0.0:
-                # reference objectives.py:326-329
-                raise ValueError("All weights zero! "
-                                 "Suggests overflow in importance density.")
-            self._state = (samples, w_normalized, w_sum)
-            self._eps = eps
-        self._objective_step += 1
-        samples, w_normalized, w_sum = self._state
-        resampled = self._resample(key_resample, w_normalized, samples)
-        return self._vag_resampled(var_param, resampled, w_sum)
+        self._pure_step = jax.jit(
+            step_resampling if self._use_resampling else step_no_resampling)
+        self._obj_state = None
+        self._value_and_grad = self._mirrored_value_and_grad
+
+    # -- objective-state protocol ------------------------------------------------
+    def init_obj_state(self, var_param):
+        dtype = jnp.asarray(var_param).dtype
+        state = {"eps": jnp.asarray(self._max_eps, dtype),
+                 "step": jnp.asarray(0)}
+        if self._use_resampling:
+            state.update(
+                samples=jnp.zeros((self.num_mc_samples, self.approx.dim), dtype),
+                w_norm=jnp.zeros((self.num_mc_samples,), dtype),
+                w_sum=jnp.asarray(1.0, dtype),
+                ok=jnp.asarray(True),
+            )
+        return state
+
+    def value_and_grad_with_state(self, var_param, key, obj_state):
+        return self._pure_step(var_param, key, obj_state)
+
+    def check_obj_state(self, obj_state):
+        if "ok" in obj_state and not bool(obj_state["ok"]):
+            # reference objectives.py:326-329
+            raise ValueError("All weights zero! "
+                             "Suggests overflow in importance density.")
+
+    def _mirrored_value_and_grad(self, var_param, key):
+        """Direct-call convenience: mirrors the estimator state on the
+        object, validating it every step like the reference."""
+        if self._obj_state is None:
+            self._obj_state = self.init_obj_state(var_param)
+        value, grad, self._obj_state = self._pure_step(
+            var_param, key, self._obj_state)
+        self.check_obj_state(self._obj_state)
+        return value, grad

@@ -23,9 +23,11 @@ Redesign highlights:
   applies it to 2-D parameters, which never occur — dead code at
   optimization.py:99-100).
 
-Objectives that carry Python-side state (``DISInclusiveKL``) set
-``scannable = False`` and are driven by an equivalent host loop around the
-same jitted pieces.
+Objectives with stateful estimators (``DISInclusiveKL``) expose their state
+as an explicit pytree (``init_obj_state`` / ``value_and_grad_with_state``)
+that rides in the scan carry, so they run fused like everything else; the
+host loop remains only for user objectives that declare ``scannable =
+False``.
 """
 
 import jax
@@ -54,6 +56,32 @@ class Optimizer:
 
 def _objective_is_scannable(objective):
     return getattr(objective, "scannable", True)
+
+
+# The objective-state protocol is duck-typed so plain callable objectives
+# (e.g. the reference-style DummyObjective test fake, or user objectives
+# that only define value_and_grad/update) keep working unchanged.
+def _obj_init_state(objective, var_param):
+    fn = getattr(objective, "init_obj_state", None)
+    return fn(var_param) if fn is not None else ()
+
+
+def _obj_step_fn(objective):
+    fn = getattr(objective, "value_and_grad_with_state", None)
+    if fn is not None:
+        return fn
+
+    def wrapped(var_param, key, obj_state):
+        value, grad = objective.value_and_grad(var_param, key)
+        return value, grad, obj_state
+
+    return wrapped
+
+
+def _obj_check_state(objective, obj_state):
+    fn = getattr(objective, "check_obj_state", None)
+    if fn is not None:
+        fn(obj_state)
 
 
 class StochasticGradientOptimizer(Optimizer):
@@ -86,13 +114,15 @@ class StochasticGradientOptimizer(Optimizer):
         lr = self._learning_rate
         wd = self._weight_decay
 
-        def step(var_param, opt_state, key):
-            value, grad = objective.value_and_grad(var_param, key)
+        obj_step = _obj_step_fn(objective)
+
+        def step(var_param, opt_state, obj_state, key):
+            value, grad, obj_state = obj_step(var_param, key, obj_state)
             direction, opt_state = self.descent_direction(grad, opt_state)
             var_param = objective.update(var_param, lr * direction)
             if wd > 0.0:
                 var_param = var_param * (1.0 - wd)
-            return var_param, opt_state, value, direction
+            return var_param, opt_state, obj_state, value, direction
 
         return step
 
@@ -109,29 +139,32 @@ class StochasticGradientOptimizer(Optimizer):
 
         if _objective_is_scannable(objective):
             results = self._optimize_scan(
-                n_iters, step, var_param, key, window, diagnostics, iap)
+                n_iters, step, objective, var_param, key, window, diagnostics, iap)
         else:
             results = self._optimize_host(
-                n_iters, step, var_param, key, window, diagnostics, iap)
+                n_iters, step, objective, var_param, key, window, diagnostics, iap)
         return results
 
-    def _optimize_scan(self, n_iters, step, var_param, key, window, diagnostics, iap):
+    def _optimize_scan(self, n_iters, step, objective, var_param, key, window,
+                       diagnostics, iap):
         D = var_param.shape[0]
         ring = jnp.zeros((window, D), dtype=var_param.dtype)
 
         def body(carry, _):
-            vp, st, key, ring, t = carry
+            vp, st, ost, key, ring, t = carry
             key, sub = jax.random.split(key)
-            vp, st, value, direction = step(vp, st, sub)
+            vp, st, ost, value, direction = step(vp, st, ost, sub)
             ring = lax.dynamic_update_index_in_dim(ring, vp, t % window, 0)
             out = (value, vp, direction) if diagnostics else (value,)
-            return (vp, st, key, ring, t + 1), out
+            return (vp, st, ost, key, ring, t + 1), out
 
         def run(init):
             return lax.scan(body, init, None, length=n_iters)
 
-        init = (var_param, self.init_state(var_param), key, ring, jnp.asarray(0))
-        (vp, _, _, ring, _), outs = jax.jit(run)(init)
+        init = (var_param, self.init_state(var_param),
+                _obj_init_state(objective, var_param), key, ring, jnp.asarray(0))
+        (vp, _, obj_state, _, ring, _), outs = jax.jit(run)(init)
+        _obj_check_state(objective, obj_state)
 
         results = {"value_history": outs[0]}
         if diagnostics:
@@ -144,13 +177,17 @@ class StochasticGradientOptimizer(Optimizer):
             results["opt_param"] = vp
         return results
 
-    def _optimize_host(self, n_iters, step, var_param, key, window, diagnostics, iap):
+    def _optimize_host(self, n_iters, step, objective, var_param, key, window,
+                       diagnostics, iap):
         opt_state = self.init_state(var_param)
+        obj_state = _obj_init_state(objective, var_param)
         value_history, param_history, dir_history = [], [], []
         ring = []
         for _ in range(n_iters):
             key, sub = jax.random.split(key)
-            var_param, opt_state, value, direction = step(var_param, opt_state, sub)
+            var_param, opt_state, obj_state, value, direction = step(
+                var_param, opt_state, obj_state, sub)
+            _obj_check_state(objective, obj_state)
             value_history.append(value)
             if iap is not None:
                 ring.append(var_param)

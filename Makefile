@@ -1,9 +1,13 @@
 # Development targets (reference Makefile:1-12 parity: lint + test).
 
-.PHONY: lint test test-fast bench native clean
+.PHONY: lint test test-fast bench native notebooks clean
 
+# enforced (non-zero exit on findings) — unlike the reference's advisory gate
 lint:
-	python -m flake8 viabel_tpu tests --max-line-length=100 || true
+	python tools/lint.py
+
+notebooks:
+	python tools/run_notebooks.py
 
 test:
 	python -m pytest tests/ -q

@@ -8,7 +8,7 @@ import pytest
 import jax
 
 from viabel_tpu import convenience
-from viabel_tpu.models import Model, zoo
+from viabel_tpu.models import zoo
 
 
 def test_bbvi():

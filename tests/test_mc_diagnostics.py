@@ -7,7 +7,6 @@ extracted window.
 """
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ analytic spot-checks of the densities.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 from jax.test_util import check_grads
 

@@ -42,19 +42,20 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     if objective is not None:
         if fit is not None or log_density is not None or approx is not None:
             raise ValueError(
-                "if objective is specified, cannot specify fit, log_density, or approx")
+                "an objective already carries its model and family; drop the fit/"
+                "log_density/approx arguments")
         approx = objective.approx
         model = objective.model
     else:
         if log_density is None:
             if fit is None:
                 raise ValueError(
-                    "either log_density or fit must be specified if objective not given")
+                    "nothing to optimize: pass a log_density (or a prebuilt objective)")
             raise NotImplementedError(
                 "PyStan fits are not supported in viabel-tpu; provide a JAX "
                 "log_density (see viabel_tpu.models.zoo)")
         elif fit is not None:
-            raise ValueError("log_density and fit cannot both be specified")
+            raise ValueError("pass either log_density or fit, not both")
         model = log_density if isinstance(log_density, Model) else Model(log_density)
         if approx is None:
             approx = MFGaussian(dimension)
@@ -69,7 +70,8 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     elif not adaptive and fixed_lr:
         opt = base_opt
     else:
-        raise ValueError("if fixed_lr is False, adaptive must be True")
+        raise ValueError("a decaying learning rate needs the adaptive "
+                         "optimizer: set adaptive=True or fixed_lr=True")
     opt_results = opt.optimize(n_iters, objective, init_var_param, key=key)
     opt_results["objective"] = objective
     return opt_results
@@ -81,14 +83,15 @@ def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,
     (reference convenience.py:97-167)."""
     if objective is None:
         if model is None or approx is None:
-            raise ValueError("either objective or both model and approx must be specified")
+            raise ValueError("supply an objective, or a model together with an approx")
     elif model is not None or approx is not None:
-        raise ValueError("model and/or approx cannot be specified if objective is")
+        raise ValueError("an objective already carries its model and "
+                         "family; drop the model/approx arguments")
     else:
         model = objective.model
         approx = objective.approx
     if n_samples <= 0:
-        raise ValueError("n_samples must be positive")
+        raise ValueError("n_samples must be a positive integer")
     if key is None:
         key = jax.random.PRNGKey(0)
     return _vi_diagnostics(var_param, model, approx, n_samples, key)
@@ -100,10 +103,10 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key):
     results = dict(samples=samples,
                    smoothed_log_weights=smoothed_log_weights,
                    khat=khat)
-    print("Pareto k is estimated to be khat = {:.2f}".format(float(khat)))
+    print("estimated Pareto shape: khat = {:.2f}".format(float(khat)))
     if float(khat) > 0.7:
-        print("WARNING: khat > 0.7 means importance sampling is not feasible.")
-        print("WARNING: not running further diagnostics")
+        print("WARNING: khat > 0.7 — the importance weights are too heavy-tailed")
+        print("WARNING: skipping the remaining diagnostics")
         return results
     print()
     if approx.supports_pth_moment(2) and approx.supports_pth_moment(4):
@@ -116,14 +119,14 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key):
                                    samples=samples.T,
                                    moment_bound_fn=moment_bound_fn,
                                    q_var=q_var))
-    print("The 2-divergence is estimated to be d2 = {:.2g}".format(float(results["d2"])))
+    print("estimated 2-divergence: d2 = {:.2g}".format(float(results["d2"])))
     if float(results["d2"]) > 4.6:  # pragma: no cover
-        print("WARNING: d2 > 4.6 means the approximation is very inaccurate")
+        print("WARNING: d2 > 4.6 — the approximation is unusable as-is")
     elif float(results["d2"]) > 0.1:
-        print("WARNING: 0.1 < d2 < 4.6 means the approximation is somewhat "
-              "inaccurate. Use importance sampling to decrease error.")
+        print("WARNING: 0.1 < d2 < 4.6 — moderately inaccurate; apply the "
+              "PSIS-corrected weights to reduce the error.")
     else:
-        print("\nAll diagnostics pass.")
+        print("\nall diagnostics pass")
     return results
 
 

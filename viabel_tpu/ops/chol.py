@@ -22,8 +22,6 @@ code path.
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -13,10 +13,7 @@ of the ring: each grid step loads a (R, TD) column tile, centers and
 squares it in VMEM, and runs the two small indicator matmuls on the MXU.
 """
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["ring_window_sums"]

@@ -124,40 +124,43 @@ def test_R_hat_convergence_check():
 
 def test_split_rhat_ring_windows_matches_windowed():
     from viabel_tpu.mc_diagnostics import ring_window_mean, split_rhat_ring_windows
+    from viabel_tpu.utils import pack_rows, unpack_rows
     rng = np.random.RandomState(9)
-    R, d = 128, 5
+    R, d, G = 128, 5, 8
     t = 200  # ring has wrapped
     # simulate ring writes: step s -> slot s % R
     ring = np.zeros((R, d))
     full = rng.randn(t, d) + 50.0  # large offset exercises f32-style cancellation path
     for s in range(t):
         ring[s % R] = full[s]
-    windows = np.array([40, 61, 100])
-    r_ring = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
-                                                jnp.asarray(t),
-                                                jnp.asarray(windows)))
+    ringp = pack_rows(jnp.asarray(ring))
+    windows = np.array([48, 64, 96])  # even multiples of 2G, t - w aligned
+    r_ring = np.asarray(split_rhat_ring_windows(ringp, jnp.asarray(t),
+                                                jnp.asarray(windows), group=G))
     for i, w in enumerate(windows):
         expected = float(jnp.max(compute_R_hat(jnp.asarray(full[t - w:]))))
         np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)
-    # window mean equivalence
-    for w in windows:
-        m = np.asarray(ring_window_mean(jnp.asarray(ring), jnp.asarray(t),
-                                        jnp.asarray(int(w))))
-        np.testing.assert_allclose(m, full[t - w:].mean(0), rtol=1e-10)
+    # window mean equivalence (exact for any alignment)
+    for w in (40, 61, 100):
+        m = unpack_rows(ring_window_mean(ringp, jnp.asarray(t),
+                                         jnp.asarray(int(w)), group=G), d)
+        np.testing.assert_allclose(np.asarray(m), full[t - w:].mean(0),
+                                   rtol=1e-10)
 
 
 def test_split_rhat_ring_windows_unwrapped():
     from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
+    from viabel_tpu.utils import pack_rows
     rng = np.random.RandomState(10)
-    R, d, t = 256, 3, 100  # ring NOT full: slots >= t unwritten (garbage)
+    R, d, t, G = 256, 3, 96, 8  # ring NOT full: slots >= t unwritten (garbage)
     ring = 1e6 * np.ones((R, d))
     full = rng.randn(t, d)
     for s in range(t):
         ring[s % R] = full[s]
-    windows = np.array([30, 80])
-    r_ring = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
+    windows = np.array([32, 80])
+    r_ring = np.asarray(split_rhat_ring_windows(pack_rows(jnp.asarray(ring)),
                                                 jnp.asarray(t),
-                                                jnp.asarray(windows)))
+                                                jnp.asarray(windows), group=G))
     for i, w in enumerate(windows):
         expected = float(jnp.max(compute_R_hat(jnp.asarray(full[t - w:]))))
         np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)

@@ -113,39 +113,79 @@ class TestBlockedTriangularSolve:
                                        atol=1e-12)
 
 
-def test_ring_window_sums_matches_jnp():
-    from viabel_tpu.ops.ringstats import ring_window_sums
+def test_ring_group_stats_matches_jnp():
+    from viabel_tpu.ops.ringstats import ring_group_stats
+    from viabel_tpu.utils import pack_rows
     rng = np.random.RandomState(5)
-    B, R, D = 9, 64, 1000  # D not a tile multiple
-    ind = jnp.asarray((rng.rand(B, R) > 0.5).astype(np.float64))
-    ring = jnp.asarray(rng.randn(R, D) + 10.0)
-    center = jnp.asarray(ring[-1])
-    S, Q = ring_window_sums(ind, ring, center)
-    ringc = np.asarray(ring) - np.asarray(center)
-    np.testing.assert_allclose(np.asarray(S), np.asarray(ind) @ ringc,
-                               rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(Q), np.asarray(ind) @ (ringc**2),
-                               rtol=1e-10)
+    R, D, G = 64, 1000, 8  # D not a tile multiple
+    ring = pack_rows(jnp.asarray(rng.randn(R, D) + 10.0))
+    center = ring[-1]
+    GS, GQ = ring_group_stats(ring, center, G)
+    x = np.asarray(ring) - np.asarray(center)
+    xg = x.reshape(R // G, G, *x.shape[1:])
+    np.testing.assert_allclose(np.asarray(GS), xg.sum(axis=1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(GQ), (xg**2).sum(axis=1), rtol=1e-10)
 
 
-def test_split_rhat_pallas_path_matches_jnp_path():
-    """Force-enable the Pallas ring-stats path (interpret mode on CPU) and
-    compare against the jnp path."""
-    from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
-    from viabel_tpu.ops.chol import set_pallas_enabled
-    rng = np.random.RandomState(6)
-    R, d, t = 128, 7, 200
+def _fill_ring(R, d, t, rng):
+    from viabel_tpu.utils import pack_rows
     ring = np.zeros((R, d))
     full = rng.randn(t, d) + 5.0
     for s in range(t):
         ring[s % R] = full[s]
-    windows = jnp.asarray(np.array([40, 100]))
-    base = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
-                                              jnp.asarray(t), windows))
+    return np.asarray(pack_rows(jnp.asarray(ring))), full
+
+
+def test_split_rhat_ring_windows_matches_windowed():
+    """The packed-ring group formulation must reproduce the masked
+    fixed-shape statistic exactly at every aligned window (wrapping and
+    non-wrapping arcs)."""
+    from viabel_tpu.mc_diagnostics import (split_rhat_ring_windows,
+                                           split_rhat_windowed)
+    rng = np.random.RandomState(6)
+    R, d, G = 128, 7, 8
+    for t in (96, 200, 256, 331):  # unwrapped, wrapped, t % R == 0, odd t
+        t_al = (t // G) * G  # boundaries must be group-aligned => align t
+        ring_al, full = _fill_ring(R, d, t_al, rng)
+        windows = np.asarray([32, 64, 96, 128])
+        windows = windows[windows <= min(t_al, R)]
+        got = np.asarray(split_rhat_ring_windows(
+            jnp.asarray(ring_al), jnp.asarray(t_al), jnp.asarray(windows),
+            group=G))
+        for w, g in zip(windows, got):
+            ordered = jnp.asarray(full[max(0, t_al - R):t_al])
+            want = float(jnp.max(split_rhat_windowed(ordered, jnp.asarray(int(w)))))
+            np.testing.assert_allclose(g, want, rtol=1e-8)
+
+
+def test_ring_window_mean_exact_any_alignment():
+    from viabel_tpu.mc_diagnostics import ring_window_mean
+    from viabel_tpu.utils import unpack_rows
+    rng = np.random.RandomState(7)
+    R, d, G = 64, 5, 8
+    for t, w in [(50, 20), (200, 64), (333, 41), (128, 64)]:
+        ring, full = _fill_ring(R, d, t, rng)
+        got = unpack_rows(ring_window_mean(
+            jnp.asarray(ring), jnp.asarray(t), jnp.asarray(w), group=G), d)
+        want = full[t - w:t].mean(axis=0)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-9)
+
+
+def test_ring_stats_pallas_path_matches_jnp_path():
+    """Force-enable the Pallas ring-stats path (interpret mode on CPU) and
+    compare against the jnp fallback."""
+    from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
+    from viabel_tpu.ops.chol import set_pallas_enabled
+    rng = np.random.RandomState(8)
+    R, d, t, G = 128, 7, 200, 8
+    ring, _ = _fill_ring(R, d, t, rng)
+    windows = jnp.asarray(np.array([48, 96]))
+    base = np.asarray(split_rhat_ring_windows(
+        jnp.asarray(ring), jnp.asarray(t), windows, group=G))
     try:
         set_pallas_enabled(True)
-        forced = np.asarray(split_rhat_ring_windows(jnp.asarray(ring),
-                                                    jnp.asarray(t), windows))
+        forced = np.asarray(split_rhat_ring_windows(
+            jnp.asarray(ring), jnp.asarray(t), windows, group=G))
     finally:
         set_pallas_enabled(None)
     np.testing.assert_allclose(forced, base, rtol=1e-9)

@@ -218,8 +218,17 @@ def test_raabbvi_is_reusable(monkeypatch):
         def __exit__(self, *exc):
             return False
 
+    class FakeClock:
+        _t = 0.0
+
+        @classmethod
+        def perf_counter(cls):
+            cls._t += 1.0
+            return cls._t
+
     import viabel_tpu.faso as faso_mod
     monkeypatch.setattr(faso_mod, "Timer", FixedTimer)
+    monkeypatch.setattr(faso_mod, "_now", FakeClock.perf_counter)
     true_value = np.arange(2, dtype=float)
     objective = DummyObjective(true_value, noise=0.2)
     opt = RAABBVI(AveragedRMSProp(0.01, diagnostics=True), rho=0.5,

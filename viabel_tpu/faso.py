@@ -27,7 +27,8 @@ Documented behavior deltas vs the per-iteration reference loop:
 """
 
 import math
-from collections import defaultdict
+import time
+from collections import defaultdict, deque
 from functools import partial
 
 import numpy as np
@@ -43,6 +44,7 @@ from .mc_diagnostics import (
     ring_window_mean,
     split_rhat_ring_windows,
 )
+from .utils import pack_rows, packed_width, unpack_rows
 from .optimizers import (
     AveragedAdam,
     AveragedRMSProp,
@@ -57,38 +59,46 @@ from .utils import Timer
 
 __all__ = ["FASO", "RAABBVI"]
 
-
-def _order_ring(ring, t):
-    """Reorder a ring buffer so rows are oldest-first.
-
-    Slot ``s % R`` holds step ``s``; after ``t`` total steps, ordered row
-    ``j`` is step ``t - R + j`` (rows with negative step are unwritten zeros,
-    which masked-window kernels never touch for windows ``<= t``).
-    """
-    R = ring.shape[0]
-    idx = (t + jnp.arange(R)) % R
-    return ring[idx]
+# indirection so tests can stub the recheck-schedule clock deterministically
+_now = time.perf_counter
 
 
-_rhat_ring = jax.jit(split_rhat_ring_windows)
-_ring_mean = jax.jit(ring_window_mean)
+_rhat_ring = jax.jit(split_rhat_ring_windows, static_argnames=("group",))
+_ring_mean = jax.jit(ring_window_mean, static_argnames=("group",))
+
+
+def _largest_divisor_leq(n, cap):
+    for g in range(min(cap, n), 0, -1):
+        if n % g == 0:
+            return g
+    return 1
 
 
 @partial(jax.jit, static_argnames=("mf_dim",))
-def _mcse_check(ordered, w, mf_dim):
+def _mcse_check(ring, t, w, mf_dim):
     """Windowed per-coordinate (ESS, MCSE) with the reference's MFGaussian
     scaling and constant-coordinate handling (optimization.py:575-592).
 
     For MFGaussian, ``mcse_mean = mcse_mu / exp(mean log_sigma)``; constant
     coordinates (zero last-step difference) get ``ess = +inf, mcse = 0``
-    (the reference deletes them, optimization.py:580-584).
+    (the reference deletes them, optimization.py:580-584).  Takes the
+    packed ``(R, 8, C)`` ring; ordering it oldest-first (slot ``s % R``
+    holds step ``s``) and flattening rows back to coordinate-major is one
+    gather + relayout — MCSE checks are scheduled rarely (the cost-aware
+    recheck policy), unlike R-hat checks.  Padded coordinates are constant
+    zero, so the constant-coordinate rule masks them out.
     """
-    R, D = ordered.shape
+    R = ring.shape[0]
+    idx = (t + jnp.arange(R)) % R
+    ordered = ring[idx].reshape(R, -1)
+    D = ordered.shape[1]
     eff, mcse = ess_and_mcse_windowed(ordered, w)
     if mf_dim is not None:
         dim = mf_dim
         mask = (jnp.arange(R) >= R - w)[:, None]
-        log_sdevs = jnp.where(mask, ordered[:, dim:], 0.0)
+        # log_sigma coordinates occupy [dim, 2*dim) (coords beyond 2*dim
+        # are packing padding)
+        log_sdevs = jnp.where(mask, ordered[:, dim:2 * dim], 0.0)
         mean_log_sdev = jnp.sum(log_sdevs, axis=0) / w.astype(ordered.dtype)
         mcse = jnp.concatenate(
             [mcse[:dim] / jnp.exp(mean_log_sdev), mcse[dim:]])
@@ -123,10 +133,20 @@ class FASO(Optimizer):
         coordinates, which becomes very strict at large var_param_dim
         (1e6 coordinates at the d=1000 full-rank flagship) — relax it
         there.
+    rhat_group : int or None
+        Granularity of the on-device window statistics: candidate R-hat
+        windows quantize to even multiples of ``2 * rhat_group`` (the
+        candidates are heuristic linspace picks in the reference,
+        optimization.py:553, so this perturbation only reshuffles them).
+        Must divide ``k_check``; ``None`` picks the largest divisor of
+        ``k_check`` at most ``min(64, W_min // 4)``.  Smaller values track
+        the reference candidates more closely; larger values make the
+        convergence check cheaper.
     """
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
-                 k_check=None, max_history=None, rhat_threshold=1.1):
+                 k_check=None, max_history=None, rhat_threshold=1.1,
+                 rhat_group=None, check_pipeline=4):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -136,6 +156,10 @@ class FASO(Optimizer):
         self._k_check = int(W_min if k_check is None else k_check)
         self._max_history = max_history
         self._rhat_threshold = float(rhat_threshold)
+        self._rhat_group = int(rhat_group) if rhat_group else None
+        self._check_pipeline = int(check_pipeline)
+        if self._check_pipeline < 0:
+            raise ValueError('"check_pipeline" must be non-negative')
         if mcse_threshold <= 0:
             raise ValueError('"mcse_threshold" must be greater than zero')
         if W_min <= 0:
@@ -144,6 +168,11 @@ class FASO(Optimizer):
             raise ValueError('"k_check" must be greater than zero')
         if self._ESS_min <= 0:
             raise ValueError('"ESS_min" must be greater than zero')
+        if self._rhat_group is not None and (
+                self._rhat_group <= 0
+                or self._k_check % self._rhat_group != 0):
+            raise ValueError('"rhat_group" must be a positive divisor of '
+                             'k_check (checks happen at k_check multiples)')
 
     # -- device segment runners -------------------------------------------------
     def _segment_runner(self, objective, diagnostics):
@@ -171,8 +200,12 @@ class FASO(Optimizer):
                 value, grad, ost = obj_step(vp, sub, ost)
                 direction, st = sgo.descent_direction(grad, st)
                 vp = objective.update(vp, lr * direction)
-                ring = lax.dynamic_update_index_in_dim(ring, vp, t % R, 0)
-                outs = (value, grad, direction) if diagnostics else (value,)
+                # one tile-aligned slab write (see utils.pack_rows for why
+                # an unpacked (R, D) row write costs ~12x more)
+                ring = lax.dynamic_update_slice(
+                    ring, pack_rows(vp)[None], (t % R, 0, 0))
+                outs = ((value, pack_rows(grad), pack_rows(direction))
+                        if diagnostics else (value,))
                 return (vp, st, ost, key, ring, t + 1), outs
 
             return lax.scan(body, (vp, opt_state, obj_state, key, ring, t),
@@ -188,7 +221,8 @@ class FASO(Optimizer):
         obj_step = _obj_step_fn(objective)
         R = ring.shape[0]
         write = jax.jit(
-            lambda ring, vp, i: lax.dynamic_update_index_in_dim(ring, vp, i, 0))
+            lambda ring, vp, i: lax.dynamic_update_slice(
+                ring, pack_rows(vp)[None], (i, 0, 0)))
         values, grads, dirs = [], [], []
         for _ in range(steps):
             key, sub = jax.random.split(key)
@@ -238,9 +272,20 @@ class FASO(Optimizer):
 
         var_param = jnp.asarray(init_param)
         D = var_param.shape[0]
+        # R-hat group granularity: boundaries quantize to this grid.  Must
+        # divide k_check (checks happen at k_check multiples, so t is then
+        # group-aligned and every quantized boundary lands on a whole
+        # group); capped so candidate windows (multiples of 2*group) stay
+        # well below W_min.
+        G = self._rhat_group or _largest_divisor_leq(
+            self._k_check, max(1, min(64, self._W_min // 4)))
+        # With max_history the ring size is exactly as configured (so
+        # partial runs and resumes agree on window caps regardless of each
+        # run's n_iters); without it the ring covers the whole run.
         R = int(self._max_history) if self._max_history else max(n_iters, 2)
-        R = max(min(R, max(n_iters, 2)), 2 * self._W_min)
-        ring = jnp.zeros((R, D), dtype=var_param.dtype)
+        R = max(R, 2 * self._W_min)
+        R = -(-R // G) * G  # round up to whole groups
+        ring = jnp.zeros((R, 8, packed_width(D)), dtype=var_param.dtype)
         opt_state = (self._sgo.init_state(var_param)
                      if init_opt_state is None else init_opt_state)
         obj_state = _obj_init_state(objective, var_param)
@@ -275,6 +320,7 @@ class FASO(Optimizer):
             obj_state = resume_state.get("obj_state", obj_state)
             key = resume_state["key"]
             ring = jnp.asarray(resume_state["ring"])
+            R = ring.shape[0]  # the checkpointed ring wins over local sizing
             t = jnp.asarray(resume_state["t"])
             k = int(resume_state["k"])
             k_conv = None if int(resume_state["k_conv"]) < 0 else int(resume_state["k_conv"])
@@ -283,75 +329,121 @@ class FASO(Optimizer):
             total_opt_time = float(resume_state["total_opt_time"])
             iterate_average = jnp.asarray(resume_state["iterate_average"])
 
+        # Speculative check pipelining: fixed-lr segments are identical
+        # whatever a pending R-hat check concludes, so checks are dispatched
+        # on device immediately but their (tiny) results are read back only
+        # `check_pipeline` segments later — the host<->device round trip
+        # (which can dwarf a whole 200-step segment on remotely-attached
+        # devices) overlaps with further optimization.  Decisions stay
+        # exact: convergence is back-dated to the check's own iteration
+        # (reference optimization.py:562 back-dates the same way), and only
+        # the iterate-average window extends to cover steps that ran while
+        # the verdict was in flight.  Diagnostics mode disables pipelining
+        # so per-check histories match the reference exactly.
+        pipeline = 0 if diagnostics else self._check_pipeline
+        pending = deque(resume_state.get("pending_checks", [])
+                        if resume_state is not None else [])
         interrupted = False
+        resumed_opt_time = total_opt_time
+        mcse_time_total = 0.0
+        loop_start = _now()
+
+        def process_check(ck):
+            nonlocal k_Rhat, k_conv, W_check, last_best_W, iterate_average
+            ck_k = int(ck["k"])
+            r_hats = np.asarray(ck["r_hats"])
+            best = int(np.argmin(r_hats))
+            best_W = int(ck["windows"][best])
+            last_best_W = best_W
+            passed = bool(r_hats[best] <= self._rhat_threshold)
+            if diagnostics or passed:
+                # extend the averaging window over iterates that ran while
+                # the verdict was in flight: the average covers
+                # [ck.k - best_W, k), exactly what a synchronous check at k
+                # would produce after back-dating
+                w_eff = min(best_W + (k - ck_k), R, k)
+                iterate_average = unpack_rows(
+                    _ring_mean(ring, t, jnp.asarray(w_eff), group=G), D)
+            if diagnostics:
+                history["iterate_average_k_history"].append(ck_k)
+                history["iterate_average_history"].append(iterate_average)
+            if passed:
+                k_Rhat = ck_k
+                k_conv = ck_k - best_W
+                W_check = best_W  # immediately check MCSE
+            return passed
+
         while k < n_iters:
             # segments stay aligned to the k_check grid (a resumed run's
             # first segment may be shorter to realign)
             to_boundary = self._k_check - (k % self._k_check)
             steps = min(to_boundary, n_iters - k)
             try:
-                with Timer() as opt_timer:
-                    carry = (var_param, opt_state, obj_state, key, ring, t)
-                    carry, outs = runner(*carry, lr, steps=steps)
-                    var_param, opt_state, obj_state, key, ring, t = carry
-                    jax.block_until_ready(var_param)
+                carry = (var_param, opt_state, obj_state, key, ring, t)
+                carry, outs = runner(*carry, lr, steps=steps)
+                var_param, opt_state, obj_state, key, ring, t = carry
             except (KeyboardInterrupt, StopIteration):  # pragma: no cover
                 # return partial results (reference optimization.py:611-615)
                 print("Interrupted: returning partial results")
                 interrupted = True
                 break
             _obj_check_state(objective, obj_state)
-            total_opt_time += opt_timer.interval
             k += steps
             history["value_history"].append(outs[0])
             if diagnostics:
-                history["grad_history"].append(outs[1])
-                history["descent_dir_history"].append(outs[2])
+                # scan segments emit packed (steps, 8, C) slabs; flatten to
+                # the (steps, D) history contract and stream to host — at
+                # the d=1000 full-rank flagship these histories are 8 MB per
+                # step and cannot accumulate on device
+                if scannable:
+                    history["grad_history"].append(
+                        np.asarray(unpack_rows(outs[1], D)))
+                    history["descent_dir_history"].append(
+                        np.asarray(unpack_rows(outs[2], D)))
+                else:
+                    history["grad_history"].append(np.asarray(outs[1]))
+                    history["descent_dir_history"].append(np.asarray(outs[2]))
             if progress_callback is not None:
                 progress_callback(k, float(jnp.mean(outs[0])))
 
-            # R-hat convergence check (reference optimization.py:550-563);
-            # all candidate windows are scored from ONE pass over the raw
-            # (unordered) ring — see split_rhat_ring_windows.  Checked only
-            # at k_check multiples like the reference (a final partial
-            # segment ends between checks).
+            # R-hat convergence check (reference optimization.py:550-563):
+            # dispatch the one-ring-read statistic now, read the verdict
+            # `pipeline` segments later.  Checked at k_check multiples like
+            # the reference (a final partial segment ends between checks).
             if k_conv is None and k % self._k_check == 0:
                 W_upper = min(int(0.95 * k), R)
-                if W_upper > self._W_min:
-                    windows = np.linspace(self._W_min, W_upper, num=5, dtype=int)
-                    r_hats = np.asarray(
-                        _rhat_ring(ring, t, jnp.asarray(windows)))
-                    best = int(np.argmin(r_hats))
-                    best_W = int(windows[best])
-                    last_best_W = best_W
-                    # until R-hat succeeds the best-window iterate average is
-                    # only needed for diagnostics histories — without them the
-                    # O(R*D) reduction is deferred to loop exit (reference
-                    # computes it every check, optimization.py:556; the final
-                    # value is the same)
-                    if diagnostics or r_hats[best] <= self._rhat_threshold:
-                        iterate_average = _ring_mean(ring, t, jnp.asarray(best_W))
-                    if diagnostics:
-                        history["iterate_average_k_history"].append(k)
-                        history["iterate_average_history"].append(iterate_average)
-                    if r_hats[best] <= self._rhat_threshold:
-                        k_Rhat = k
-                        k_conv = k - best_W
-                        W_check = best_W  # immediately check MCSE
+                if W_upper > self._W_min and W_upper >= 2 * G:
+                    # reference candidates linspace(W_min, 0.95k, 5)
+                    # (optimization.py:553), quantized to even multiples of
+                    # 2*G so every half-chain boundary lands on a whole ring
+                    # group (see mc_diagnostics.split_rhat_ring_windows)
+                    cand = np.linspace(self._W_min, W_upper, num=5)
+                    half = np.ceil(cand / (2 * G)).astype(int) * G
+                    half = np.clip(half, G, (W_upper // (2 * G)) * G)
+                    windows = np.unique(2 * half)
+                    pending.append({
+                        "k": k, "windows": windows,
+                        "r_hats": _rhat_ring(ring, t, jnp.asarray(windows),
+                                             group=G)})
+            while pending and len(pending) > pipeline:
+                if process_check(pending.popleft()):
+                    pending.clear()
+                    break
 
             # MCSE / ESS stopping check (reference optimization.py:566-605)
             if k_conv is not None and k - k_conv >= W_check:
                 W = min(k - k_conv, R, k)
-                ordered = _order_ring(ring, t)
-                iterate_average = _ring_mean(ring, t, jnp.asarray(W))
+                iterate_average = unpack_rows(
+                    _ring_mean(ring, t, jnp.asarray(W), group=G), D)
                 if diagnostics and (not history["iterate_average_k_history"]
                                     or history["iterate_average_k_history"][-1] != k):
                     history["iterate_average_k_history"].append(k)
                     history["iterate_average_history"].append(iterate_average)
                 with Timer() as mcse_timer:
-                    eff, mcse = _mcse_check(ordered, jnp.asarray(W), mf_dim)
+                    eff, mcse = _mcse_check(ring, t, jnp.asarray(W), mf_dim)
                     eff = np.asarray(eff)
                     mcse = np.asarray(mcse)
+                mcse_time_total += mcse_timer.interval
                 if diagnostics:
                     history["ess_and_mcse_k_history"].append(k)
                     history["ess_history"].append(eff)
@@ -360,19 +452,46 @@ class FASO(Optimizer):
                         and np.min(eff) > self._ESS_min):
                     k_stopped = k
                     break
-                # adaptive cost-aware recheck growth (reference 601-605)
+                # adaptive cost-aware recheck growth (reference 601-605).
+                # Optimization time is wall-clock minus check time — the
+                # pipelined loop never blocks on segments individually.
+                total_opt_time = resumed_opt_time + max(
+                    _now() - loop_start - mcse_time_total, 1e-9)
                 relative_mcse_time = mcse_timer.interval / W
                 relative_opt_time = total_opt_time / k
                 ratio = relative_opt_time / max(relative_mcse_time, 1e-12)
                 recheck_scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
                 W_check = int(recheck_scale * W_check + 1)
 
+        total_opt_time = resumed_opt_time + (
+            _now() - loop_start - mcse_time_total)
+
+        # Snapshot in-flight checks BEFORE draining them: a resumed run
+        # replays them on the same every-k_check schedule, so resume is
+        # bit-identical to an uninterrupted run (the drain below only
+        # shapes THIS run's returned results).  Verdict data is
+        # materialized to host — it was computed from the ring as of its
+        # own check iteration, which later segments may overwrite.
+        resume_pre_drain = {
+            "k_conv": -1 if k_conv is None else k_conv,
+            "k_Rhat": -1 if k_Rhat is None else k_Rhat,
+            "W_check": -1 if W_check is None else W_check,
+            "iterate_average": iterate_average,
+            "pending_checks": [
+                {"k": int(ck["k"]), "windows": np.asarray(ck["windows"]),
+                 "r_hats": np.asarray(ck["r_hats"])} for ck in pending],
+        }
+        while pending:
+            if process_check(pending.popleft()):
+                pending.clear()
+
         if k_conv is None and last_best_W is not None and not diagnostics:
             # R-hat never passed and diagnostics histories were off, so the
             # per-check iterate-average update was deferred — compute the
             # best-window average once now so opt_param matches the reference
             # (optimization.py:556, 632) instead of handing back init_param.
-            iterate_average = _ring_mean(ring, t, jnp.asarray(last_best_W))
+            iterate_average = unpack_rows(
+                _ring_mean(ring, t, jnp.asarray(last_best_W), group=G), D)
 
         if k_stopped is None and not interrupted:
             if k_conv is None:
@@ -407,11 +526,8 @@ class FASO(Optimizer):
             "ring": ring,
             "t": t,
             "k": k,
-            "k_conv": -1 if k_conv is None else k_conv,
-            "k_Rhat": -1 if k_Rhat is None else k_Rhat,
-            "W_check": -1 if W_check is None else W_check,
             "total_opt_time": total_opt_time,
-            "iterate_average": iterate_average,
+            **resume_pre_drain,
         }
         return results
 

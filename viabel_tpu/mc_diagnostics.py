@@ -270,81 +270,141 @@ def split_rhat_windowed(history, w, jitter=1e-8):
     return jnp.sqrt(var_hat)
 
 
-def split_rhat_ring_windows(ring, t, windows, jitter=1e-8):
-    """Max split-R-hat for several windows, directly on an *unordered* ring.
+# ---------------------------------------------------------------------------
+# Packed-ring statistics (FASO's on-device convergence checks)
+#
+# The optimizer history ring is stored packed: (R, 8, C) tile-aligned slabs
+# (viabel_tpu.utils.pack_rows) so per-step writes cost one aligned 4 MB DUS
+# instead of a relayout + 8-row tile read-modify-write (a measured 135 us ->
+# 11 us difference per step at the d=1000 full-rank flagship).  Convergence
+# statistics are built from ONE streaming read of the ring that produces
+# per-`group`-row sums of centered values and squares (ops/ringstats.py);
+# cumulative sums of those group rows then yield every candidate window's
+# half-chain moments with O(R/group * D) extra traffic — no indicator
+# matmuls (a (15, R) boundary matrix on the MXU runs at 15/128 occupancy
+# and measured 13-18 ms per check; the group formulation is bandwidth-bound
+# at ~3 ms).
+# ---------------------------------------------------------------------------
 
-    ``ring``: (R, D) circular buffer where slot ``s % R`` holds step ``s``;
-    ``t``: total steps taken; ``windows``: (K,) candidate window sizes
-    (each ``<= min(t, R)``).
 
-    All half-chain sums for all windows come from ONE read of the ring:
-    per-slot step ids are computed from ``t`` (order within a sum is
-    irrelevant), boundary-indicator rows form a ``(3K, R)`` matrix, and a
-    single MXU matmul against the ring (plus one against its square)
-    yields every needed partial sum.  At the flagship scale (R=600,
-    D=1e6) this is ~3 passes over the ring instead of the ~2 per window
-    per statistic a masked per-window formulation costs — the difference
-    between convergence checks being free and doubling the step budget.
-
-    Returns ``(K,)`` max-over-coordinates split-R-hat values.  Matches
-    :func:`split_rhat_windowed` (same half-split and odd-window handling
-    as reference _mc_diagnostics.py:144-159).
-    """
-    ring = jnp.asarray(ring)
-    R, D = ring.shape
-    dtype = ring.dtype
-    windows = jnp.asarray(windows)
-    K = windows.shape[0]
-    t = jnp.asarray(t)
-
-    # step id held by each slot: largest step < t congruent to slot mod R
-    p = jnp.arange(R)
-    steps = (t - 1) - ((t - 1 - p) % R)          # negative => never written
-
-    h = windows // 2
-    lo = t - windows
-    mid = lo + h
-    hi = lo + 2 * h
-    bounds = jnp.concatenate([lo, mid, hi])      # (3K,)
-    ind = (steps[None, :] >= bounds[:, None]).astype(dtype)  # (3K, R)
-
-    # Center by the most recent iterate before squaring: near stationarity
-    # the per-step wander is orders of magnitude below the parameter values,
-    # and an uncentered one-pass sum-of-squares would cancel catastrophically
-    # in float32.  Variances are shift-invariant and B uses mean differences.
-    center = ring[(t - 1) % R]
+def _ring_group_stats(ring, center, group):
     from .ops.chol import pallas_enabled
     if pallas_enabled():
-        # one streaming read of the ring (the jnp path materializes the
-        # centered ring and its square: ~4 passes)
-        from .ops.ringstats import ring_window_sums
-        S, Q = ring_window_sums(ind, ring, center)
-    else:
-        ringc = ring - center
-        S = ind @ ringc                          # (3K, D) partial sums
-        Q = ind @ (ringc * ringc)                # (3K, D) partial sq-sums
+        from .ops.ringstats import ring_group_stats
+        return ring_group_stats(ring, center, group)
+    R = ring.shape[0]
+    x = (ring - center).reshape(R // group, group, *ring.shape[1:])
+    return jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)
 
-    h_f = h.astype(dtype)[:, None]
-    sum1, sq1 = S[:K] - S[K:2 * K], Q[:K] - Q[K:2 * K]
-    sum2, sq2 = S[K:2 * K] - S[2 * K:], Q[K:2 * K] - Q[2 * K:]
-    m1, m2 = sum1 / h_f, sum2 / h_f
+
+def ring_cum_stats(ring, t, group):
+    """Cumulative group statistics of a packed ring, centered at the newest
+    iterate (an uncentered one-pass sum-of-squares would cancel
+    catastrophically in float32 near stationarity; variances are
+    shift-invariant and the between-chain term uses mean differences).
+
+    ``ring``: (R, 8, C) packed circular buffer (slot ``s % R`` holds step
+    ``s``) with ``R % group == 0``; ``t``: total steps taken.
+
+    Returns a dict: ``cumS``/``cumQ`` (R//group + 1, 8, C) exclusive
+    cumulative group sums (``cumS[g]`` = sum over slots ``< g*group``),
+    ``P1eS``/``P1eQ`` the cumulative sums up to slot ``t % R`` exclusive
+    (i.e. over every slot holding a step, including the partial newest
+    group), and ``center``.
+    """
+    ring = jnp.asarray(ring)
+    R = ring.shape[0]
+    t = jnp.asarray(t)
+    center = ring[(t - 1) % R]
+    GS, GQ = _ring_group_stats(ring, center, group)
+    zero = jnp.zeros_like(GS[:1])
+    cumS = jnp.concatenate([zero, jnp.cumsum(GS, axis=0)])
+    cumQ = jnp.concatenate([zero, jnp.cumsum(GQ, axis=0)])
+    s1e = t % R
+    ge = s1e // group
+    blk = lax.dynamic_slice(
+        ring, (ge * group, 0, 0), (group,) + ring.shape[1:])
+    m = (jnp.arange(group) < (s1e - ge * group))[:, None, None]
+    xb = jnp.where(m, blk - center, 0.0)
+    return {"cumS": cumS, "cumQ": cumQ,
+            "P1eS": cumS[ge] + jnp.sum(xb, axis=0),
+            "P1eQ": cumQ[ge] + jnp.sum(xb * xb, axis=0),
+            "center": center, "t": t, "R": R}
+
+
+def _arcs(stats, bounds, group):
+    """Sums of centered values/squares over steps ``[b, t)`` for each
+    aligned boundary ``b`` in ``bounds`` (every ``b`` a multiple of
+    ``group``; ``t - b <= R``)."""
+    R = stats["R"]
+    t = stats["t"]
+    s0 = bounds % R
+    g0 = s0 // group
+    P0S, P0Q = stats["cumS"][g0], stats["cumQ"][g0]
+    s1e = t % R
+    totS = stats["cumS"][-1]
+    totQ = stats["cumQ"][-1]
+    wrapped = (s0 >= s1e) [:, None, None] & (bounds < t)[:, None, None]
+    aS = jnp.where(wrapped, totS - P0S + stats["P1eS"], stats["P1eS"] - P0S)
+    aQ = jnp.where(wrapped, totQ - P0Q + stats["P1eQ"], stats["P1eQ"] - P0Q)
+    return aS, aQ
+
+
+def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8):
+    """Max split-R-hat for several windows, directly on the packed ring.
+
+    ``windows``: (K,) candidate window sizes — each an even multiple of
+    ``2 * group`` with ``t - w`` a multiple of ``group`` (FASO quantizes its
+    linspace candidates onto this grid; the candidates are heuristic picks,
+    reference optimization.py:553, so the <=2*group rounding is a
+    documented, configurable perturbation).  Windows must satisfy
+    ``w <= min(t, R)``.
+
+    Returns ``(K,)`` max-over-coordinates split-R-hat values — the same
+    statistic as :func:`split_rhat_windowed` (reference
+    _mc_diagnostics.py:144-159) evaluated at the quantized windows.
+    """
+    windows = jnp.asarray(windows)
+    t = jnp.asarray(t)
+    stats = ring_cum_stats(ring, t, group)
+    dtype = stats["cumS"].dtype
+    h = windows // 2
+    s1, q1 = _arcs(stats, t - windows, group)   # steps [t-w, t)
+    s2, q2 = _arcs(stats, t - h, group)         # steps [t-h, t)
+    sum1, sq1 = s1 - s2, q1 - q2                # first half-chain
+    h_f = h.astype(dtype)[:, None, None]
+    m1, m2 = sum1 / h_f, s2 / h_f
     v1 = (sq1 - h_f * m1**2) / (h_f - 1.0)
-    v2 = (sq2 - h_f * m2**2) / (h_f - 1.0)
+    v2 = (q2 - h_f * m2**2) / (h_f - 1.0)
     grand = (m1 + m2) / 2.0
     B = h_f * ((m1 - grand) ** 2 + (m2 - grand) ** 2)
     W = (v1 + v2) / 2.0 + jitter
     var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
-    return jnp.max(jnp.sqrt(var_hat), axis=1)
+    return jnp.max(jnp.sqrt(var_hat), axis=(1, 2))
 
 
-def ring_window_mean(ring, t, w):
-    """Mean of the last ``w`` iterates directly from the unordered ring."""
+def ring_window_mean(ring, t, w, group):
+    """Mean of the last ``w`` iterates of the packed ring — exact for any
+    ``(t, w)`` (one boundary partial-group sum handles misalignment).
+    Returns the packed ``(8, C)`` mean."""
     ring = jnp.asarray(ring)
-    R, _ = ring.shape
-    p = jnp.arange(R)
-    steps = (t - 1) - ((t - 1 - p) % R)
-    ind = (steps >= t - w).astype(ring.dtype)
-    return (ind @ ring) / w.astype(ring.dtype)
+    R = ring.shape[0]
+    t = jnp.asarray(t)
+    w = jnp.asarray(w)
+    stats = ring_cum_stats(ring, t, group)
+    b = t - w
+    s0 = b % R
+    g0 = s0 // group
+    blk = lax.dynamic_slice(
+        ring, (g0 * group, 0, 0), (group,) + ring.shape[1:])
+    m = (jnp.arange(group) < (s0 - g0 * group))[:, None, None]
+    part0 = jnp.sum(jnp.where(m, blk - stats["center"], 0.0), axis=0)
+    P0 = stats["cumS"][g0] + part0
+    s1e = t % R
+    wrapped = (s0 >= s1e) & (b < t)
+    arc = jnp.where(wrapped, stats["cumS"][-1] - P0 + stats["P1eS"],
+                    stats["P1eS"] - P0)
+    return arc / w.astype(ring.dtype) + stats["center"]
 
 
 def compute_R_hat(chains, warmup=0, jitter=1e-8):

@@ -1,73 +1,74 @@
-"""Pallas kernel for FASO's ring-buffer window statistics.
+"""Pallas kernel for FASO's ring-buffer group statistics.
 
-``split_rhat_ring_windows`` (viabel_tpu/mc_diagnostics.py) needs, for a
-boundary-indicator matrix ``ind`` (3K, R) and the history ring (R, D):
+The history ring is stored packed as ``(R, 8, C)`` tile-aligned slabs (see
+``viabel_tpu.utils.pack_rows``).  Convergence checks need, for every
+``group``-row block ``g`` of the ring:
 
-    S = ind @ (ring - c)          and      Q = ind @ (ring - c)^2
+    GS[g] = sum_{r in block g} (ring[r] - center)
+    GQ[g] = sum_{r in block g} (ring[r] - center)**2
 
-with ``c`` the current iterate (f32-stability centering).  In pure jnp this
-costs ~4 passes over the ring (centered write, two matmul reads, square
-write) — ~10 GB per check at the d=1000 full-rank flagship (ring 2400 x
-1e6).  This kernel computes both partial-sum matrices in ONE streaming read
-of the ring: each grid step loads a (R, TD) column tile, centers and
-squares it in VMEM, and runs the two small indicator matmuls on the MXU.
+from which cumulative sums give every candidate window's half-chain moments
+(viabel_tpu/mc_diagnostics.py:split_rhat_ring_windows).  This kernel
+computes both in ONE streaming read of the ring with pure VPU adds.
+
+Why not a matmul: the previous formulation multiplied a ``(3K, R)`` 0/1
+boundary-indicator matrix into the ring on the MXU; with only 15 indicator
+rows the systolic array runs at 15/128 occupancy and the check measured
+~13-18 ms at the d=1000 full-rank flagship (ring 608 x 1e6).  The group-sum
+pass is bandwidth-bound instead (~2.4 GB read) and the window combination
+happens on ~R/group small rows afterwards.
 """
 
 import jax
 from jax.experimental import pallas as pl
 
-__all__ = ["ring_window_sums"]
+__all__ = ["ring_group_stats"]
 
-_COL_TILE = 2048
+_COL_TILE = 512  # lanes per grid step (the (8, tc) slab is 8*tc floats)
 
 
 def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _kernel(ind_ref, ring_ref, center_ref, s_ref, q_ref):
-    centered = ring_ref[...] - center_ref[...]            # (R, TD)
-    ind = ind_ref[...]                                    # (B, R)
-    s_ref[...] = jax.lax.dot_general(
-        ind, centered, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=centered.dtype).astype(s_ref.dtype)
-    q_ref[...] = jax.lax.dot_general(
-        ind, centered * centered,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=centered.dtype).astype(q_ref.dtype)
+def _kernel(ring_ref, center_ref, gs_ref, gq_ref):
+    x = ring_ref[...] - center_ref[...]          # (G, 8, tc)
+    gs_ref[...] = x.sum(axis=0, keepdims=True)
+    gq_ref[...] = (x * x).sum(axis=0, keepdims=True)
 
 
-def ring_window_sums(ind, ring, center):
-    """``(ind @ (ring - center), ind @ (ring - center)**2)`` in one ring read.
+def ring_group_stats(ring, center, group):
+    """Per-group sums of centered values and squares in one ring read.
 
     Parameters
     ----------
-    ind : (B, R) indicator rows (float)
-    ring : (R, D) history buffer
-    center : (D,) centering vector
+    ring : (R, 8, C) packed history ring, ``R % group == 0``
+    center : (8, C) packed centering vector
+    group : int (static) rows per group
 
-    Returns ``(S, Q)`` each (B, D).
+    Returns ``(GS, GQ)``, each ``(R // group, 8, C)``.
     """
-    B, R = ind.shape
-    _, D = ring.shape
-    td = min(_COL_TILE, D)
-    grid = (pl.cdiv(D, td),)
-    S, Q = pl.pallas_call(
+    R, _, C = ring.shape
+    if R % group:
+        raise ValueError("ring rows must be a multiple of `group`")
+    n_groups = R // group
+    tc = min(_COL_TILE, C)
+    grid = (n_groups, pl.cdiv(C, tc))
+    GS, GQ = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, R), lambda j: (0, 0)),
-            pl.BlockSpec((R, td), lambda j: (0, j)),
-            pl.BlockSpec((1, td), lambda j: (0, j)),
+            pl.BlockSpec((group, 8, tc), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, 8, tc), lambda g, j: (0, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((B, td), lambda j: (0, j)),
-            pl.BlockSpec((B, td), lambda j: (0, j)),
+            pl.BlockSpec((1, 8, tc), lambda g, j: (g, 0, j)),
+            pl.BlockSpec((1, 8, tc), lambda g, j: (g, 0, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, D), ring.dtype),
-            jax.ShapeDtypeStruct((B, D), ring.dtype),
+            jax.ShapeDtypeStruct((n_groups, 8, C), ring.dtype),
+            jax.ShapeDtypeStruct((n_groups, 8, C), ring.dtype),
         ],
         interpret=_interpret(),
-    )(ind, ring, center.reshape(1, D))
-    return S, Q
+    )(ring, center[None])
+    return GS, GQ

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .utils import pack_rows, packed_width, unpack_rows
+
 __all__ = [
     "Optimizer",
     "StochasticGradientOptimizer",
@@ -148,14 +150,19 @@ class StochasticGradientOptimizer(Optimizer):
     def _optimize_scan(self, n_iters, step, objective, var_param, key, window,
                        diagnostics, iap):
         D = var_param.shape[0]
-        ring = jnp.zeros((window, D), dtype=var_param.dtype)
+        # iterate ring and per-step histories are stored as tile-aligned
+        # packed slabs — an unpacked (n, D) row write from a 1-D carry costs
+        # a relayout + tile read-modify-write (see utils.pack_rows)
+        ring = jnp.zeros((window, 8, packed_width(D)), dtype=var_param.dtype)
 
         def body(carry, _):
             vp, st, ost, key, ring, t = carry
             key, sub = jax.random.split(key)
             vp, st, ost, value, direction = step(vp, st, ost, sub)
-            ring = lax.dynamic_update_index_in_dim(ring, vp, t % window, 0)
-            out = (value, vp, direction) if diagnostics else (value,)
+            ring = lax.dynamic_update_slice(
+                ring, pack_rows(vp)[None], (t % window, 0, 0))
+            out = ((value, pack_rows(vp), pack_rows(direction))
+                   if diagnostics else (value,))
             return (vp, st, ost, key, ring, t + 1), out
 
         def run(init):
@@ -168,11 +175,11 @@ class StochasticGradientOptimizer(Optimizer):
 
         results = {"value_history": outs[0]}
         if diagnostics:
-            results["variational_param_history"] = outs[1]
-            results["descent_dir_history"] = outs[2]
+            results["variational_param_history"] = unpack_rows(outs[1], D)
+            results["descent_dir_history"] = unpack_rows(outs[2], D)
         if iap is not None:
             count = min(n_iters, window)
-            results["opt_param"] = jnp.sum(ring, axis=0) / count
+            results["opt_param"] = unpack_rows(jnp.sum(ring, axis=0), D) / count
         else:
             results["opt_param"] = vp
         return results

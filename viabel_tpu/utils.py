@@ -13,7 +13,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Timer", "ensure_2d", "enable_compilation_cache"]
+__all__ = ["Timer", "ensure_2d", "enable_compilation_cache",
+           "packed_width", "pack_rows", "unpack_rows"]
 
 
 def enable_compilation_cache(cache_dir=None):
@@ -53,3 +54,39 @@ def ensure_2d(x):
     if x.ndim == 1:
         return x[None, :]
     return x
+
+
+# ---------------------------------------------------------------------------
+# Tile-aligned packing for history buffers
+# ---------------------------------------------------------------------------
+#
+# XLA:TPU lays 1-D arrays out with linear T(1024) tiling but >=2-D arrays
+# with (8, 128) tiling on the two minor dims.  Writing a flat (D,) parameter
+# vector as a row of an (R, D) buffer therefore costs a full relayout PLUS a
+# read-modify-write of every 8-row tile it straddles — measured ~135 us for a
+# 4 MB row at the d=1000 full-rank flagship, 27x the roofline cost of the
+# write.  Packing the vector as an (8, ceil(D/1024)*128) block makes each
+# ring row exactly one tile-aligned (8, 128k) slab: the write becomes a clean
+# dynamic_update_slice with no relayout and no tile RMW (~11 us measured).
+
+_LANES = 1024  # 8 sublanes x 128 lanes
+
+
+def packed_width(dim):
+    """Packed minor width C: rows pack as (8, C) with 8*C = ceil(dim/1024)*1024."""
+    return ((int(dim) + _LANES - 1) // _LANES) * (_LANES // 8)
+
+
+def pack_rows(x):
+    """Pack trailing flat dim D as tile-aligned (8, C) blocks (zero padded)."""
+    x = jnp.asarray(x)
+    d = x.shape[-1]
+    c = packed_width(d)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, 8 * c - d)]
+    return jnp.pad(x, pad).reshape(x.shape[:-1] + (8, c))
+
+
+def unpack_rows(x, dim):
+    """Inverse of :func:`pack_rows`: (..., 8, C) -> (..., dim)."""
+    x = jnp.asarray(x)
+    return x.reshape(x.shape[:-2] + (-1,))[..., :dim]

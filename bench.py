@@ -38,7 +38,7 @@ REFERENCE_ITERS_PER_SEC = 4.97
 def main():
     d = 1000
     S = 10
-    n_steps = 1000
+    n_steps = 5000
     approx = FullRankGaussian(d)
     model, _ = zoo.logistic_regression(dim=d, n_data=512)
     objective = ExclusiveKL(approx, model, S)

@@ -6,78 +6,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from viabel_tpu.ops.chol import chol_sample_and_logdiag, chol_sample_matmul
-
-
-def _reference(theta, mu, z):
-    d = theta.shape[0]
-    eye_b = jnp.asarray(np.eye(d, dtype=bool))
-    tril = jnp.asarray(np.tril(np.ones((d, d)), -1))
-    L = jnp.where(eye_b, jnp.exp(theta), theta * tril.astype(theta.dtype))
-    ld = jnp.sum(jnp.where(eye_b, theta, 0.0), axis=1)
-    return mu + z @ L.T, ld
-
-
-@pytest.mark.parametrize("d,S", [(8, 4), (16, 3), (130, 5)])
-def test_chol_sample_forward(d, S):
-    rng = np.random.RandomState(0)
-    theta = jnp.asarray(rng.randn(d, d))
-    mu = jnp.asarray(rng.randn(d))
-    z = jnp.asarray(rng.randn(S, d))
-    x, ld = chol_sample_and_logdiag(theta, mu, z)
-    x_ref, ld_ref = _reference(theta, mu, z)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_ref), rtol=1e-12)
-
-
-@pytest.mark.parametrize("d,S", [(8, 4), (32, 6)])
-def test_chol_sample_vjp(d, S):
-    rng = np.random.RandomState(1)
-    theta = jnp.asarray(rng.randn(d, d))
-    mu = jnp.asarray(rng.randn(d))
-    z = jnp.asarray(rng.randn(S, d))
-
-    def f_ker(th, m, zz):
-        x, ld = chol_sample_and_logdiag(th, m, zz)
-        return jnp.sum(jnp.sin(x)) + jnp.sum(jnp.cos(ld))
-
-    def f_ref(th, m, zz):
-        x, ld = _reference(th, m, zz)
-        return jnp.sum(jnp.sin(x)) + jnp.sum(jnp.cos(ld))
-
-    g_ker = jax.grad(f_ker, argnums=(0, 1, 2))(theta, mu, z)
-    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(theta, mu, z)
-    for a, b in zip(g_ker, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
-
-
-def test_chol_sample_matches_family():
-    """Kernel agrees with FullRankGaussian's jnp sampler given the same
-    theta layout and noise."""
-    from viabel_tpu import FullRankGaussian
-    d = 12
-    fam = FullRankGaussian(d)
-    rng = np.random.RandomState(2)
-    vp = jnp.asarray(rng.randn(fam.var_param_dim))
-    mu, log_diag, L = fam.unpack(vp)
-    z = jnp.asarray(rng.randn(7, d))
-    x, ld = chol_sample_and_logdiag(vp[d:].reshape(d, d), mu, z)
-    np.testing.assert_allclose(np.asarray(x), np.asarray(mu + z @ L.T),
-                               rtol=1e-10)
-    np.testing.assert_allclose(np.asarray(ld), np.asarray(log_diag),
-                               rtol=1e-12)
-
-
-def test_chol_sample_matmul_alias():
-    rng = np.random.RandomState(3)
-    d = 8
-    theta = jnp.asarray(rng.randn(d, d))
-    mu = jnp.asarray(rng.randn(d))
-    z = jnp.asarray(rng.randn(2, d))
-    np.testing.assert_allclose(
-        np.asarray(chol_sample_matmul(theta, mu, z)),
-        np.asarray(chol_sample_and_logdiag(theta, mu, z)[0]))
-
 
 class TestBlockedTriangularSolve:
     def _make(self, d, lower, rng):
@@ -111,6 +39,37 @@ class TestBlockedTriangularSolve:
         for a, b in zip(g_ref, g_blk):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-12)
+
+
+def test_vmem_solve_matches_solve_triangular():
+    from jax.scipy.linalg import solve_triangular
+    from viabel_tpu.ops.trsm import vmem_solve_triangular
+    rng = np.random.RandomState(4)
+    for d, S, lower in [(8, 3, True), (130, 5, False), (300, 7, True),
+                        (1000, 10, False)]:
+        A = np.tril(rng.randn(d, d)) + d * np.eye(d)
+        T = A if lower else A.T
+        B = rng.randn(d, S)
+        ref = solve_triangular(jnp.asarray(T), jnp.asarray(B), lower=lower)
+        got = vmem_solve_triangular(jnp.asarray(T), jnp.asarray(B), lower)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-9, atol=1e-12)
+
+
+def test_stl_transpose_solve_matches_factor_solve():
+    """The STL score kernel forms L from raw theta in-kernel and solves
+    L^T X = B; must match an explicit factor + solve."""
+    from jax.scipy.linalg import solve_triangular
+    from viabel_tpu.ops.trsm import stl_transpose_solve
+    rng = np.random.RandomState(14)
+    for d, S in [(8, 3), (130, 5), (256, 4), (1000, 10)]:
+        theta = rng.randn(d, d)
+        L = np.tril(theta, -1) + np.diag(np.exp(np.diag(theta)))
+        B = rng.randn(d, S)
+        ref = solve_triangular(jnp.asarray(L.T), jnp.asarray(B), lower=False)
+        got = stl_transpose_solve(jnp.asarray(theta), jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-8, atol=1e-12)
 
 
 def test_ring_group_stats_matches_jnp():
@@ -175,7 +134,7 @@ def test_ring_stats_pallas_path_matches_jnp_path():
     """Force-enable the Pallas ring-stats path (interpret mode on CPU) and
     compare against the jnp fallback."""
     from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
-    from viabel_tpu.ops.chol import set_pallas_enabled
+    from viabel_tpu.ops.dispatch import set_pallas_enabled
     rng = np.random.RandomState(8)
     R, d, t, G = 128, 7, 200, 8
     ring, _ = _fill_ring(R, d, t, rng)

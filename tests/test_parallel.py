@@ -144,3 +144,40 @@ def test_fsdp_divisibility_checks():
         FSDPFullRankELBO(6, model, 8, mesh, mc_axis="mc")  # 6 % 4 != 0
     with pytest.raises(ValueError):
         FSDPFullRankELBO(8, model, 7, mesh, mc_axis="mc")  # 7 % 2 != 0
+
+
+def test_sharded_faso_matches_unsharded():
+    """FASO with the history ring + convergence stats sharded over `mc`
+    must produce the same results as unsharded FASO driving the identical
+    objective (placement-only difference)."""
+    from viabel_tpu import FASO, MFGaussian, RMSProp
+    from viabel_tpu.parallel import ShardedExclusiveKL
+
+    d = 4
+    mean = np.arange(d, dtype=float)
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(d))
+    mesh = make_mesh((8,), ("mc",))
+    approx = MFGaussian(d)
+    obj = ShardedExclusiveKL(approx, model, 16, mesh)
+
+    res_plain = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.05).optimize(
+        1200, obj, approx.init_param(), key=jax.random.PRNGKey(0))
+    res_shard = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.05,
+                     mesh=mesh, shard_axis="mc").optimize(
+        1200, obj, approx.init_param(), key=jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(np.asarray(res_shard["opt_param"]),
+                               np.asarray(res_plain["opt_param"]),
+                               rtol=1e-5, atol=1e-7)
+    assert res_shard["k_stopped"] == res_plain["k_stopped"]
+    assert res_shard["k_conv"] == res_plain["k_conv"]
+    mu, cov = approx.mean_and_cov(res_shard["opt_param"])
+    np.testing.assert_allclose(np.asarray(mu), mean, atol=0.15)
+
+
+def test_distributed_init_single_process():
+    """With no cluster environment, distributed_init is a no-op returning
+    the local devices."""
+    from viabel_tpu.parallel import distributed_init
+    devs = distributed_init()
+    assert len(devs) == len(jax.devices())

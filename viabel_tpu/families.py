@@ -40,8 +40,6 @@ entropies drop df-only constants (reference approximations.py:277, 352).
 """
 
 
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -55,9 +53,11 @@ from .utils import ensure_2d
 
 
 def _tri_solve(T, B, lower=True):
-    """Triangular solve, dispatching to the blocked MXU formulation at the
-    sizes where XLA's serial trsm is latency-bound (measured ~1.5x faster
-    at d=1000 on TPU v5e; see viabel_tpu/ops/trsm.py)."""
+    """Differentiable triangular solve, dispatching to the blocked MXU
+    formulation where XLA's serial trsm is latency-bound (~10-15% faster at
+    d=1000 with per-step-fresh factors; see viabel_tpu/ops/trsm.py.  The
+    non-differentiable STL score path uses the much faster VMEM-resident
+    kernel instead — ops/trsm.py:stl_transpose_solve)."""
     if T.shape[0] >= 256:
         return blocked_solve_triangular(T, B, lower)
     return solve_triangular(T, B, lower=lower)
@@ -390,30 +390,45 @@ class _CholeskyFamily(ApproximationFamily):
 
 
 @jax.custom_vjp
-def _stl_gaussian_logq(x, L_stop, log_diag_stop, z):
-    """Gaussian log density at ``x = mu + z @ L^T`` under *stopped* params.
+def _stl_attach(x, v, const):
+    """The "sticking the landing" log-density hook: value is the
+    precomputed (parameter-stopped) ``const``; the gradient enters only
+    through the samples, ``d log q / dx = -v``, with ``v`` precomputed
+    under stopped parameters.
 
-    Value uses the identity ``L^{-1}(x - mu) == z`` (no forward triangular
-    solve); the VJP supplies the exact path gradient
-    ``d log q / dx = -L^{-T} z`` with a single backward solve.  Halves the
-    triangular-solve cost of the STL estimator for Cholesky families.
+    Keeping every custom-VJP operand an ``(S,)``/``(S, d)`` array matters:
+    an earlier formulation passed the d x d stopped factor through the VJP
+    boundary, and the 4 MB residual save + 4 MB zero cotangent per step
+    cost more than the entire entropy-form gradient at the d=1000 flagship
+    (measured 92 vs 36 us/step — see docs/benchmarks.md).
     """
-    d = z.shape[-1]
-    return -0.5 * jnp.sum(z**2, axis=-1) - jnp.sum(log_diag_stop) - 0.5 * d * _LOG_2PI
+    return const
 
 
-def _stl_gaussian_logq_fwd(x, L_stop, log_diag_stop, z):
-    return _stl_gaussian_logq(x, L_stop, log_diag_stop, z), (L_stop, z)
+def _stl_attach_fwd(x, v, const):
+    return const, (v,)
 
 
-def _stl_gaussian_logq_bwd(res, g):
-    L_stop, z = res
-    dx = -_tri_solve(L_stop.T, z.T, lower=False).T * g[:, None]
-    return (dx, jnp.zeros_like(L_stop),
-            jnp.zeros(L_stop.shape[0], dtype=L_stop.dtype), jnp.zeros_like(z))
+def _stl_attach_bwd(res, g):
+    (v,) = res
+    return (-v * g[:, None], jnp.zeros_like(v), jnp.zeros_like(g))
 
 
-_stl_gaussian_logq.defvjp(_stl_gaussian_logq_fwd, _stl_gaussian_logq_bwd)
+_stl_attach.defvjp(_stl_attach_fwd, _stl_attach_bwd)
+
+
+def _stl_whiten_T(theta_stop, L_stop, w_stop):
+    """``L^{-T} w`` under stopped parameters: the STL score direction.
+
+    Dispatches to the VMEM-resident Pallas solve that forms the factor
+    in-kernel from ``theta`` (never materializing ``L`` for the solve);
+    falls back to the blocked solve off-TPU / at large d.
+    """
+    from .ops.dispatch import pallas_enabled
+    from .ops.trsm import _VMEM_MAX_DIM, stl_transpose_solve
+    if pallas_enabled() and theta_stop.shape[0] <= _VMEM_MAX_DIM:
+        return stl_transpose_solve(theta_stop, w_stop.T).T
+    return _tri_solve(L_stop.T, w_stop.T, lower=False).T
 
 
 class FullRankGaussian(_CholeskyFamily):
@@ -445,13 +460,19 @@ class FullRankGaussian(_CholeskyFamily):
         return samples, entropy
 
     def sample_and_stl_log_density(self, var_param, n_samples, key):
+        d = self.dim
         mu, log_diag, L = self.unpack(var_param)
-        z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
+        z = jax.random.normal(key, (n_samples, d), dtype=var_param.dtype)
         samples = mu + z @ L.T
-        log_q = _stl_gaussian_logq(
-            samples, lax.stop_gradient(L), lax.stop_gradient(log_diag),
-            lax.stop_gradient(z))
-        return samples, log_q
+        # value via the identity L^{-1}(x - mu) == z (no forward solve);
+        # score direction L^{-T} z under stopped params (one solve)
+        theta_s = lax.stop_gradient(var_param[d:]).reshape(d, d)
+        v = _stl_whiten_T(theta_s, lax.stop_gradient(L),
+                          lax.stop_gradient(z))
+        const = lax.stop_gradient(
+            -0.5 * jnp.sum(z**2, axis=-1) - jnp.sum(log_diag)
+            - 0.5 * d * _LOG_2PI)
+        return samples, _stl_attach(samples, v, const)
 
     def _entropy(self, var_param):
         _, log_diag, _ = self.unpack(var_param)
@@ -490,40 +511,6 @@ class FullRankGaussian(_CholeskyFamily):
 
     def supports_pth_moment(self, p):
         return p in (2, 4)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _stl_student_t_logq(x, L_stop, log_diag_stop, w, df):
-    """Student-t log density at ``x = mu + L w`` under *stopped* params,
-    with ``w`` the whitened deviation ``L^{-1}(x - mu)`` (known from the
-    sampler).  Value: no solve; VJP: one triangular solve for
-    ``d log q / dx = -(df + d)/(df + maha) * L^{-T} w``."""
-    d = w.shape[-1]
-    maha = jnp.sum(w**2, axis=-1)
-    return (
-        gammaln(0.5 * (df + d))
-        - gammaln(0.5 * df)
-        - 0.5 * d * jnp.log(jnp.pi * df)
-        - jnp.sum(log_diag_stop)
-        - 0.5 * (df + d) * jnp.log1p(maha / df)
-    )
-
-
-def _stl_student_t_logq_fwd(x, L_stop, log_diag_stop, w, df):
-    return _stl_student_t_logq(x, L_stop, log_diag_stop, w, df), (L_stop, w)
-
-
-def _stl_student_t_logq_bwd(df, res, g):
-    L_stop, w = res
-    d = w.shape[-1]
-    maha = jnp.sum(w**2, axis=-1)
-    scale = (df + d) / (df + maha)
-    dx = -_tri_solve(L_stop.T, w.T, lower=False).T * (scale * g)[:, None]
-    return (dx, jnp.zeros_like(L_stop),
-            jnp.zeros(L_stop.shape[0], dtype=L_stop.dtype), jnp.zeros_like(w))
-
-
-_stl_student_t_logq.defvjp(_stl_student_t_logq_fwd, _stl_student_t_logq_bwd)
 
 
 class MultivariateT(_CholeskyFamily):
@@ -568,13 +555,23 @@ class MultivariateT(_CholeskyFamily):
     def sample_and_stl_log_density(self, var_param, n_samples, key):
         """Fused STL log density: the whitened deviation ``L^{-1}(x - mu)``
         equals the scaled noise ``z / s`` by construction, so the value
-        needs no triangular solve; the VJP does exactly one (see
-        :func:`_stl_student_t_logq`)."""
+        needs no triangular solve; the score direction
+        ``(df + d)/(df + maha) L^{-T} w`` costs exactly one (see
+        :func:`_stl_attach` / :func:`_stl_whiten_T`)."""
+        d, df = self.dim, self.df
         samples, w, _, log_diag, L = self._draw(var_param, n_samples, key)
-        log_q = _stl_student_t_logq(
-            samples, lax.stop_gradient(L), lax.stop_gradient(log_diag),
-            lax.stop_gradient(w), self.df)
-        return samples, log_q
+        w_s = lax.stop_gradient(w)
+        maha = jnp.sum(w_s**2, axis=-1)
+        theta_s = lax.stop_gradient(var_param[d:]).reshape(d, d)
+        v = _stl_whiten_T(theta_s, lax.stop_gradient(L), w_s)
+        v = v * ((df + d) / (df + maha))[:, None]
+        const = lax.stop_gradient(
+            gammaln(0.5 * (df + d))
+            - gammaln(0.5 * df)
+            - 0.5 * d * jnp.log(jnp.pi * df)
+            - jnp.sum(log_diag)
+            - 0.5 * (df + d) * jnp.log1p(maha / df))
+        return samples, _stl_attach(samples, v, const)
 
     def _entropy(self, var_param):
         # 0.5 log det Sigma, dropping df-only constants (reference 351-354)

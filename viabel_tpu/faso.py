@@ -63,8 +63,10 @@ __all__ = ["FASO", "RAABBVI"]
 _now = time.perf_counter
 
 
-_rhat_ring = jax.jit(split_rhat_ring_windows, static_argnames=("group",))
-_ring_mean = jax.jit(ring_window_mean, static_argnames=("group",))
+_rhat_ring = jax.jit(split_rhat_ring_windows,
+                     static_argnames=("group", "use_pallas"))
+_ring_mean = jax.jit(ring_window_mean,
+                     static_argnames=("group", "use_pallas"))
 
 
 def _largest_divisor_leq(n, cap):
@@ -146,7 +148,8 @@ class FASO(Optimizer):
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
                  k_check=None, max_history=None, rhat_threshold=1.1,
-                 rhat_group=None, check_pipeline=4):
+                 rhat_group=None, check_pipeline=4, mesh=None,
+                 shard_axis="mc"):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -158,6 +161,8 @@ class FASO(Optimizer):
         self._rhat_threshold = float(rhat_threshold)
         self._rhat_group = int(rhat_group) if rhat_group else None
         self._check_pipeline = int(check_pipeline)
+        self._mesh = mesh
+        self._shard_axis = shard_axis
         if self._check_pipeline < 0:
             raise ValueError('"check_pipeline" must be non-negative')
         if mcse_threshold <= 0:
@@ -286,6 +291,19 @@ class FASO(Optimizer):
         R = max(R, 2 * self._W_min)
         R = -(-R // G) * G  # round up to whole groups
         ring = jnp.zeros((R, 8, packed_width(D)), dtype=var_param.dtype)
+        # data-parallel layout: shard the ring (and hence every window
+        # statistic) over the packed coordinate axis of `mesh` — R-hat,
+        # MCSE and window means are coordinate-wise, so GSPMD partitions
+        # them with only the final max/min reductions crossing devices.
+        # The jnp stats path is used when sharded (the Pallas kernel has
+        # no partitioning rule).
+        use_pallas = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as PS
+            ring = jax.device_put(ring, NamedSharding(
+                self._mesh, PS(None, None, self._shard_axis)))
+            use_pallas = False
         opt_state = (self._sgo.init_state(var_param)
                      if init_opt_state is None else init_opt_state)
         obj_state = _obj_init_state(objective, var_param)
@@ -320,6 +338,11 @@ class FASO(Optimizer):
             obj_state = resume_state.get("obj_state", obj_state)
             key = resume_state["key"]
             ring = jnp.asarray(resume_state["ring"])
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+                ring = jax.device_put(ring, NamedSharding(
+                    self._mesh, PS(None, None, self._shard_axis)))
             R = ring.shape[0]  # the checkpointed ring wins over local sizing
             t = jnp.asarray(resume_state["t"])
             k = int(resume_state["k"])
@@ -363,7 +386,8 @@ class FASO(Optimizer):
                 # would produce after back-dating
                 w_eff = min(best_W + (k - ck_k), R, k)
                 iterate_average = unpack_rows(
-                    _ring_mean(ring, t, jnp.asarray(w_eff), group=G), D)
+                    _ring_mean(ring, t, jnp.asarray(w_eff), group=G,
+                               use_pallas=use_pallas), D)
             if diagnostics:
                 history["iterate_average_k_history"].append(ck_k)
                 history["iterate_average_history"].append(iterate_average)
@@ -424,7 +448,8 @@ class FASO(Optimizer):
                     pending.append({
                         "k": k, "windows": windows,
                         "r_hats": _rhat_ring(ring, t, jnp.asarray(windows),
-                                             group=G)})
+                                             group=G,
+                                             use_pallas=use_pallas)})
             while pending and len(pending) > pipeline:
                 if process_check(pending.popleft()):
                     pending.clear()
@@ -434,7 +459,8 @@ class FASO(Optimizer):
             if k_conv is not None and k - k_conv >= W_check:
                 W = min(k - k_conv, R, k)
                 iterate_average = unpack_rows(
-                    _ring_mean(ring, t, jnp.asarray(W), group=G), D)
+                    _ring_mean(ring, t, jnp.asarray(W), group=G,
+                               use_pallas=use_pallas), D)
                 if diagnostics and (not history["iterate_average_k_history"]
                                     or history["iterate_average_k_history"][-1] != k):
                     history["iterate_average_k_history"].append(k)
@@ -491,7 +517,8 @@ class FASO(Optimizer):
             # best-window average once now so opt_param matches the reference
             # (optimization.py:556, 632) instead of handing back init_param.
             iterate_average = unpack_rows(
-                _ring_mean(ring, t, jnp.asarray(last_best_W), group=G), D)
+                _ring_mean(ring, t, jnp.asarray(last_best_W), group=G,
+                           use_pallas=use_pallas), D)
 
         if k_stopped is None and not interrupted:
             if k_conv is None:

@@ -287,9 +287,9 @@ def split_rhat_windowed(history, w, jitter=1e-8):
 # ---------------------------------------------------------------------------
 
 
-def _ring_group_stats(ring, center, group):
-    from .ops.chol import pallas_enabled
-    if pallas_enabled():
+def _ring_group_stats(ring, center, group, use_pallas=None):
+    from .ops.dispatch import pallas_enabled
+    if pallas_enabled() if use_pallas is None else use_pallas:
         from .ops.ringstats import ring_group_stats
         return ring_group_stats(ring, center, group)
     R = ring.shape[0]
@@ -297,7 +297,7 @@ def _ring_group_stats(ring, center, group):
     return jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)
 
 
-def ring_cum_stats(ring, t, group):
+def ring_cum_stats(ring, t, group, use_pallas=None):
     """Cumulative group statistics of a packed ring, centered at the newest
     iterate (an uncentered one-pass sum-of-squares would cancel
     catastrophically in float32 near stationarity; variances are
@@ -316,7 +316,7 @@ def ring_cum_stats(ring, t, group):
     R = ring.shape[0]
     t = jnp.asarray(t)
     center = ring[(t - 1) % R]
-    GS, GQ = _ring_group_stats(ring, center, group)
+    GS, GQ = _ring_group_stats(ring, center, group, use_pallas)
     zero = jnp.zeros_like(GS[:1])
     cumS = jnp.concatenate([zero, jnp.cumsum(GS, axis=0)])
     cumQ = jnp.concatenate([zero, jnp.cumsum(GQ, axis=0)])
@@ -350,7 +350,8 @@ def _arcs(stats, bounds, group):
     return aS, aQ
 
 
-def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8):
+def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
+                            use_pallas=None):
     """Max split-R-hat for several windows, directly on the packed ring.
 
     ``windows``: (K,) candidate window sizes — each an even multiple of
@@ -366,7 +367,7 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8):
     """
     windows = jnp.asarray(windows)
     t = jnp.asarray(t)
-    stats = ring_cum_stats(ring, t, group)
+    stats = ring_cum_stats(ring, t, group, use_pallas)
     dtype = stats["cumS"].dtype
     h = windows // 2
     s1, q1 = _arcs(stats, t - windows, group)   # steps [t-w, t)
@@ -383,7 +384,7 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8):
     return jnp.max(jnp.sqrt(var_hat), axis=(1, 2))
 
 
-def ring_window_mean(ring, t, w, group):
+def ring_window_mean(ring, t, w, group, use_pallas=None):
     """Mean of the last ``w`` iterates of the packed ring — exact for any
     ``(t, w)`` (one boundary partial-group sum handles misalignment).
     Returns the packed ``(8, C)`` mean."""
@@ -391,7 +392,7 @@ def ring_window_mean(ring, t, w, group):
     R = ring.shape[0]
     t = jnp.asarray(t)
     w = jnp.asarray(w)
-    stats = ring_cum_stats(ring, t, group)
+    stats = ring_cum_stats(ring, t, group, use_pallas)
     b = t - w
     s0 = b % R
     g0 = s0 // group

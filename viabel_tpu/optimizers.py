@@ -352,14 +352,18 @@ class WindowedAdagrad(StochasticGradientOptimizer):
                          diagnostics=diagnostics)
 
     def init_state(self, var_param):
-        return {"ring": jnp.zeros((self._window_size,) + var_param.shape,
-                                  dtype=var_param.dtype),
+        # packed rows: an unpacked (window, D) row write pays a relayout +
+        # tile read-modify-write per step (see utils.pack_rows)
+        return {"ring": jnp.zeros(
+                    (self._window_size, 8, packed_width(var_param.shape[0])),
+                    dtype=var_param.dtype),
                 "t": jnp.asarray(0)}
 
     def descent_direction(self, grad, state):
         ring, t = state["ring"], state["t"]
-        ring = lax.dynamic_update_index_in_dim(ring, grad**2, t % self._window_size, 0)
+        ring = lax.dynamic_update_slice(
+            ring, pack_rows(grad**2)[None], (t % self._window_size, 0, 0))
         count = jnp.minimum(t + 1, self._window_size).astype(grad.dtype)
-        mean_sq = jnp.sum(ring, axis=0) / count
+        mean_sq = unpack_rows(jnp.sum(ring, axis=0), grad.shape[0]) / count
         direction = grad / jnp.sqrt(self._jitter + mean_sq)
         return direction, {"ring": ring, "t": t + 1}

@@ -15,6 +15,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..objectives import ExclusiveKL
+from ..utils import pack_rows, packed_width, unpack_rows
 
 __all__ = ["ShardedExclusiveKL", "multistart_optimize"]
 
@@ -64,7 +65,9 @@ def _scan_restart(sgo, objective_vag, objective_update, n_iters, window, lr):
 
     def one_restart(vp, key):
         D = vp.shape[0]
-        ring = jnp.zeros((window, D), dtype=vp.dtype)
+        # tile-aligned packed rows (see utils.pack_rows): an unpacked
+        # (window, D) row write costs a relayout + tile read-modify-write
+        ring = jnp.zeros((window, 8, packed_width(D)), dtype=vp.dtype)
 
         def body(carry, _):
             vp, st, key, ring, t = carry
@@ -72,13 +75,14 @@ def _scan_restart(sgo, objective_vag, objective_update, n_iters, window, lr):
             value, grad = objective_vag(vp, sub)
             direction, st = sgo.descent_direction(grad, st)
             vp = objective_update(vp, lr * direction)
-            ring = lax.dynamic_update_index_in_dim(ring, vp, t % window, 0)
+            ring = lax.dynamic_update_slice(
+                ring, pack_rows(vp)[None], (t % window, 0, 0))
             return (vp, st, key, ring, t + 1), value
 
         init = (vp, sgo.init_state(vp), key, ring, jnp.asarray(0))
         (vp, _, _, ring, _), values = lax.scan(body, init, None, length=n_iters)
         count = min(n_iters, window)
-        return jnp.sum(ring, axis=0) / count, vp, values
+        return unpack_rows(jnp.sum(ring, axis=0), D) / count, vp, values
 
     return one_restart
 

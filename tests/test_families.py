@@ -292,3 +292,49 @@ def test_sample_and_entropy_fused_matches():
         e2 = approx.entropy(vp)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-12)
         np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+
+
+def test_neuralnet_exact_pushforward_density():
+    """sample_and_log_density on an affine square net must equal the
+    analytic Gaussian density of the pushforward (new capability; the
+    reference NeuralNet has no density at all, approximations.py:438-439)."""
+    from viabel_tpu import NeuralNet
+    from scipy import stats
+    d = 3
+    net = NeuralNet([(d, d)], last=lambda x: x)  # affine: x = z @ W + b
+    rng = np.random.RandomState(31)
+    W = rng.randn(d, d)
+    b = rng.randn(d)
+    vp = jnp.asarray(np.concatenate([W.reshape(-1), b]))
+    x, log_q = net.sample_and_log_density(vp, 256, jax.random.PRNGKey(0))
+    expected = stats.multivariate_normal(mean=b, cov=W.T @ W).logpdf(
+        np.asarray(x))
+    np.testing.assert_allclose(np.asarray(log_q), expected, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_neuralnet_requires_square_layers():
+    from viabel_tpu import NeuralNet
+    net = NeuralNet([(2, 4), (4, 2)])
+    with pytest.raises(ValueError, match="square"):
+        net.sample_and_log_density(jnp.zeros(net.var_param_dim), 4,
+                                   jax.random.PRNGKey(0))
+
+
+def test_neuralnet_elbo_recovers_gaussian():
+    """The entropy-free ELBO path drives a tanh MLP pushforward toward a
+    diagonal Gaussian target."""
+    from viabel_tpu import ExclusiveKL, NeuralNet, RMSProp
+    from viabel_tpu.models import zoo
+    d = 2
+    mean = np.array([0.6, -0.4])
+    stdev = np.array([0.8, 0.5])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    net = NeuralNet([(d, d), (d, d)], last=lambda x: x)
+    obj = ExclusiveKL(net, model, 64)
+    rng = np.random.RandomState(33)
+    init = jnp.asarray(rng.randn(net.var_param_dim) * 0.3)
+    res = RMSProp(0.02).optimize(3000, obj, init, key=jax.random.PRNGKey(3))
+    samples = net.sample(res["opt_param"], 200000, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(samples).mean(0), mean, atol=0.1)
+    np.testing.assert_allclose(np.asarray(samples).std(0), stdev, atol=0.1)

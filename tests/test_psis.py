@@ -113,3 +113,28 @@ def test_gpdfit_matches_reference():
         k_jax, sigma_jax = gpdfitnew(jnp.asarray(x))
         np.testing.assert_allclose(float(k_jax), k_ref, atol=1e-8)
         np.testing.assert_allclose(float(sigma_jax), sigma_ref, atol=1e-8)
+
+
+@needs_reference
+def test_psisloo_matches_reference():
+    from viabel_tpu.psis import psisloo
+    ref = _load_reference_psis()
+    rng = np.random.RandomState(21)
+    # fake per-datapoint log likelihoods: (n_draws, n_data)
+    log_lik = -0.5 * (rng.randn(4000, 12) + rng.randn(1, 12)) ** 2
+    loo_ref, loos_ref, ks_ref = ref.psisloo(log_lik.copy())
+    loo, loos, ks = psisloo(jnp.asarray(log_lik))
+    np.testing.assert_allclose(float(loo), loo_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(loos), loos_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ks), ks_ref, atol=1e-6)
+
+
+def test_psisloo_shapes_and_consistency():
+    from viabel_tpu.psis import psisloo
+    rng = np.random.RandomState(22)
+    log_lik = -0.5 * rng.randn(2000, 7) ** 2
+    loo, loos, ks = psisloo(jnp.asarray(log_lik))
+    assert np.asarray(loos).shape == (7,)
+    assert np.asarray(ks).shape == (7,)
+    np.testing.assert_allclose(float(loo), float(np.sum(np.asarray(loos))),
+                               rtol=1e-6)

@@ -797,6 +797,32 @@ class NeuralNet(ApproximationFamily):
     def log_density(self, var_param, x):
         raise NotImplementedError()
 
+    def sample_and_log_density(self, var_param, n_samples, key):
+        """Samples plus their exact pushforward log density (square nets).
+
+        New capability beyond the reference (its NeuralNet has no usable
+        density at all, approximations.py:438-439): at the family's OWN
+        samples the latent ``z`` is known, so the change of variables
+        ``log q(x) = log p(z) - log |det J_f(z)|`` needs no inversion —
+        per-sample Jacobians via ``jacfwd`` + ``slogdet``.  Valid when the
+        network is square (every layer ``m == n``) and injective on the
+        support; enables the entropy-free ELBO
+        ``mean(model(x) - log q(x))`` for MLP pushforwards.
+        """
+        d = self.input_dim
+        if any(m != n for m, n in self._layers_shapes):
+            raise ValueError("exact pushforward density needs square layers")
+        z0 = jax.random.normal(key, (n_samples, d), dtype=var_param.dtype)
+        x = self.forward(var_param, z0)
+
+        def single(z):
+            return self.forward(var_param, z[None, :])[0]
+
+        jac = jax.vmap(jax.jacfwd(single))(z0)          # (n, d, d)
+        _, logdet = jnp.linalg.slogdet(jac)
+        log_p_z = jnp.sum(-0.5 * z0**2 - 0.5 * _LOG_2PI, axis=-1)
+        return x, log_p_z - logdet
+
     def mean_and_cov(self, var_param, key=None):
         if key is None:
             key = jax.random.PRNGKey(0)

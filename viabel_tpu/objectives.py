@@ -179,6 +179,11 @@ class ExclusiveKL(StochasticVariationalObjective):
         if approx.supports_entropy:
             samples, entropy = approx.sample_and_entropy(var_param, n, key)
             lower_bound = jnp.mean(model(samples)) + entropy
+        elif hasattr(approx, "sample_and_log_density"):
+            # families whose density is only tractable at their own samples
+            # (NeuralNet square pushforwards)
+            samples, log_q = approx.sample_and_log_density(var_param, n, key)
+            lower_bound = jnp.mean(model(samples) - log_q)
         else:
             samples = approx.sample(var_param, n, key)
             lower_bound = jnp.mean(model(samples) - approx.log_density(var_param, samples))

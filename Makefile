@@ -1,6 +1,6 @@
 # Development targets (reference Makefile:1-12 parity: lint + test).
 
-.PHONY: lint test test-fast bench native notebooks clean
+.PHONY: lint test test-fast bench native notebooks docs clean
 
 # enforced (non-zero exit on findings) — unlike the reference's advisory gate
 lint:
@@ -8,6 +8,13 @@ lint:
 
 notebooks:
 	python tools/run_notebooks.py
+
+# Sphinx docs (reference docs/source + RTD parity).  sphinx is not in the
+# dev image; install docs/requirements.txt first.
+docs:
+	@python -c "import sphinx" 2>/dev/null || \
+		{ echo "sphinx not installed: pip install -r docs/requirements.txt"; exit 1; }
+	sphinx-build -W -b html docs/source docs/_build/html
 
 test:
 	python -m pytest tests/ -q

@@ -1,9 +1,10 @@
 """Benchmark: BBVI iteration throughput at d=1000 full-rank (north star).
 
 Runs the flagship workload from BASELINE.json on the attached TPU chip:
-ExclusiveKL (STL path derivative) on a d=1000 Cholesky-parameterized
-full-rank Gaussian over a d=1000 Bayesian logistic regression posterior,
-RMSProp steps fused into a single `lax.scan` device loop.
+ExclusiveKL (closed-form-entropy estimator, the default) on a d=1000
+Cholesky-parameterized full-rank Gaussian over a d=1000 Bayesian logistic
+regression posterior, RMSProp steps fused into a single `lax.scan` device
+loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` divides by the measured reference anchor at the SAME config

@@ -257,11 +257,13 @@ def test_nvp_log_density_normalization():
 
 
 def test_stl_fused_log_density_matches_generic():
-    """The fused custom-VJP STL paths (FullRankGaussian, MultivariateT)
-    must match the generic stop_gradient formulation in value and grad."""
+    """The fused custom-VJP STL paths (FullRankGaussian, MultivariateT,
+    LRGaussian) must match the generic stop_gradient formulation in value
+    and grad."""
     from viabel_tpu.models import zoo
     model, _ = zoo.diagonal_gaussian(np.zeros(5), np.ones(5))
-    for approx in [families.FullRankGaussian(5), families.MultivariateT(5, 30)]:
+    for approx in [families.FullRankGaussian(5), families.MultivariateT(5, 30),
+                   families.LRGaussian(5, 2)]:
         rng = np.random.RandomState(0)
         vp = jnp.asarray(rng.randn(approx.var_param_dim))
         key = jax.random.PRNGKey(4)

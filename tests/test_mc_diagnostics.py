@@ -166,6 +166,29 @@ def test_split_rhat_ring_windows_unwrapped():
         np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)
 
 
+def test_split_rhat_ring_windows_top_k():
+    """``top_k=k`` returns the k-th largest per-coordinate R-hat (the
+    kernel behind FASO's ``rhat_quantile`` gate), never a packing pad."""
+    from viabel_tpu.mc_diagnostics import split_rhat_ring_windows
+    from viabel_tpu.utils import pack_rows
+    rng = np.random.RandomState(11)
+    R, d, G, t = 128, 5, 8, 128
+    full = rng.randn(t, d)
+    full[:, 2] += np.linspace(0.0, 5.0, t)  # one slow (trending) coordinate
+    ring = np.zeros((R, d))
+    for s in range(t):
+        ring[s % R] = full[s]
+    ringp = pack_rows(jnp.asarray(ring))
+    windows = np.array([64, 96])
+    for k in (1, 2, 4):
+        r_ring = np.asarray(split_rhat_ring_windows(
+            ringp, jnp.asarray(t), jnp.asarray(windows), group=G, top_k=k))
+        for i, w in enumerate(windows):
+            per_coord = np.sort(
+                np.asarray(compute_R_hat(jnp.asarray(full[t - w:]))))
+            np.testing.assert_allclose(r_ring[i], per_coord[-k], rtol=1e-6)
+
+
 def test_ess_vectorized_matches_while_loop():
     """The cumulative-op Geyer ESS must agree with the literal while-loop
     formulation across iid / AR(1) / trending / short-window inputs."""

@@ -136,6 +136,32 @@ def test_raabbvi_error_checks():
         RAABBVI(RMSProp(0.01), rho=1.5)
 
 
+def test_faso_rhat_quantile_gate():
+    """``rhat_quantile`` tolerates a fraction of slow coordinates: a run
+    with one persistently-trending coordinate converges under the quantile
+    gates but not under the reference max/min criterion (documented
+    behavior delta, off by default)."""
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), rhat_quantile=1.5)
+    dim = 5
+    target = np.zeros(dim)
+    target[0] = 1e6   # coordinate 0 drifts toward a far-away target the
+    scales = np.ones(dim)
+    scales[0] = 1e3   # whole run: linear trend, R-hat never near 1
+    objective = DummyObjective(target, noise=0.2, scales=scales)
+    init = jnp.zeros(dim)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10)
+    strict = FASO(RMSProp(0.05), **kwargs)
+    res = strict.optimize(3000, objective, init, key=jax.random.PRNGKey(3))
+    assert res["k_conv"] is None
+    relaxed = FASO(RMSProp(0.05), rhat_quantile=0.75, **kwargs)
+    res2 = relaxed.optimize(3000, objective, init, key=jax.random.PRNGKey(3))
+    assert res2["k_conv"] is not None
+    assert res2["k_stopped"] is not None
+    np.testing.assert_allclose(np.asarray(res2["opt_param"])[1:], target[1:],
+                               atol=0.05)
+
+
 def test_iterate_averaging_window():
     """opt_param is the mean of the trailing window, kept in an O(window)
     ring buffer rather than the full history."""

@@ -657,6 +657,32 @@ class LRGaussian(ApproximationFamily):
         eps = jax.random.normal(key_e, (n_samples, self.dim), dtype=var_param.dtype)
         return mu + z @ B.T + jnp.exp(log_sigma) * eps
 
+    def sample_and_stl_log_density(self, var_param, n_samples, key):
+        """Fused "sticking the landing" path (Roeder et al. 2017; the
+        reference's ``getval`` trick at objectives.py:156-159).
+
+        Like the Cholesky families' fused STL, the score direction
+        ``Sigma^{-1}(x - mu)`` is precomputed under stopped parameters and
+        attached through the (S, d)-operand-only custom VJP — but here the
+        whitening rides the Woodbury identity, so every solve stays in the
+        k x k capacitance matrix: STL at low rank costs O(S d k + k^3) extra,
+        never a d x d factorization (docs/roadmap.md "LRGaussian fused STL").
+        """
+        mu, log_sigma, B = self.unpack(var_param)
+        key_z, key_e = jax.random.split(key)
+        z = jax.random.normal(key_z, (n_samples, self._k), dtype=var_param.dtype)
+        eps = jax.random.normal(key_e, (n_samples, self.dim), dtype=var_param.dtype)
+        samples = mu + z @ B.T + jnp.exp(log_sigma) * eps
+        ls_s = lax.stop_gradient(log_sigma)
+        B_s = lax.stop_gradient(B)
+        dev_s = lax.stop_gradient(samples - mu)          # (n, d)
+        sol = self._sigma_solve(ls_s, B_s, dev_s.T)      # (d, n)
+        quad = jnp.sum(dev_s.T * sol, axis=0)
+        const = lax.stop_gradient(
+            -0.5 * (self.dim * _LOG_2PI
+                    + self._logdet_sigma(ls_s, B_s) + quad))
+        return samples, _stl_attach(samples, sol.T, const)
+
     # -- capacitance-matrix helpers ------------------------------------------
     @staticmethod
     def _capacitance(log_sigma, B):

@@ -64,7 +64,7 @@ _now = time.perf_counter
 
 
 _rhat_ring = jax.jit(split_rhat_ring_windows,
-                     static_argnames=("group", "use_pallas"))
+                     static_argnames=("group", "use_pallas", "top_k"))
 _ring_mean = jax.jit(ring_window_mean,
                      static_argnames=("group", "use_pallas"))
 
@@ -135,6 +135,19 @@ class FASO(Optimizer):
         coordinates, which becomes very strict at large var_param_dim
         (1e6 coordinates at the d=1000 full-rank flagship) — relax it
         there.
+    rhat_quantile : float or None
+        Optional relaxation of the convergence gates for very
+        high-dimensional parameters (BEHAVIOR DELTA, off by default).  The
+        reference's criterion takes the max R-hat / max MCSE / min ESS over
+        every flat coordinate (_mc_diagnostics.py:181,
+        optimization.py:597), which at 1e6 coordinates waits on the
+        handful of slowest-mixing factor coordinates (docs/benchmarks.md
+        "R-hat at scale").  With ``rhat_quantile=q`` (e.g. ``0.999``), the
+        gates instead require the q-quantile of per-coordinate R-hat and
+        MCSE below threshold and the (1-q)-quantile of ESS above
+        ``ESS_min`` — i.e. all but the worst ``(1-q)`` fraction of
+        coordinates converged.  ``None`` (default) reproduces the
+        reference's max/min criterion exactly.
     rhat_group : int or None
         Granularity of the on-device window statistics: candidate R-hat
         windows quantize to even multiples of ``2 * rhat_group`` (the
@@ -148,8 +161,8 @@ class FASO(Optimizer):
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
                  k_check=None, max_history=None, rhat_threshold=1.1,
-                 rhat_group=None, check_pipeline=4, mesh=None,
-                 shard_axis="mc"):
+                 rhat_quantile=None, rhat_group=None, check_pipeline=4,
+                 mesh=None, shard_axis="mc"):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -159,6 +172,7 @@ class FASO(Optimizer):
         self._k_check = int(W_min if k_check is None else k_check)
         self._max_history = max_history
         self._rhat_threshold = float(rhat_threshold)
+        self._rhat_quantile = None if rhat_quantile is None else float(rhat_quantile)
         self._rhat_group = int(rhat_group) if rhat_group else None
         self._check_pipeline = int(check_pipeline)
         self._mesh = mesh
@@ -173,6 +187,9 @@ class FASO(Optimizer):
             raise ValueError('"k_check" must be greater than zero')
         if self._ESS_min <= 0:
             raise ValueError('"ESS_min" must be greater than zero')
+        if self._rhat_quantile is not None and not (
+                0.0 < self._rhat_quantile < 1.0):
+            raise ValueError('"rhat_quantile" must be in (0, 1)')
         if self._rhat_group is not None and (
                 self._rhat_group <= 0
                 or self._k_check % self._rhat_group != 0):
@@ -277,6 +294,10 @@ class FASO(Optimizer):
 
         var_param = jnp.asarray(init_param)
         D = var_param.shape[0]
+        # quantile gate: the k-th largest per-coordinate statistic stands in
+        # for the q-quantile (k-1 coordinates are allowed above threshold)
+        rhat_top_k = (1 if self._rhat_quantile is None
+                      else max(1, int((1.0 - self._rhat_quantile) * D) + 1))
         # R-hat group granularity: boundaries quantize to this grid.  Must
         # divide k_check (checks happen at k_check multiples, so t is then
         # group-aligned and every quantized boundary lands on a whole
@@ -445,11 +466,20 @@ class FASO(Optimizer):
                     half = np.ceil(cand / (2 * G)).astype(int) * G
                     half = np.clip(half, G, (W_upper // (2 * G)) * G)
                     windows = np.unique(2 * half)
-                    pending.append({
-                        "k": k, "windows": windows,
-                        "r_hats": _rhat_ring(ring, t, jnp.asarray(windows),
-                                             group=G,
-                                             use_pallas=use_pallas)})
+                    r_hats = _rhat_ring(ring, t, jnp.asarray(windows),
+                                        group=G, use_pallas=use_pallas,
+                                        top_k=rhat_top_k)
+                    # start the (tiny) device->host copy immediately: the
+                    # verdict lands on host while later segments run, so
+                    # the pipelined read `check_pipeline` segments from now
+                    # costs no fresh host<->device round trip (~36 ms
+                    # through a remote-device tunnel — more than a whole
+                    # segment; see docs/benchmarks.md)
+                    prefetch = getattr(r_hats, "copy_to_host_async", None)
+                    if prefetch is not None:
+                        prefetch()
+                    pending.append({"k": k, "windows": windows,
+                                    "r_hats": r_hats})
             while pending and len(pending) > pipeline:
                 if process_check(pending.popleft()):
                     pending.clear()
@@ -474,8 +504,18 @@ class FASO(Optimizer):
                     history["ess_and_mcse_k_history"].append(k)
                     history["ess_history"].append(eff)
                     history["mcse_history"].append(mcse)
-                if (np.max(mcse) < mcse_threshold
-                        and np.min(eff) > self._ESS_min):
+                if self._rhat_quantile is None:
+                    gates_pass = (np.max(mcse) < mcse_threshold
+                                  and np.min(eff) > self._ESS_min)
+                else:
+                    # quantile gates over the real (unpadded) coordinates;
+                    # packing pads are constant zero (mcse 0 / ess inf), so
+                    # they must be excluded from low quantiles
+                    q = self._rhat_quantile
+                    gates_pass = (
+                        float(np.quantile(mcse[:D], q)) < mcse_threshold
+                        and float(np.quantile(eff[:D], 1.0 - q)) > self._ESS_min)
+                if gates_pass:
                     k_stopped = k
                     break
                 # adaptive cost-aware recheck growth (reference 601-605).
@@ -535,9 +575,13 @@ class FASO(Optimizer):
         else:
             print("Convergence reached at iteration", k_stopped)
 
-        results = {d: (jnp.concatenate(h) if d in ("value_history",
-                                                   "grad_history",
-                                                   "descent_dir_history")
+        # grad/descent-dir histories were streamed to HOST numpy per segment
+        # (8 MB/step at the flagship) — concatenate them there; a
+        # jnp.concatenate would round-trip the whole history through device
+        # memory (measured ResourceExhausted at d=1000, n_iters=3000)
+        results = {d: (jnp.concatenate(h) if d == "value_history"
+                       else np.concatenate(h) if d in ("grad_history",
+                                                       "descent_dir_history")
                        else np.asarray(h))
                    for d, h in history.items() if h}
         results["k_conv"] = k_conv
@@ -850,7 +894,9 @@ class RAABBVI(FASO):
             if d == "value_history" and h:
                 results[d] = jnp.concatenate(h)
             elif d in ("grad_history", "descent_dir_history") and h:
-                results[d] = jnp.concatenate(h)
+                # host-side concat: these are streamed numpy segments and
+                # can exceed device memory at scale (see FASO.optimize)
+                results[d] = np.concatenate(h)
             elif d == "iterate_average_curr_hist":
                 results[d] = jnp.stack(h)
             elif h is not None:

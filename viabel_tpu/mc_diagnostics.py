@@ -351,7 +351,7 @@ def _arcs(stats, bounds, group):
 
 
 def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
-                            use_pallas=None):
+                            use_pallas=None, top_k=1):
     """Max split-R-hat for several windows, directly on the packed ring.
 
     ``windows``: (K,) candidate window sizes — each an even multiple of
@@ -364,6 +364,16 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     Returns ``(K,)`` max-over-coordinates split-R-hat values — the same
     statistic as :func:`split_rhat_windowed` (reference
     _mc_diagnostics.py:144-159) evaluated at the quantized windows.
+
+    ``top_k`` (static): return the ``top_k``-th largest per-coordinate
+    R-hat instead of the max — the kernel behind FASO's optional
+    ``rhat_quantile`` gate for very high-dimensional parameters, where the
+    max over 1e6 coordinates is dominated by the handful of slowest-mixing
+    factor coordinates (docs/benchmarks.md "R-hat at scale").  Packing-pad
+    coordinates are constant zero, so their ``var_hat`` sits at the exact
+    floor ``(h-1)/h`` — below (or tied with) every real coordinate — and
+    the k-th largest over the padded slab equals the k-th largest over the
+    real coordinates for any ``top_k`` <= the real coordinate count.
     """
     windows = jnp.asarray(windows)
     t = jnp.asarray(t)
@@ -381,7 +391,11 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     B = h_f * ((m1 - grand) ** 2 + (m2 - grand) ** 2)
     W = (v1 + v2) / 2.0 + jitter
     var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
-    return jnp.max(jnp.sqrt(var_hat), axis=(1, 2))
+    rhat = jnp.sqrt(var_hat)
+    if top_k == 1:
+        return jnp.max(rhat, axis=(1, 2))
+    flat = rhat.reshape(rhat.shape[0], -1)
+    return lax.top_k(flat, int(top_k))[0][:, -1]
 
 
 def ring_window_mean(ring, t, w, group, use_pallas=None):

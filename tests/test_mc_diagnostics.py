@@ -187,6 +187,14 @@ def test_split_rhat_ring_windows_top_k():
             per_coord = np.sort(
                 np.asarray(compute_R_hat(jnp.asarray(full[t - w:]))))
             np.testing.assert_allclose(r_ring[i], per_coord[-k], rtol=1e-6)
+    # sort-free exceedance count (the FASO rhat_quantile gate kernel)
+    for thr in (1.05, 1.1, 1.5):
+        counts = np.asarray(split_rhat_ring_windows(
+            ringp, jnp.asarray(t), jnp.asarray(windows), group=G,
+            exceed_threshold=thr))
+        for i, w in enumerate(windows):
+            per_coord = np.asarray(compute_R_hat(jnp.asarray(full[t - w:])))
+            assert counts[i] == np.sum(per_coord > thr)
 
 
 def test_ess_vectorized_matches_while_loop():

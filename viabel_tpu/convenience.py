@@ -32,6 +32,15 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     for argument-validation parity but is not supported — port the model to
     a JAX ``log_density`` instead (see ``viabel_tpu.models.zoo``).
     ``key`` is an optional ``jax.random`` key controlling all sampling.
+
+    Large-``dimension`` guidance (measured, docs/benchmarks.md): with a
+    full-rank family at d >= ~2000 the default ``num_mc_samples=10`` is
+    noise-limited — raise it (samples are cheap relative to parameter
+    traffic) or use an ``ExclusiveKL(..., use_path_deriv=True)`` objective;
+    and the max-over-coordinates convergence gates become very strict at
+    1e6+ flat coordinates — ``FASO_kwargs/RAABBVI_kwargs = dict(
+    max_history=..., rhat_quantile=0.999)`` bounds ring memory and keeps
+    the slowest few coordinates from holding the run hostage.
     """
     RMS_kwargs = dict(RMS_kwargs or {})
     FASO_kwargs = dict(FASO_kwargs or {})

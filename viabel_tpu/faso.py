@@ -64,7 +64,8 @@ _now = time.perf_counter
 
 
 _rhat_ring = jax.jit(split_rhat_ring_windows,
-                     static_argnames=("group", "use_pallas", "top_k"))
+                     static_argnames=("group", "use_pallas", "top_k",
+                                      "exceed_threshold"))
 _ring_mean = jax.jit(ring_window_mean,
                      static_argnames=("group", "use_pallas"))
 
@@ -294,10 +295,12 @@ class FASO(Optimizer):
 
         var_param = jnp.asarray(init_param)
         D = var_param.shape[0]
-        # quantile gate: the k-th largest per-coordinate statistic stands in
-        # for the q-quantile (k-1 coordinates are allowed above threshold)
-        rhat_top_k = (1 if self._rhat_quantile is None
-                      else max(1, int((1.0 - self._rhat_quantile) * D) + 1))
+        # quantile gate: "q-quantile of R-hat <= threshold" == "at most
+        # (1-q)*D coordinates exceed threshold" — checked with a sort-free
+        # exceedance count (a top_k over 1e6 coordinates lowers to a
+        # ~100 ms device sort per check; the count is one extra reduce)
+        rhat_allowed = (None if self._rhat_quantile is None
+                        else int((1.0 - self._rhat_quantile) * D))
         # R-hat group granularity: boundaries quantize to this grid.  Must
         # divide k_check (checks happen at k_check multiples, so t is then
         # group-aligned and every quantized boundary lands on a whole
@@ -399,7 +402,12 @@ class FASO(Optimizer):
             best = int(np.argmin(r_hats))
             best_W = int(ck["windows"][best])
             last_best_W = best_W
-            passed = bool(r_hats[best] <= self._rhat_threshold)
+            # max mode: r_hats are max-R-hat values, gated by threshold;
+            # quantile mode: r_hats are above-threshold coordinate counts,
+            # gated by the allowed count (ties pick the smallest window)
+            passed = bool(r_hats[best] <= (self._rhat_threshold
+                                           if rhat_allowed is None
+                                           else rhat_allowed))
             if diagnostics or passed:
                 # extend the averaging window over iterates that ran while
                 # the verdict was in flight: the average covers
@@ -466,9 +474,11 @@ class FASO(Optimizer):
                     half = np.ceil(cand / (2 * G)).astype(int) * G
                     half = np.clip(half, G, (W_upper // (2 * G)) * G)
                     windows = np.unique(2 * half)
-                    r_hats = _rhat_ring(ring, t, jnp.asarray(windows),
-                                        group=G, use_pallas=use_pallas,
-                                        top_k=rhat_top_k)
+                    r_hats = _rhat_ring(
+                        ring, t, jnp.asarray(windows), group=G,
+                        use_pallas=use_pallas,
+                        exceed_threshold=(None if rhat_allowed is None
+                                          else self._rhat_threshold))
                     # start the (tiny) device->host copy immediately: the
                     # verdict lands on host while later segments run, so
                     # the pipelined read `check_pipeline` segments from now

@@ -351,7 +351,7 @@ def _arcs(stats, bounds, group):
 
 
 def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
-                            use_pallas=None, top_k=1):
+                            use_pallas=None, top_k=1, exceed_threshold=None):
     """Max split-R-hat for several windows, directly on the packed ring.
 
     ``windows``: (K,) candidate window sizes — each an even multiple of
@@ -366,14 +366,24 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     _mc_diagnostics.py:144-159) evaluated at the quantized windows.
 
     ``top_k`` (static): return the ``top_k``-th largest per-coordinate
-    R-hat instead of the max — the kernel behind FASO's optional
-    ``rhat_quantile`` gate for very high-dimensional parameters, where the
-    max over 1e6 coordinates is dominated by the handful of slowest-mixing
-    factor coordinates (docs/benchmarks.md "R-hat at scale").  Packing-pad
-    coordinates are constant zero, so their ``var_hat`` sits at the exact
-    floor ``(h-1)/h`` — below (or tied with) every real coordinate — and
-    the k-th largest over the padded slab equals the k-th largest over the
-    real coordinates for any ``top_k`` <= the real coordinate count.
+    R-hat instead of the max — an exact quantile for high-dimensional
+    parameters, where the max over 1e6 coordinates is dominated by the
+    handful of slowest-mixing factor coordinates (docs/benchmarks.md
+    "R-hat at scale").  Packing-pad coordinates are constant zero, so
+    their ``var_hat`` sits at the exact floor ``(h-1)/h`` — below (or
+    tied with) every real coordinate — and the k-th largest over the
+    padded slab equals the k-th largest over the real coordinates for any
+    ``top_k`` <= the real coordinate count.  NOTE: ``top_k > 1`` lowers
+    to a device sort (~100 ms at 1e6 coordinates x 5 windows on TPU) —
+    fine for occasional diagnostics; for a hot convergence gate use
+    ``exceed_threshold`` instead.
+
+    ``exceed_threshold`` (static float, sort-free quantile gate): return
+    the per-window COUNT of coordinates with R-hat above the threshold —
+    one extra reduce instead of a sort.  ``count <= allowed`` is exactly
+    the gate "the (1 - allowed/D)-quantile of R-hat is <= threshold".
+    Requires ``threshold > 1`` so the pads' floor never counts (FASO's
+    default is 1.1).  Takes precedence over ``top_k``.
     """
     windows = jnp.asarray(windows)
     t = jnp.asarray(t)
@@ -392,6 +402,9 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     W = (v1 + v2) / 2.0 + jitter
     var_hat = (h_f - 1.0) / h_f + B / (h_f * W)
     rhat = jnp.sqrt(var_hat)
+    if exceed_threshold is not None:
+        over = rhat > jnp.asarray(exceed_threshold, rhat.dtype)
+        return jnp.sum(over, axis=(1, 2)).astype(rhat.dtype)
     if top_k == 1:
         return jnp.max(rhat, axis=(1, 2))
     flat = rhat.reshape(rhat.shape[0], -1)

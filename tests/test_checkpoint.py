@@ -64,6 +64,39 @@ def test_faso_resume_matches_uninterrupted(tmp_path):
     assert resumed["k_conv"] == full["k_conv"]
 
 
+def test_faso_resume_with_inflight_checks(tmp_path):
+    """Interrupt while speculative R-hat verdicts are still in flight
+    (k=800 with check_pipeline=4 leaves the 400/600/800 checks pending):
+    pending verdicts ride resume_state and replay on the same schedule,
+    so the resumed run matches the uninterrupted one exactly — in both
+    the max-gate and quantile-gate modes."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    approx = MFGaussian(2)
+    obj = ExclusiveKL(approx, model, 20)
+    for quantile in (None, 0.9):
+        def make_opt():
+            return FASO(RMSProp(0.05), W_min=200, mcse_threshold=0.05,
+                        max_history=600, rhat_quantile=quantile)
+
+        full = make_opt().optimize(3000, obj, approx.init_param(),
+                                   key=jax.random.PRNGKey(0))
+        part = make_opt().optimize(800, obj, approx.init_param(),
+                                   key=jax.random.PRNGKey(0))
+        assert part["resume_state"]["pending_checks"], \
+            "test setup: expected in-flight checks at the interrupt point"
+        path = str(tmp_path / f"faso_inflight_{quantile}.npz")
+        save_pytree(path, part["resume_state"])
+        restored = load_pytree(path, like=part["resume_state"])
+        resumed = make_opt().optimize(3000, obj, approx.init_param(),
+                                      key=jax.random.PRNGKey(0),
+                                      resume_state=restored)
+        np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                                   np.asarray(full["opt_param"]), rtol=1e-6)
+        assert resumed["k_stopped"] == full["k_stopped"]
+        assert resumed["k_conv"] == full["k_conv"]
+        assert resumed["k_Rhat"] == full["k_Rhat"]
+
+
 def test_progress_callback():
     model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
     approx = MFGaussian(2)

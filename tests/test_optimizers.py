@@ -136,6 +136,53 @@ def test_raabbvi_error_checks():
         RAABBVI(RMSProp(0.01), rho=1.5)
 
 
+def test_faso_rhat_backoff():
+    """``rhat_backoff`` doubles the check interval while verdicts are far
+    from the gate (fewer ring reads) and resets near it; convergence
+    behavior and recovered parameters are unaffected."""
+    import viabel_tpu.faso as faso_mod
+
+    with pytest.raises(ValueError):
+        FASO(RMSProp(0.01), rhat_backoff=1.0)
+
+    # far-from-gate run: one coordinate trends the whole run
+    dim = 4
+    target = np.zeros(dim)
+    target[0] = 1e6
+    scales = np.ones(dim)
+    scales[0] = 1e3
+    drifting = DummyObjective(target, noise=0.2, scales=scales)
+    init = jnp.zeros(dim)
+    counts = {}
+    orig = faso_mod._rhat_ring
+    for backoff in (None, 1.4):
+        calls = [0]
+
+        def counting(*a, **kw):
+            calls[0] += 1
+            return orig(*a, **kw)
+
+        faso_mod._rhat_ring = counting
+        try:
+            res = FASO(RMSProp(0.05), W_min=100,
+                       rhat_backoff=backoff).optimize(
+                4000, drifting, init, key=jax.random.PRNGKey(5))
+        finally:
+            faso_mod._rhat_ring = orig
+        assert res["k_conv"] is None
+        counts[backoff] = calls[0]
+    assert counts[1.4] < counts[None] / 2
+
+    # converging run: backoff must not block convergence or accuracy
+    objective = DummyObjective(np.zeros(3), noise=0.2)
+    res = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.5, ESS_min=10,
+               rhat_backoff=1.4).optimize(
+        3000, objective, jnp.ones(3), key=jax.random.PRNGKey(6))
+    assert res["k_stopped"] is not None
+    np.testing.assert_allclose(np.asarray(res["opt_param"]), np.zeros(3),
+                               atol=0.05)
+
+
 def test_faso_rhat_quantile_gate():
     """``rhat_quantile`` tolerates a fraction of slow coordinates: a run
     with one persistently-trending coordinate converges under the quantile

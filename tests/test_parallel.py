@@ -174,6 +174,19 @@ def test_sharded_faso_matches_unsharded():
     mu, cov = approx.mean_and_cov(res_shard["opt_param"])
     np.testing.assert_allclose(np.asarray(mu), mean, atol=0.15)
 
+    # the quantile gate's exceedance count partitions over the sharded
+    # coordinate axis too (only the final sum crosses devices)
+    res_plain_q = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.05,
+                       rhat_quantile=0.9).optimize(
+        1200, obj, approx.init_param(), key=jax.random.PRNGKey(0))
+    res_shard_q = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.05,
+                       rhat_quantile=0.9, mesh=mesh, shard_axis="mc").optimize(
+        1200, obj, approx.init_param(), key=jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res_shard_q["opt_param"]),
+                               np.asarray(res_plain_q["opt_param"]),
+                               rtol=1e-5, atol=1e-7)
+    assert res_shard_q["k_conv"] == res_plain_q["k_conv"]
+
 
 def test_distributed_init_single_process():
     """With no cluster environment, distributed_init is a no-op returning

@@ -39,8 +39,10 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     traffic) or use an ``ExclusiveKL(..., use_path_deriv=True)`` objective;
     and the max-over-coordinates convergence gates become very strict at
     1e6+ flat coordinates — ``FASO_kwargs/RAABBVI_kwargs = dict(
-    max_history=..., rhat_quantile=0.999)`` bounds ring memory and keeps
-    the slowest few coordinates from holding the run hostage.
+    max_history=..., rhat_quantile=0.999, rhat_backoff=1.4)`` bounds ring
+    memory, keeps the slowest few coordinates from holding the run
+    hostage, and skips hopeless convergence checks far from the gate
+    (~1.5x throughput at the flagship scale).
     """
     RMS_kwargs = dict(RMS_kwargs or {})
     FASO_kwargs = dict(FASO_kwargs or {})

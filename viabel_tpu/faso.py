@@ -149,6 +149,22 @@ class FASO(Optimizer):
         ``ESS_min`` — i.e. all but the worst ``(1-q)`` fraction of
         coordinates converged.  ``None`` (default) reproduces the
         reference's max/min criterion exactly.
+    rhat_backoff : float or None
+        Optional cost-aware R-hat check cadence (BEHAVIOR DELTA, off by
+        default).  Each check reads the whole history ring (~6 ms at the
+        d=1000 flagship — ~30 us/step at the every-``k_check`` reference
+        cadence, the single largest FASO overhead once segments are
+        pipelined).  With ``rhat_backoff=F`` (> 1, e.g. ``1.4``), the
+        interval between checks doubles whenever a verdict is *far* from
+        the gate — best max-R-hat above ``F * rhat_threshold`` (or, in
+        quantile mode, above-threshold count exceeding ``F * allowed``) —
+        and resets to every ``k_check`` as soon as a verdict comes within
+        that margin, so the approach to convergence is always watched at
+        full cadence.  The interval is capped so consecutive checks stay
+        within one ring length (detection lag stays bounded and back-
+        dating semantics are unchanged).  Same spirit as the reference's
+        cost-aware MCSE recheck growth (optimization.py:601-605), applied
+        to the R-hat phase.
     rhat_group : int or None
         Granularity of the on-device window statistics: candidate R-hat
         windows quantize to even multiples of ``2 * rhat_group`` (the
@@ -162,8 +178,8 @@ class FASO(Optimizer):
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
                  k_check=None, max_history=None, rhat_threshold=1.1,
-                 rhat_quantile=None, rhat_group=None, check_pipeline=4,
-                 mesh=None, shard_axis="mc"):
+                 rhat_quantile=None, rhat_backoff=None, rhat_group=None,
+                 check_pipeline=4, mesh=None, shard_axis="mc"):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -174,6 +190,7 @@ class FASO(Optimizer):
         self._max_history = max_history
         self._rhat_threshold = float(rhat_threshold)
         self._rhat_quantile = None if rhat_quantile is None else float(rhat_quantile)
+        self._rhat_backoff = None if rhat_backoff is None else float(rhat_backoff)
         self._rhat_group = int(rhat_group) if rhat_group else None
         self._check_pipeline = int(check_pipeline)
         self._mesh = mesh
@@ -191,6 +208,8 @@ class FASO(Optimizer):
         if self._rhat_quantile is not None and not (
                 0.0 < self._rhat_quantile < 1.0):
             raise ValueError('"rhat_quantile" must be in (0, 1)')
+        if self._rhat_backoff is not None and self._rhat_backoff <= 1.0:
+            raise ValueError('"rhat_backoff" must be greater than one')
         if self._rhat_group is not None and (
                 self._rhat_group <= 0
                 or self._k_check % self._rhat_group != 0):
@@ -355,6 +374,11 @@ class FASO(Optimizer):
         last_best_W = None  # best R-hat window at the most recent check
         total_opt_time = 0.0
         eff = mcse = None
+        # adaptive check cadence (rhat_backoff; interval in k_check units,
+        # capped so consecutive checks stay within one ring length)
+        check_interval = 1
+        next_check_at = 0
+        max_interval = max(1, R // self._k_check)
 
         if resume_state is not None:
             var_param = jnp.asarray(resume_state["var_param"])
@@ -375,6 +399,8 @@ class FASO(Optimizer):
             W_check = None if int(resume_state["W_check"]) < 0 else int(resume_state["W_check"])
             total_opt_time = float(resume_state["total_opt_time"])
             iterate_average = jnp.asarray(resume_state["iterate_average"])
+            check_interval = int(resume_state.get("check_interval", 1))
+            next_check_at = int(resume_state.get("next_check_at", 0))
 
         # Speculative check pipelining: fixed-lr segments are identical
         # whatever a pending R-hat check concludes, so checks are dispatched
@@ -397,11 +423,20 @@ class FASO(Optimizer):
 
         def process_check(ck):
             nonlocal k_Rhat, k_conv, W_check, last_best_W, iterate_average
+            nonlocal check_interval
             ck_k = int(ck["k"])
             r_hats = np.asarray(ck["r_hats"])
             best = int(np.argmin(r_hats))
             best_W = int(ck["windows"][best])
             last_best_W = best_W
+            if self._rhat_backoff is not None:
+                # far from the gate -> double the check interval; within
+                # the margin -> full cadence for the approach to the gate
+                far_gate = (self._rhat_backoff
+                            * (self._rhat_threshold if rhat_allowed is None
+                               else max(rhat_allowed, 1)))
+                check_interval = (min(check_interval * 2, max_interval)
+                                  if r_hats[best] > far_gate else 1)
             # max mode: r_hats are max-R-hat values, gated by threshold;
             # quantile mode: r_hats are above-threshold coordinate counts,
             # gated by the allowed count (ties pick the smallest window)
@@ -463,9 +498,10 @@ class FASO(Optimizer):
             # dispatch the one-ring-read statistic now, read the verdict
             # `pipeline` segments later.  Checked at k_check multiples like
             # the reference (a final partial segment ends between checks).
-            if k_conv is None and k % self._k_check == 0:
+            if k_conv is None and k % self._k_check == 0 and k >= next_check_at:
                 W_upper = min(int(0.95 * k), R)
                 if W_upper > self._W_min and W_upper >= 2 * G:
+                    next_check_at = k + self._k_check * check_interval
                     # reference candidates linspace(W_min, 0.95k, 5)
                     # (optimization.py:553), quantized to even multiples of
                     # 2*G so every half-chain boundary lands on a whole ring
@@ -490,7 +526,10 @@ class FASO(Optimizer):
                         prefetch()
                     pending.append({"k": k, "windows": windows,
                                     "r_hats": r_hats})
-            while pending and len(pending) > pipeline:
+            # read verdicts that are at least `pipeline` segments old — by
+            # dispatch age, not deque depth, so a backed-off (sparse) check
+            # schedule doesn't stretch the read-back lag
+            while pending and k - int(pending[0]["k"]) >= pipeline * self._k_check:
                 if process_check(pending.popleft()):
                     pending.clear()
                     break
@@ -552,6 +591,8 @@ class FASO(Optimizer):
             "k_conv": -1 if k_conv is None else k_conv,
             "k_Rhat": -1 if k_Rhat is None else k_Rhat,
             "W_check": -1 if W_check is None else W_check,
+            "check_interval": check_interval,
+            "next_check_at": next_check_at,
             "iterate_average": iterate_average,
             "pending_checks": [
                 {"k": int(ck["k"]), "windows": np.asarray(ck["windows"]),

@@ -108,16 +108,17 @@ def main():
     # histories to host (8 MB/step at this scale) and is tunnel-bandwidth-
     # bound in this environment — keep its run short; the number that
     # matters is the detection-on, histories-off configuration.
-    for diag, n in ((False, 3000), (True, 800)):
+    for diag, n, kwargs in ((False, 3000, {}), (True, 800, {}),
+                            (False, 3000, {"rhat_backoff": 1.4})):
         sgo = RMSProp(1e-3, diagnostics=diag)
-        faso = FASO(sgo, W_min=200, max_history=1200)
+        faso = FASO(sgo, W_min=200, max_history=1200, **kwargs)
         for label in ("cold", "warm"):
             t0 = time.perf_counter()
             res = faso.optimize(n, objective, vp, key=key)
             jax.block_until_ready(res["opt_param"])
             dt = time.perf_counter() - t0
-            print(f"FASO end-to-end n={n} diagnostics={diag} ({label}): "
-                  f"{dt:.2f} s ({n/dt:.0f} it/s)")
+            print(f"FASO end-to-end n={n} diagnostics={diag} {kwargs} "
+                  f"({label}): {dt:.2f} s ({n/dt:.0f} it/s)")
             del res
 
 

@@ -188,6 +188,72 @@ def test_sharded_faso_matches_unsharded():
     assert res_shard_q["k_conv"] == res_plain_q["k_conv"]
 
 
+def test_multistart_faso_detection():
+    """B restarts with per-restart convergence detection in one XLA
+    program: all converge on a well-posed target, recover it, and the
+    program exits early once every restart has stopped."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 3
+    mean = np.arange(d, dtype=float)
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    B = 3
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    res = multistart_faso(RMSProp(0.05), 3000, obj, inits,
+                          jax.random.PRNGKey(0), W_min=100,
+                          mcse_threshold=0.1, ESS_min=10, max_history=600)
+    assert res["opt_param"].shape == (B, approx.var_param_dim)
+    for b in range(B):
+        assert res["k_stopped"][b] is not None
+        assert res["k_conv"][b] is not None
+        mu, _ = approx.mean_and_cov(res["opt_param"][b])
+        np.testing.assert_allclose(np.asarray(mu), mean, atol=0.15)
+    assert res["value_history"].shape[0] == B
+    assert res["value_history"].shape[1] <= 3000
+
+
+def test_multistart_faso_matches_single_faso():
+    """B=1 multistart reproduces a single FASO run exactly: same per-
+    restart key, ring sizing, check schedule, and read-back pipeline."""
+    from viabel_tpu import FASO, ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    init = approx.init_param()
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    res_m = multistart_faso(RMSProp(0.05), 2000, obj, init[None], key,
+                            **kwargs)
+    res_s = FASO(RMSProp(0.05), **kwargs).optimize(
+        2000, obj, init, key=jax.random.split(key, 1)[0])
+    np.testing.assert_allclose(np.asarray(res_m["opt_param"][0]),
+                               np.asarray(res_s["opt_param"]), rtol=1e-5)
+    assert res_m["k_conv"][0] == res_s["k_conv"]
+    assert res_m["k_Rhat"][0] == res_s["k_Rhat"]
+    assert res_m["k_stopped"][0] == res_s["k_stopped"]
+
+
+def test_multistart_faso_rejects_stateful_objectives():
+    from viabel_tpu import MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    class HostLoopObjective:
+        scannable = False
+        approx = MFGaussian(2)
+
+    with pytest.raises(ValueError):
+        multistart_faso(RMSProp(0.05), 100, HostLoopObjective(),
+                        jnp.zeros((2, 4)), jax.random.PRNGKey(0))
+
+
 def test_distributed_init_single_process():
     """With no cluster environment, distributed_init is a no-op returning
     the local devices."""

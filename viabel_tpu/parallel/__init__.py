@@ -1,6 +1,7 @@
 from .mesh import distributed_init, make_mesh
 from .sharded import ShardedExclusiveKL, multistart_optimize
+from .multistart import multistart_faso
 from .fsdp import FSDPFullRankELBO
 
 __all__ = ["make_mesh", "distributed_init", "ShardedExclusiveKL",
-           "multistart_optimize", "FSDPFullRankELBO"]
+           "multistart_optimize", "multistart_faso", "FSDPFullRankELBO"]

@@ -1,0 +1,231 @@
+"""Multistart BBVI with per-restart convergence detection.
+
+New capability with no reference counterpart (the reference has neither
+multistart nor anything batched; SURVEY.md §2 "parallelism ABSENT"):
+``multistart_faso`` runs B independent FASO optimizations of one objective
+as a SINGLE XLA program — restarts advance in lockstep through
+``k_check``-step vmapped segments, each with its own device-resident
+history ring, and every convergence statistic (multi-window split-R-hat,
+windowed ESS/MCSE) is evaluated batched, so detection costs one dispatch
+per segment regardless of B.  Verdicts are prefetched and read back
+pipelined exactly like single-run FASO (viabel_tpu.faso).
+
+Memory: B history rings (a ring row is ``8 * packed_width(D) * 4`` bytes
+per restart) — size ``max_history`` to the HBM budget at large d.
+"""
+
+import math
+from collections import deque
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..faso import _largest_divisor_leq, _mcse_check, _now
+from ..families import MFGaussian
+from ..mc_diagnostics import ring_window_mean, split_rhat_ring_windows
+from ..optimizers import StochasticGradientOptimizer
+from ..utils import pack_rows, packed_width, unpack_rows
+
+__all__ = ["multistart_faso"]
+
+
+def multistart_faso(sgo, n_iters, objective, init_params, key, *,
+                    mcse_threshold=0.1, W_min=200, ESS_min=None,
+                    k_check=None, max_history=None, rhat_threshold=1.1,
+                    check_pipeline=4):
+    """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
+
+    Semantics per restart match ``FASO.optimize`` with ``diagnostics=False``
+    (R-hat window search every ``k_check`` steps, back-dated convergence,
+    MCSE/ESS stopping with cost-aware rechecks); restarts that stop have
+    their iterate average frozen at their own ``k_stopped`` while the rest
+    keep optimizing, and the program exits early once every restart has
+    stopped.
+
+    Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
+    ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
+    ``value_history`` (B, n_steps_run).
+    """
+    if not isinstance(sgo, StochasticGradientOptimizer):
+        raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
+    init_params = jnp.asarray(init_params)
+    B, D = init_params.shape
+    state_fn = getattr(objective, "init_obj_state", None)
+    obj_state = state_fn(init_params[0]) if state_fn is not None else ()
+    if (not getattr(objective, "scannable", True)
+            or jax.tree_util.tree_leaves(obj_state)):
+        raise ValueError("multistart_faso requires a stateless scannable "
+                         "objective (no host-loop or obj-state objectives)")
+    n_iters = int(n_iters)
+    k_check = int(W_min if k_check is None else k_check)
+    ESS_min = W_min // 8 if ESS_min is None else ESS_min
+    G = _largest_divisor_leq(k_check, max(1, min(64, W_min // 4)))
+    R = int(max_history) if max_history else max(n_iters, 2)
+    R = max(R, 2 * W_min)
+    R = -(-R // G) * G
+    C = packed_width(D)
+    mf_dim = (objective.approx.dim
+              if isinstance(getattr(objective, "approx", None), MFGaussian)
+              else None)
+
+    lr = jnp.asarray(sgo._learning_rate, dtype=init_params.dtype)
+    vag = objective.value_and_grad
+    update = objective.update
+
+    def make_runner(steps):
+        def seg(vp, opt_state, key, ring, t, lr):
+            def body(carry, _):
+                vp, st, key, ring, t = carry
+                key, sub = jax.random.split(key)
+                value, grad = vag(vp, sub)
+                direction, st = sgo.descent_direction(grad, st)
+                vp = update(vp, lr * direction)
+                ring = jax.lax.dynamic_update_slice(
+                    ring, pack_rows(vp)[None], (t % R, 0, 0))
+                return (vp, st, key, ring, t + 1), value
+
+            return jax.lax.scan(body, (vp, opt_state, key, ring, t),
+                                None, length=steps)
+
+        return jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0, None, None)),
+                       donate_argnums=(3,))
+
+    runner_cache = {}
+    # batched statistics: one dispatch covers every restart, but the B
+    # axis runs SEQUENTIALLY (lax.map) — a vmapped jnp stat pass
+    # materializes every ring's centered copy at once (measured 8.97 GB
+    # HBO temp -> ResourceExhausted at B=8, d=500, R=1200), while map
+    # peaks at one ring's worth and lets each per-ring call dispatch the
+    # streaming Pallas kernel as usual
+    rhat_fn = partial(split_rhat_ring_windows, group=G)
+    mean_fn = partial(ring_window_mean, group=G)
+
+    @jax.jit
+    def rhat_b(rings, t, windows):
+        return jax.lax.map(lambda ring: rhat_fn(ring, t, windows), rings)
+
+    @jax.jit
+    def mean_b(rings, t, ws):
+        return jax.lax.map(lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws))
+
+    @partial(jax.jit, static_argnums=(3,))
+    def mcse_b(rings, t, ws, mf_dim):
+        return jax.lax.map(
+            lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws))
+
+    var_params = init_params
+    opt_states = jax.vmap(sgo.init_state)(init_params)
+    keys = jax.random.split(key, B)
+    rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
+    t = jnp.asarray(0)
+
+    k = 0
+    k_conv = np.full(B, -1)
+    k_Rhat = np.full(B, -1)
+    k_stopped = np.full(B, -1)
+    W_check = np.full(B, -1)
+    last_best_W = np.full(B, -1)
+    frozen = [None] * B          # packed (8, C) averages at each stop
+    values_hist = []
+    pending = deque()
+    mcse_time_total = 0.0
+    loop_start = _now()
+
+    def process_check(ck):
+        ck_k = int(ck["k"])
+        r_hats = np.asarray(ck["r_hats"])          # (B, K)
+        windows = np.asarray(ck["windows"])
+        for b in range(B):
+            if k_conv[b] >= 0:
+                continue
+            best = int(np.argmin(r_hats[b]))
+            last_best_W[b] = int(windows[best])
+            if r_hats[b, best] <= rhat_threshold:
+                k_Rhat[b] = ck_k
+                k_conv[b] = ck_k - int(windows[best])
+                W_check[b] = int(windows[best])
+
+    while k < n_iters:
+        steps = min(k_check - (k % k_check), n_iters - k)
+        if steps not in runner_cache:
+            runner_cache[steps] = make_runner(steps)
+        carry, values = runner_cache[steps](var_params, opt_states, keys,
+                                            rings, t, lr)
+        var_params, opt_states, keys, rings, _ = carry
+        t = t + steps
+        k += steps
+        values_hist.append(values)
+
+        if np.any(k_conv < 0) and k % k_check == 0:
+            W_upper = min(int(0.95 * k), R)
+            if W_upper > W_min and W_upper >= 2 * G:
+                cand = np.linspace(W_min, W_upper, num=5)
+                half = np.ceil(cand / (2 * G)).astype(int) * G
+                half = np.clip(half, G, (W_upper // (2 * G)) * G)
+                windows = np.unique(2 * half)
+                r_hats = rhat_b(rings, t, jnp.asarray(windows))
+                prefetch = getattr(r_hats, "copy_to_host_async", None)
+                if prefetch is not None:
+                    prefetch()
+                pending.append({"k": k, "windows": windows, "r_hats": r_hats})
+        while pending and k - int(pending[0]["k"]) >= check_pipeline * k_check:
+            process_check(pending.popleft())
+
+        due = [b for b in range(B)
+               if k_conv[b] >= 0 and k_stopped[b] < 0
+               and k - k_conv[b] >= W_check[b]]
+        if due:
+            W = np.minimum(np.maximum(k - k_conv, 1), min(R, k))
+            with_timer_start = _now()
+            effs, mcses = mcse_b(rings, t, jnp.asarray(W), mf_dim)
+            effs = np.asarray(effs)
+            mcses = np.asarray(mcses)
+            mcse_interval = _now() - with_timer_start
+            mcse_time_total += mcse_interval
+            avgs = None
+            for b in due:
+                if (np.max(mcses[b]) < mcse_threshold
+                        and np.min(effs[b]) > ESS_min):
+                    k_stopped[b] = k
+                    if avgs is None:
+                        avgs = mean_b(rings, t, jnp.asarray(W))
+                    frozen[b] = jnp.asarray(avgs[b])
+                else:
+                    total_opt = max(_now() - loop_start - mcse_time_total,
+                                    1e-9)
+                    ratio = (total_opt / k) / max(
+                        mcse_interval / int(W[b]), 1e-12)
+                    scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
+                    W_check[b] = int(scale * W_check[b] + 1)
+        if np.all(k_stopped >= 0):
+            break
+
+    while pending:
+        process_check(pending.popleft())
+
+    # final averages for restarts that never stopped: converged window if
+    # stationarity was reached, else the best R-hat window (matches FASO's
+    # non-diagnostics opt_param semantics), else the initial parameter
+    W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
+                       np.maximum(last_best_W, 1)).astype(int)
+    W_final = np.minimum(W_final, min(R, max(k, 1)))
+    avgs = mean_b(rings, t, jnp.asarray(W_final))
+    opt_params = []
+    for b in range(B):
+        if frozen[b] is not None:
+            opt_params.append(unpack_rows(frozen[b], D))
+        elif k_conv[b] >= 0 or last_best_W[b] > 0:
+            opt_params.append(unpack_rows(avgs[b], D))
+        else:
+            opt_params.append(init_params[b])
+    return {
+        "opt_param": jnp.stack(opt_params),
+        "final_param": var_params,
+        "value_history": jnp.concatenate(values_hist, axis=1),
+        "k_conv": [None if v < 0 else int(v) for v in k_conv],
+        "k_Rhat": [None if v < 0 else int(v) for v in k_Rhat],
+        "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
+    }

@@ -7,7 +7,16 @@ Demonstrates the TPU-native capabilities with no reference counterpart:
    TPU v5e chip — the reference's CPU loop runs ~640 it/s at d=2);
 2. the Monte Carlo sample axis sharded over a device mesh with a pmean
    gradient all-reduce (``ShardedExclusiveKL``);
-3. vmapped multi-restart optimization (``multistart_optimize``).
+3. vmapped multi-restart optimization (``multistart_optimize``);
+4. multistart with full per-restart convergence detection
+   (``multistart_faso``) — every restart runs its own history ring,
+   multi-window split-R-hat and MCSE stopping, in one XLA program.
+
+For large-d convergence-detected runs see also ``FASO``'s large-scale
+knobs: ``max_history`` (ring = HBM budget), ``rhat_quantile`` (don't let
+the slowest handful of 1e6 coordinates hold the gate), and
+``rhat_backoff`` (skip hopeless checks far from the gate — measured
+1.5x throughput at d=1000; docs/benchmarks.md).
 
 Run: ``python examples/large_scale.py`` (single chip; shards degenerate to
 one device unless more are attached).
@@ -26,7 +35,12 @@ import numpy as np
 
 from viabel_tpu import ExclusiveKL, FullRankGaussian, RMSProp
 from viabel_tpu.models import zoo
-from viabel_tpu.parallel import ShardedExclusiveKL, make_mesh, multistart_optimize
+from viabel_tpu.parallel import (
+    ShardedExclusiveKL,
+    make_mesh,
+    multistart_faso,
+    multistart_optimize,
+)
 
 
 def main():
@@ -61,6 +75,12 @@ def main():
                               jax.random.PRNGKey(1))
     finals = np.asarray(res["value_history"][:, -1])
     print("8 restarts, final losses:", np.round(finals, 2))
+
+    # -- multistart with per-restart convergence detection ---------------------
+    res = multistart_faso(RMSProp(0.05), 4000, obj_small, inits,
+                          jax.random.PRNGKey(2), W_min=200,
+                          mcse_threshold=0.2, max_history=1000)
+    print("detected multistart, k_stopped per restart:", res["k_stopped"])
 
 
 if __name__ == "__main__":

@@ -5,6 +5,12 @@ runtime reports bogus completion for repeated *independent* dispatches, so
 every measured op chains its inputs on the previous output and the loop ends
 with a host transfer.
 
+CAVEAT on the isolated segment numbers: the tight 5-rep donated-ring
+redispatch loop reads ~5x the true in-context rate even on an idle host
+(a tunnel dispatch artifact — the same segments sustain ~10-12k it/s
+inside the real FASO loop below).  Trust the end-to-end numbers; the
+isolated loops are kept only for relative comparisons.
+
 Run: ``python benchmarks/profile_faso.py`` (TPU; needs the chip to itself).
 """
 

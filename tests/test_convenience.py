@@ -35,6 +35,19 @@ def test_bbvi():
         np.testing.assert_almost_equal(stdev, est_stdev, decimal=decimal)
 
 
+def test_bbvi_diagnostics_override():
+    """RMS_kwargs=dict(diagnostics=False) must turn the per-step histories
+    off (8 MB/step at the flagship scale), not raise a duplicate-kwarg
+    TypeError like the reference's hardcoded diagnostics=True would."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    results = convenience.bbvi(
+        2, log_density=model, n_iters=600, adaptive=True, fixed_lr=True,
+        RMS_kwargs=dict(diagnostics=False),
+        FASO_kwargs=dict(W_min=100), key=jax.random.PRNGKey(3))
+    assert "grad_history" not in results
+    assert "value_history" in results
+
+
 def test_bbvi_arg_validation():
     with pytest.raises(ValueError):
         convenience.bbvi(2)

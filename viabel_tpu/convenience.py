@@ -42,7 +42,10 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     max_history=..., rhat_quantile=0.999, rhat_backoff=1.4)`` bounds ring
     memory, keeps the slowest few coordinates from holding the run
     hostage, and skips hopeless convergence checks far from the gate
-    (~1.5x throughput at the flagship scale).
+    (~1.5x throughput at the flagship scale).  Per-step grad/descent
+    histories are on by default like the reference — at d=1000 full-rank
+    they cost 8 MB/step, so pass ``RMS_kwargs=dict(diagnostics=False)``
+    unless you need them.
     """
     RMS_kwargs = dict(RMS_kwargs or {})
     FASO_kwargs = dict(FASO_kwargs or {})
@@ -73,7 +76,12 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
         objective = ExclusiveKL(approx, model, num_mc_samples)
     if init_var_param is None:
         init_var_param = approx.init_param()
-    base_opt = RMSProp(learning_rate, diagnostics=True, **RMS_kwargs)
+    # diagnostics (full per-step histories) on by default like the
+    # reference (convenience.py:83) but overridable: at d=1000 full-rank
+    # they cost 8 MB/step, and the reference's hardcoded diagnostics=True
+    # makes RMS_kwargs=dict(diagnostics=False) a TypeError landmine
+    RMS_kwargs.setdefault("diagnostics", True)
+    base_opt = RMSProp(learning_rate, **RMS_kwargs)
     if adaptive and not fixed_lr:
         opt = RAABBVI(base_opt, **RAABBVI_kwargs)
     elif adaptive and fixed_lr:

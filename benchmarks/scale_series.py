@@ -22,17 +22,25 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from viabel_tpu import FASO, ExclusiveKL, FullRankGaussian, RMSProp
+from viabel_tpu import (
+    FASO,
+    ExclusiveKL,
+    FullRankGaussian,
+    LRGaussian,
+    MFGaussian,
+    RMSProp,
+)
 from viabel_tpu.models import zoo
 from viabel_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
 
-def raw_loop(d, n_steps=3000, S=10):
-    approx = FullRankGaussian(d)
-    model, _ = zoo.logistic_regression(dim=d, n_data=512)
-    objective = ExclusiveKL(approx, model, S)
+def raw_loop(d, n_steps=3000, S=10, approx=None, use_stl=False, label="",
+             n_data=512):
+    approx = approx or FullRankGaussian(d)
+    model, _ = zoo.logistic_regression(dim=d, n_data=n_data)
+    objective = ExclusiveKL(approx, model, S, use_path_deriv=use_stl)
     sgo = RMSProp(0.001)
     loss_vag = jax.value_and_grad(objective._loss)
 
@@ -57,8 +65,8 @@ def raw_loop(d, n_steps=3000, S=10):
         out = run(out[0], out[1], out[2])
         print(float(out[0][0]))  # host transfer ends the timed chain
         dt = time.perf_counter() - t0
-        print(f"raw d={d} (rep {rep}): {dt / n_steps * 1e6:.0f} us/step "
-              f"({n_steps / dt:.0f} it/s)")
+        print(f"raw {label or 'full-rank'} d={d} stl={use_stl} (rep {rep}): "
+              f"{dt / n_steps * 1e6:.0f} us/step ({n_steps / dt:.0f} it/s)")
 
 
 def faso_run(d, n=3000, R=600):
@@ -82,3 +90,12 @@ if __name__ == "__main__":
     for d in (2000, 4096):
         raw_loop(d)
     faso_run(2000)
+    # low-rank at large d: the LRGaussian design point (all solves k x k
+    # via Woodbury, incl. the fused STL path)
+    raw_loop(10000, approx=LRGaussian(10000, 50), label="low-rank k=50")
+    raw_loop(10000, approx=LRGaussian(10000, 50), use_stl=True,
+             label="low-rank k=50")
+    # mean-field at a million latent dimensions (n_data small: the
+    # 512-row design matrix would be a 2 GB host->device transfer)
+    raw_loop(1000000, n_steps=1000, approx=MFGaussian(1000000),
+             label="mean-field", n_data=64)

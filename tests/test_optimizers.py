@@ -182,6 +182,20 @@ def test_faso_rhat_backoff():
     np.testing.assert_allclose(np.asarray(res["opt_param"]), np.zeros(3),
                                atol=0.05)
 
+    # regression (round-2 review repro): a LONG far-from-gate transient
+    # followed by convergence, with the default unbounded ring (backoff
+    # cap = n_iters/k_check).  The un-guarded doubling compounded once per
+    # queued pipeline verdict, scheduled the next check past n_iters, and
+    # never detected convergence.
+    far_then_conv = DummyObjective(np.full(3, 60.0), noise=0.2)
+    res = FASO(RMSProp(0.05), W_min=100, mcse_threshold=0.5, ESS_min=10,
+               rhat_backoff=1.4).optimize(
+        12000, far_then_conv, jnp.zeros(3), key=jax.random.PRNGKey(7))
+    assert res["k_conv"] is not None
+    assert res["k_stopped"] is not None
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.full(3, 60.0), atol=0.1)
+
 
 def test_faso_rhat_quantile_gate():
     """``rhat_quantile`` tolerates a fraction of slow coordinates: a run

@@ -77,6 +77,23 @@ def _largest_divisor_leq(n, cap):
     return 1
 
 
+def _candidate_windows(W_min, W_upper, G):
+    """Reference candidates linspace(W_min, 0.95k, 5) (optimization.py:553),
+    quantized to even multiples of ``2 * G`` so every half-chain boundary
+    lands on a whole ring group (shared by FASO and multistart_faso)."""
+    cand = np.linspace(W_min, W_upper, num=5)
+    half = np.ceil(cand / (2 * G)).astype(int) * G
+    half = np.clip(half, G, (W_upper // (2 * G)) * G)
+    return np.unique(2 * half)
+
+
+def _recheck_scale(relative_opt_time, relative_mcse_time):
+    """Cost-aware MCSE recheck growth factor (reference optimization.py:
+    601-605; shared by FASO and multistart_faso)."""
+    ratio = relative_opt_time / max(relative_mcse_time, 1e-12)
+    return max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
+
+
 @partial(jax.jit, static_argnames=("mf_dim",))
 def _mcse_check(ring, t, w, mf_dim):
     """Windowed per-coordinate (ESS, MCSE) with the reference's MFGaussian
@@ -158,13 +175,17 @@ class FASO(Optimizer):
         interval between checks doubles whenever a verdict is *far* from
         the gate — best max-R-hat above ``F * rhat_threshold`` (or, in
         quantile mode, above-threshold count exceeding ``F * allowed``) —
-        and resets to every ``k_check`` as soon as a verdict comes within
-        that margin, so the approach to convergence is always watched at
-        full cadence.  The interval is capped so consecutive checks stay
-        within one ring length (detection lag stays bounded and back-
-        dating semantics are unchanged).  Same spirit as the reference's
-        cost-aware MCSE recheck growth (optimization.py:601-605), applied
-        to the R-hat phase.
+        at most once per verdict dispatched under the current schedule
+        (queued pipeline verdicts do not compound it), and resets to every
+        ``k_check`` — pulling any already-scheduled longer gap forward —
+        as soon as a verdict comes within the margin, so the approach to
+        convergence is watched at full cadence.  The interval is capped so
+        consecutive checks stay within one ring length: a convergence
+        episode inside a backed-off gap is still detected at the next
+        check (the candidate windows span the gap) and back-dated as
+        usual; only the detection *latency* grows, bounded by the gap.
+        Same spirit as the reference's cost-aware MCSE recheck growth
+        (optimization.py:601-605), applied to the R-hat phase.
     rhat_group : int or None
         Granularity of the on-device window statistics: candidate R-hat
         windows quantize to even multiples of ``2 * rhat_group`` (the
@@ -374,11 +395,15 @@ class FASO(Optimizer):
         last_best_W = None  # best R-hat window at the most recent check
         total_opt_time = 0.0
         eff = mcse = None
-        # adaptive check cadence (rhat_backoff; interval in k_check units,
-        # capped so consecutive checks stay within one ring length)
+        # adaptive check cadence (rhat_backoff; interval in k_check units).
+        # interval_adjusted_at limits doubling to once per verdict
+        # dispatched under the CURRENT schedule: without it, the several
+        # full-cadence verdicts queued in the read-back pipeline each
+        # double the interval as they drain, and the schedule runs away to
+        # the cap in one burst (found in round-2 review with a live repro).
         check_interval = 1
         next_check_at = 0
-        max_interval = max(1, R // self._k_check)
+        interval_adjusted_at = -1
 
         if resume_state is not None:
             var_param = jnp.asarray(resume_state["var_param"])
@@ -401,6 +426,8 @@ class FASO(Optimizer):
             iterate_average = jnp.asarray(resume_state["iterate_average"])
             check_interval = int(resume_state.get("check_interval", 1))
             next_check_at = int(resume_state.get("next_check_at", 0))
+            interval_adjusted_at = int(
+                resume_state.get("interval_adjusted_at", -1))
 
         # Speculative check pipelining: fixed-lr segments are identical
         # whatever a pending R-hat check concludes, so checks are dispatched
@@ -414,6 +441,9 @@ class FASO(Optimizer):
         # the verdict was in flight.  Diagnostics mode disables pipelining
         # so per-check histories match the reference exactly.
         pipeline = 0 if diagnostics else self._check_pipeline
+        # backoff cap: consecutive checks stay within one ring length, with
+        # R as finalized above (a resumed run's checkpointed ring wins)
+        max_interval = max(1, R // self._k_check)
         pending = deque(resume_state.get("pending_checks", [])
                         if resume_state is not None else [])
         interrupted = False
@@ -423,20 +453,30 @@ class FASO(Optimizer):
 
         def process_check(ck):
             nonlocal k_Rhat, k_conv, W_check, last_best_W, iterate_average
-            nonlocal check_interval
+            nonlocal check_interval, next_check_at, interval_adjusted_at
             ck_k = int(ck["k"])
             r_hats = np.asarray(ck["r_hats"])
             best = int(np.argmin(r_hats))
             best_W = int(ck["windows"][best])
             last_best_W = best_W
-            if self._rhat_backoff is not None:
+            if self._rhat_backoff is not None and ck_k > interval_adjusted_at:
                 # far from the gate -> double the check interval; within
-                # the margin -> full cadence for the approach to the gate
+                # the margin -> full cadence for the approach to the gate.
+                # Adjust at most once per verdict dispatched under the
+                # current schedule (ck_k > interval_adjusted_at): queued
+                # full-cadence verdicts draining through the pipeline must
+                # not compound the doubling.
                 far_gate = (self._rhat_backoff
                             * (self._rhat_threshold if rhat_allowed is None
                                else max(rhat_allowed, 1)))
-                check_interval = (min(check_interval * 2, max_interval)
-                                  if r_hats[best] > far_gate else 1)
+                if r_hats[best] > far_gate:
+                    check_interval = min(check_interval * 2, max_interval)
+                else:
+                    check_interval = 1
+                    # a long gap may already be scheduled — pull the next
+                    # check forward to the next k_check boundary
+                    next_check_at = 0
+                interval_adjusted_at = k
             # max mode: r_hats are max-R-hat values, gated by threshold;
             # quantile mode: r_hats are above-threshold coordinate counts,
             # gated by the allowed count (ties pick the smallest window)
@@ -502,14 +542,7 @@ class FASO(Optimizer):
                 W_upper = min(int(0.95 * k), R)
                 if W_upper > self._W_min and W_upper >= 2 * G:
                     next_check_at = k + self._k_check * check_interval
-                    # reference candidates linspace(W_min, 0.95k, 5)
-                    # (optimization.py:553), quantized to even multiples of
-                    # 2*G so every half-chain boundary lands on a whole ring
-                    # group (see mc_diagnostics.split_rhat_ring_windows)
-                    cand = np.linspace(self._W_min, W_upper, num=5)
-                    half = np.ceil(cand / (2 * G)).astype(int) * G
-                    half = np.clip(half, G, (W_upper // (2 * G)) * G)
-                    windows = np.unique(2 * half)
+                    windows = _candidate_windows(self._W_min, W_upper, G)
                     r_hats = _rhat_ring(
                         ring, t, jnp.asarray(windows), group=G,
                         use_pallas=use_pallas,
@@ -572,11 +605,9 @@ class FASO(Optimizer):
                 # pipelined loop never blocks on segments individually.
                 total_opt_time = resumed_opt_time + max(
                     _now() - loop_start - mcse_time_total, 1e-9)
-                relative_mcse_time = mcse_timer.interval / W
-                relative_opt_time = total_opt_time / k
-                ratio = relative_opt_time / max(relative_mcse_time, 1e-12)
-                recheck_scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
-                W_check = int(recheck_scale * W_check + 1)
+                W_check = int(_recheck_scale(total_opt_time / k,
+                                             mcse_timer.interval / W)
+                              * W_check + 1)
 
         total_opt_time = resumed_opt_time + (
             _now() - loop_start - mcse_time_total)
@@ -593,6 +624,7 @@ class FASO(Optimizer):
             "W_check": -1 if W_check is None else W_check,
             "check_interval": check_interval,
             "next_check_at": next_check_at,
+            "interval_adjusted_at": interval_adjusted_at,
             "iterate_average": iterate_average,
             "pending_checks": [
                 {"k": int(ck["k"]), "windows": np.asarray(ck["windows"]),

@@ -14,7 +14,6 @@ Memory: B history rings (a ring row is ``8 * packed_width(D) * 4`` bytes
 per restart) — size ``max_history`` to the HBM budget at large d.
 """
 
-import math
 from collections import deque
 from functools import partial
 
@@ -23,7 +22,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..faso import _largest_divisor_leq, _mcse_check, _now
+from ..faso import (
+    _candidate_windows,
+    _largest_divisor_leq,
+    _mcse_check,
+    _now,
+    _recheck_scale,
+)
 from ..families import MFGaussian
 from ..mc_diagnostics import ring_window_mean, split_rhat_ring_windows
 from ..optimizers import StochasticGradientOptimizer
@@ -128,7 +133,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     k_stopped = np.full(B, -1)
     W_check = np.full(B, -1)
     last_best_W = np.full(B, -1)
-    frozen = [None] * B          # packed (8, C) averages at each stop
+    frozen = [None] * B            # packed (8, C) averages at each stop
+    last_checked_avg = [None] * B  # packed average at the last MCSE check
     values_hist = []
     pending = deque()
     mcse_time_total = 0.0
@@ -162,10 +168,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         if np.any(k_conv < 0) and k % k_check == 0:
             W_upper = min(int(0.95 * k), R)
             if W_upper > W_min and W_upper >= 2 * G:
-                cand = np.linspace(W_min, W_upper, num=5)
-                half = np.ceil(cand / (2 * G)).astype(int) * G
-                half = np.clip(half, G, (W_upper // (2 * G)) * G)
-                windows = np.unique(2 * half)
+                windows = _candidate_windows(W_min, W_upper, G)
                 r_hats = rhat_b(rings, t, jnp.asarray(windows))
                 prefetch = getattr(r_hats, "copy_to_host_async", None)
                 if prefetch is not None:
@@ -185,39 +188,51 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             mcses = np.asarray(mcses)
             mcse_interval = _now() - with_timer_start
             mcse_time_total += mcse_interval
-            avgs = None
+            # one batched window-mean pass per MCSE check: stopping
+            # restarts freeze it, non-stopping due restarts keep it as
+            # their last-checked average (FASO's opt_param on a run whose
+            # MCSE gate never passes is the average computed at the LAST
+            # check, not one extended to the final iteration)
+            avgs = mean_b(rings, t, jnp.asarray(W))
             for b in due:
                 if (np.max(mcses[b]) < mcse_threshold
                         and np.min(effs[b]) > ESS_min):
                     k_stopped[b] = k
-                    if avgs is None:
-                        avgs = mean_b(rings, t, jnp.asarray(W))
                     frozen[b] = jnp.asarray(avgs[b])
                 else:
+                    last_checked_avg[b] = jnp.asarray(avgs[b])
                     total_opt = max(_now() - loop_start - mcse_time_total,
                                     1e-9)
-                    ratio = (total_opt / k) / max(
-                        mcse_interval / int(W[b]), 1e-12)
-                    scale = max(1.05, 1.0 + 1.0 / math.sqrt(1.0 + ratio))
-                    W_check[b] = int(scale * W_check[b] + 1)
+                    W_check[b] = int(_recheck_scale(
+                        total_opt / k, mcse_interval / int(W[b]))
+                        * W_check[b] + 1)
         if np.all(k_stopped >= 0):
             break
 
     while pending:
         process_check(pending.popleft())
 
-    # final averages for restarts that never stopped: converged window if
-    # stationarity was reached, else the best R-hat window (matches FASO's
-    # non-diagnostics opt_param semantics), else the initial parameter
-    W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
-                       np.maximum(last_best_W, 1)).astype(int)
-    W_final = np.minimum(W_final, min(R, max(k, 1)))
-    avgs = mean_b(rings, t, jnp.asarray(W_final))
+    # final averages, per restart (matching FASO's non-diagnostics
+    # opt_param semantics): frozen at its own stop; else the average from
+    # its last MCSE check; else (stationarity reached but never
+    # MCSE-checked, or R-hat never passed) the converged / best-R-hat
+    # window mean; else the initial parameter.  The batched window-mean
+    # pass is skipped when no restart needs it.
+    needs_final = [b for b in range(B)
+                   if frozen[b] is None and last_checked_avg[b] is None
+                   and (k_conv[b] >= 0 or last_best_W[b] > 0)]
+    if needs_final:
+        W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
+                           np.maximum(last_best_W, 1)).astype(int)
+        W_final = np.minimum(W_final, min(R, max(k, 1)))
+        avgs = mean_b(rings, t, jnp.asarray(W_final))
     opt_params = []
     for b in range(B):
         if frozen[b] is not None:
             opt_params.append(unpack_rows(frozen[b], D))
-        elif k_conv[b] >= 0 or last_best_W[b] > 0:
+        elif last_checked_avg[b] is not None:
+            opt_params.append(unpack_rows(last_checked_avg[b], D))
+        elif b in needs_final:
             opt_params.append(unpack_rows(avgs[b], D))
         else:
             opt_params.append(init_params[b])

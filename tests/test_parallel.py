@@ -204,17 +204,19 @@ def test_multistart_faso_detection():
     rng = np.random.RandomState(0)
     inits = jnp.asarray(approx.init_param()
                         + 0.1 * rng.randn(B, approx.var_param_dim))
-    res = multistart_faso(RMSProp(0.05), 3000, obj, inits,
-                          jax.random.PRNGKey(0), W_min=100,
-                          mcse_threshold=0.1, ESS_min=10, max_history=600)
-    assert res["opt_param"].shape == (B, approx.var_param_dim)
-    for b in range(B):
-        assert res["k_stopped"][b] is not None
-        assert res["k_conv"][b] is not None
-        mu, _ = approx.mean_and_cov(res["opt_param"][b])
-        np.testing.assert_allclose(np.asarray(mu), mean, atol=0.15)
-    assert res["value_history"].shape[0] == B
-    assert res["value_history"].shape[1] <= 3000
+    for extra in ({}, {"rhat_quantile": 0.9, "rhat_backoff": 1.4}):
+        res = multistart_faso(RMSProp(0.05), 3000, obj, inits,
+                              jax.random.PRNGKey(0), W_min=100,
+                              mcse_threshold=0.1, ESS_min=10,
+                              max_history=600, **extra)
+        assert res["opt_param"].shape == (B, approx.var_param_dim)
+        for b in range(B):
+            assert res["k_stopped"][b] is not None
+            assert res["k_conv"][b] is not None
+            mu, _ = approx.mean_and_cov(res["opt_param"][b])
+            np.testing.assert_allclose(np.asarray(mu), mean, atol=0.15)
+        assert res["value_history"].shape[0] == B
+        assert res["value_history"].shape[1] <= 3000
 
 
 def test_multistart_faso_matches_single_faso():

@@ -40,6 +40,7 @@ __all__ = ["multistart_faso"]
 def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
+                    rhat_quantile=None, rhat_backoff=None,
                     check_pipeline=4):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
@@ -49,6 +50,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     their iterate average frozen at their own ``k_stopped`` while the rest
     keep optimizing, and the program exits early once every restart has
     stopped.
+
+    ``rhat_quantile`` / ``rhat_backoff`` carry FASO's large-d options over
+    (see ``FASO``): quantile gates are evaluated per restart; the adaptive
+    check cadence is SHARED (checks are batched across restarts), so the
+    interval doubles only while EVERY unconverged restart is far from the
+    gate and resets to full cadence as soon as any comes within margin.
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
@@ -75,6 +82,13 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     mf_dim = (objective.approx.dim
               if isinstance(getattr(objective, "approx", None), MFGaussian)
               else None)
+    if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
+        raise ValueError('"rhat_quantile" must be in (0, 1)')
+    if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
+        raise ValueError('"rhat_backoff" must be greater than one')
+    rhat_allowed = (None if rhat_quantile is None
+                    else int((1.0 - float(rhat_quantile)) * D))
+    gate = rhat_threshold if rhat_allowed is None else rhat_allowed
 
     lr = jnp.asarray(sgo._learning_rate, dtype=init_params.dtype)
     vag = objective.value_and_grad
@@ -105,7 +119,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # HBO temp -> ResourceExhausted at B=8, d=500, R=1200), while map
     # peaks at one ring's worth and lets each per-ring call dispatch the
     # streaming Pallas kernel as usual
-    rhat_fn = partial(split_rhat_ring_windows, group=G)
+    rhat_fn = partial(split_rhat_ring_windows, group=G,
+                      exceed_threshold=(None if rhat_allowed is None
+                                        else rhat_threshold))
     mean_fn = partial(ring_window_mean, group=G)
 
     @jax.jit
@@ -139,20 +155,42 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     pending = deque()
     mcse_time_total = 0.0
     loop_start = _now()
+    # shared adaptive check cadence (see FASO.rhat_backoff): one schedule
+    # for the batched checks; doubling requires every unconverged restart
+    # to be far, guarded to once per verdict dispatched under the current
+    # schedule
+    check_interval = 1
+    next_check_at = 0
+    interval_adjusted_at = -1
+    max_interval = max(1, R // k_check)
 
     def process_check(ck):
+        nonlocal check_interval, next_check_at, interval_adjusted_at
         ck_k = int(ck["k"])
         r_hats = np.asarray(ck["r_hats"])          # (B, K)
         windows = np.asarray(ck["windows"])
+        best_stats = []
         for b in range(B):
             if k_conv[b] >= 0:
                 continue
             best = int(np.argmin(r_hats[b]))
             last_best_W[b] = int(windows[best])
-            if r_hats[b, best] <= rhat_threshold:
+            best_stats.append(r_hats[b, best])
+            if r_hats[b, best] <= gate:
                 k_Rhat[b] = ck_k
                 k_conv[b] = ck_k - int(windows[best])
                 W_check[b] = int(windows[best])
+        if (rhat_backoff is not None and best_stats
+                and ck_k > interval_adjusted_at):
+            far_gate = float(rhat_backoff) * (
+                rhat_threshold if rhat_allowed is None
+                else max(rhat_allowed, 1))
+            if min(best_stats) > far_gate:
+                check_interval = min(check_interval * 2, max_interval)
+            else:
+                check_interval = 1
+                next_check_at = 0
+            interval_adjusted_at = k
 
     while k < n_iters:
         steps = min(k_check - (k % k_check), n_iters - k)
@@ -165,9 +203,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         k += steps
         values_hist.append(values)
 
-        if np.any(k_conv < 0) and k % k_check == 0:
+        if np.any(k_conv < 0) and k % k_check == 0 and k >= next_check_at:
             W_upper = min(int(0.95 * k), R)
             if W_upper > W_min and W_upper >= 2 * G:
+                next_check_at = k + k_check * check_interval
                 windows = _candidate_windows(W_min, W_upper, G)
                 r_hats = rhat_b(rings, t, jnp.asarray(windows))
                 prefetch = getattr(r_hats, "copy_to_host_async", None)
@@ -195,8 +234,17 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             # check, not one extended to the final iteration)
             avgs = mean_b(rings, t, jnp.asarray(W))
             for b in due:
-                if (np.max(mcses[b]) < mcse_threshold
-                        and np.min(effs[b]) > ESS_min):
+                if rhat_allowed is None:
+                    gates_pass = (np.max(mcses[b]) < mcse_threshold
+                                  and np.min(effs[b]) > ESS_min)
+                else:
+                    # quantile gates over the real (unpadded) coordinates,
+                    # like FASO's (pads are constant: mcse 0 / ess inf)
+                    q = float(rhat_quantile)
+                    gates_pass = (
+                        float(np.quantile(mcses[b][:D], q)) < mcse_threshold
+                        and float(np.quantile(effs[b][:D], 1.0 - q)) > ESS_min)
+                if gates_pass:
                     k_stopped[b] = k
                     frozen[b] = jnp.asarray(avgs[b])
                 else:

@@ -132,6 +132,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     def mean_b(rings, t, ws):
         return jax.lax.map(lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws))
 
+    mean_one = jax.jit(mean_fn)  # single-restart (rare: R-hat pass events)
+
     @partial(jax.jit, static_argnums=(3,))
     def mcse_b(rings, t, ws, mf_dim):
         return jax.lax.map(
@@ -180,6 +182,13 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 k_Rhat[b] = ck_k
                 k_conv[b] = ck_k - int(windows[best])
                 W_check[b] = int(windows[best])
+                # keep the pass-time average like FASO (window extended
+                # over steps run while the verdict was in flight) so a
+                # restart that never reaches an MCSE check before n_iters
+                # still returns FASO's opt_param
+                w_eff = min(int(windows[best]) + (k - ck_k), R, k)
+                last_checked_avg[b] = mean_one(rings[b], t,
+                                               jnp.asarray(w_eff))
         if (rhat_backoff is not None and best_stats
                 and ck_k > interval_adjusted_at):
             far_gate = float(rhat_backoff) * (

@@ -243,6 +243,40 @@ def test_multistart_faso_matches_single_faso():
     assert res_m["k_stopped"][0] == res_s["k_stopped"]
 
 
+def test_multistart_faso_resume_matches_uninterrupted(tmp_path):
+    """Interrupt a multistart run with in-flight batched verdicts,
+    serialize resume_state, resume: identical per-restart results."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    B = 2
+    rng = np.random.RandomState(3)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    key = jax.random.PRNGKey(11)
+    kwargs = dict(W_min=200, mcse_threshold=0.5, ESS_min=10,
+                  max_history=600)
+    full = multistart_faso(RMSProp(0.05), 3000, obj, inits, key, **kwargs)
+    part = multistart_faso(RMSProp(0.05), 800, obj, inits, key, **kwargs)
+    assert part["resume_state"]["pending_checks"], \
+        "test setup: expected in-flight checks at the interrupt point"
+    path = str(tmp_path / "multistart.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+    resumed = multistart_faso(RMSProp(0.05), 3000, obj, inits, key,
+                              resume_state=restored, **kwargs)
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-6)
+    assert resumed["k_stopped"] == full["k_stopped"]
+    assert resumed["k_conv"] == full["k_conv"]
+    assert resumed["k_Rhat"] == full["k_Rhat"]
+
+
 def test_multistart_faso_rejects_stateful_objectives():
     from viabel_tpu import MFGaussian, RMSProp
     from viabel_tpu.parallel import multistart_faso

@@ -41,7 +41,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None,
-                    check_pipeline=4):
+                    check_pipeline=4, resume_state=None):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
     Semantics per restart match ``FASO.optimize`` with ``diagnostics=False``
@@ -56,6 +56,13 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     check cadence is SHARED (checks are batched across restarts), so the
     interval doubles only while EVERY unconverged restart is far from the
     gate and resets to full cadence as soon as any comes within margin.
+
+    ``resume_state``: the ``results["resume_state"]`` pytree of a prior
+    (possibly interrupted) run — optimization continues from that segment
+    boundary with identical per-restart convergence bookkeeping,
+    including in-flight pipelined verdicts (the fixed-structure pytree
+    serializes with :mod:`viabel_tpu.checkpoint`).  ``value_history``
+    covers only the resumed run's own steps.
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
@@ -142,7 +149,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     var_params = init_params
     opt_states = jax.vmap(sgo.init_state)(init_params)
     keys = jax.random.split(key, B)
-    rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
+    # don't allocate fresh rings when resuming — the checkpointed rings
+    # replace them and the transient 2x peak matters at HBM-sized rings
+    rings = (jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
+             if resume_state is None else None)
     t = jnp.asarray(0)
 
     k = 0
@@ -156,7 +166,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     values_hist = []
     pending = deque()
     mcse_time_total = 0.0
-    loop_start = _now()
+    resumed_opt_time = 0.0
     # shared adaptive check cadence (see FASO.rhat_backoff): one schedule
     # for the batched checks; doubling requires every unconverged restart
     # to be far, guarded to once per verdict dispatched under the current
@@ -164,7 +174,32 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     check_interval = 1
     next_check_at = 0
     interval_adjusted_at = -1
+
+    if resume_state is not None:
+        rs = resume_state
+        var_params = jnp.asarray(rs["var_params"])
+        opt_states = rs["opt_states"]
+        keys = jnp.asarray(rs["keys"])
+        rings = jnp.asarray(rs["rings"])
+        R = rings.shape[1]  # the checkpointed rings win over local sizing
+        t = jnp.asarray(rs["t"])
+        k = int(rs["k"])
+        for name, arr in (("k_conv", k_conv), ("k_Rhat", k_Rhat),
+                          ("k_stopped", k_stopped), ("W_check", W_check),
+                          ("last_best_W", last_best_W)):
+            arr[:] = np.asarray(rs[name])
+        for b in range(B):
+            if bool(np.asarray(rs["frozen_mask"])[b]):
+                frozen[b] = jnp.asarray(rs["frozen_avgs"][b])
+            if bool(np.asarray(rs["checked_mask"])[b]):
+                last_checked_avg[b] = jnp.asarray(rs["checked_avgs"][b])
+        pending.extend(rs.get("pending_checks", []))
+        check_interval = int(rs["check_interval"])
+        next_check_at = int(rs["next_check_at"])
+        interval_adjusted_at = int(rs["interval_adjusted_at"])
+        resumed_opt_time = float(rs["total_opt_time"])
     max_interval = max(1, R // k_check)
+    loop_start = _now()
 
     def process_check(ck):
         nonlocal check_interval, next_check_at, interval_adjusted_at
@@ -201,7 +236,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 next_check_at = 0
             interval_adjusted_at = k
 
-    while k < n_iters:
+    while k < n_iters and not np.all(k_stopped >= 0):
         steps = min(k_check - (k % k_check), n_iters - k)
         if steps not in runner_cache:
             runner_cache[steps] = make_runner(steps)
@@ -258,14 +293,46 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     frozen[b] = jnp.asarray(avgs[b])
                 else:
                     last_checked_avg[b] = jnp.asarray(avgs[b])
-                    total_opt = max(_now() - loop_start - mcse_time_total,
-                                    1e-9)
+                    total_opt = resumed_opt_time + max(
+                        _now() - loop_start - mcse_time_total, 1e-9)
                     W_check[b] = int(_recheck_scale(
                         total_opt / k, mcse_interval / int(W[b]))
                         * W_check[b] + 1)
         if np.all(k_stopped >= 0):
             break
 
+    # snapshot in-flight checks BEFORE draining them, like FASO: a resumed
+    # run replays them on the same schedule; the per-restart averages are
+    # stacked with presence masks so the pytree structure is fixed
+    zero_row = jnp.zeros((8, C), dtype=init_params.dtype)
+    resume_snapshot = {
+        "var_params": var_params,
+        "opt_states": opt_states,
+        "keys": keys,
+        "rings": rings,
+        "t": t,
+        "k": k,
+        "k_conv": k_conv.copy(),
+        "k_Rhat": k_Rhat.copy(),
+        "k_stopped": k_stopped.copy(),
+        "W_check": W_check.copy(),
+        "last_best_W": last_best_W.copy(),
+        "frozen_avgs": jnp.stack(
+            [zero_row if f is None else f for f in frozen]),
+        "frozen_mask": np.array([f is not None for f in frozen]),
+        "checked_avgs": jnp.stack(
+            [zero_row if a is None else a for a in last_checked_avg]),
+        "checked_mask": np.array(
+            [a is not None for a in last_checked_avg]),
+        "pending_checks": [
+            {"k": int(ck["k"]), "windows": np.asarray(ck["windows"]),
+             "r_hats": np.asarray(ck["r_hats"])} for ck in pending],
+        "check_interval": check_interval,
+        "next_check_at": next_check_at,
+        "interval_adjusted_at": interval_adjusted_at,
+        "total_opt_time": resumed_opt_time + (
+            _now() - loop_start - mcse_time_total),
+    }
     while pending:
         process_check(pending.popleft())
 
@@ -296,8 +363,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     return {
         "opt_param": jnp.stack(opt_params),
         "final_param": var_params,
-        "value_history": jnp.concatenate(values_hist, axis=1),
+        "value_history": (jnp.concatenate(values_hist, axis=1) if values_hist
+                          else jnp.zeros((B, 0), dtype=init_params.dtype)),
         "k_conv": [None if v < 0 else int(v) for v in k_conv],
         "k_Rhat": [None if v < 0 else int(v) for v in k_Rhat],
         "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
+        "resume_state": resume_snapshot,
     }

@@ -40,7 +40,7 @@ __all__ = ["multistart_faso"]
 def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
-                    rhat_quantile=None, rhat_backoff=None,
+                    rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                     check_pipeline=4, resume_state=None):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
@@ -81,7 +81,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     n_iters = int(n_iters)
     k_check = int(W_min if k_check is None else k_check)
     ESS_min = W_min // 8 if ESS_min is None else ESS_min
-    G = _largest_divisor_leq(k_check, max(1, min(64, W_min // 4)))
+    if rhat_group is not None and (int(rhat_group) <= 0
+                                   or k_check % int(rhat_group) != 0):
+        raise ValueError('"rhat_group" must be a positive divisor of '
+                         'k_check (checks happen at k_check multiples)')
+    G = (int(rhat_group) if rhat_group
+         else _largest_divisor_leq(k_check, max(1, min(64, W_min // 4))))
     R = int(max_history) if max_history else max(n_iters, 2)
     R = max(R, 2 * W_min)
     R = -(-R // G) * G

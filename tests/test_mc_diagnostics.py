@@ -166,6 +166,60 @@ def test_split_rhat_ring_windows_unwrapped():
         np.testing.assert_allclose(r_ring[i], expected, rtol=1e-6)
 
 
+def test_mc_diagnostics_golden_vs_reference():
+    """autocov / ess / MCSE / compute_R_hat golden-match the live
+    reference implementation (reference _mc_diagnostics.py, loaded with
+    autograd.numpy shimmed to numpy — its forward math is plain numpy)."""
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    import pytest
+
+    ref_path = "/root/reference/viabel/_mc_diagnostics.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    if "autograd" not in sys.modules:
+        autograd = types.ModuleType("autograd")
+        autograd.numpy = np
+        sys.modules["autograd"] = autograd
+        sys.modules["autograd.numpy"] = np
+    spec = importlib.util.spec_from_file_location("ref_mcd", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from viabel_tpu.mc_diagnostics import autocov, compute_R_hat, ess
+
+    rng = np.random.RandomState(7)
+    n, d = 1000, 3
+    x = np.zeros((n, d))
+    eps = rng.randn(n, d)
+    for i in range(1, n):
+        x[i] = 0.6 * x[i - 1] + eps[i]
+    x += np.array([0.0, 5.0, -2.0])
+
+    ref_ac = ref.autocov(x[:, 0][None, :])[0]
+    ours_ac = np.asarray(autocov(jnp.asarray(x[:, 0])))
+    np.testing.assert_allclose(ours_ac, ref_ac, rtol=1e-8, atol=1e-10)
+
+    for j in range(d):
+        np.testing.assert_allclose(
+            float(ess(x[:, j][None, :])),
+            float(ref.ess(x[:, j].reshape(1, -1))), rtol=1e-8)
+
+    ref_eff, ref_mcse = ref.MCSE(x)
+    eff, mcse = MCSE(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(eff), np.asarray(ref_eff),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(mcse), np.asarray(ref_mcse),
+                               rtol=1e-8)
+
+    np.testing.assert_allclose(
+        np.asarray(compute_R_hat(jnp.asarray(x))),
+        np.asarray(ref.compute_R_hat(x)), rtol=1e-8)
+
+
 def test_split_rhat_ring_windows_top_k():
     """``top_k=k`` returns the k-th largest per-coordinate R-hat (the
     kernel behind FASO's ``rhat_quantile`` gate), never a packing pad."""

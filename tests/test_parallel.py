@@ -243,6 +243,36 @@ def test_multistart_faso_matches_single_faso():
     assert res_m["k_stopped"][0] == res_s["k_stopped"]
 
 
+def test_multistart_faso_sharded_matches_unsharded():
+    """Restart-axis sharding is placement-only: identical per-restart
+    results on the virtual 8-device mesh."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 3
+    mean = np.arange(d, dtype=float)
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 16)
+    B = 8
+    rng = np.random.RandomState(1)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    key = jax.random.PRNGKey(5)
+    kwargs = dict(W_min=100, mcse_threshold=0.1, ESS_min=10, max_history=600)
+    plain = multistart_faso(RMSProp(0.05), 2000, obj, inits, key, **kwargs)
+    mesh = make_mesh((8,), ("restart",))
+    shard = multistart_faso(RMSProp(0.05), 2000, obj, inits, key,
+                            mesh=mesh, **kwargs)
+    np.testing.assert_allclose(np.asarray(shard["opt_param"]),
+                               np.asarray(plain["opt_param"]),
+                               rtol=1e-5, atol=1e-7)
+    assert shard["k_stopped"] == plain["k_stopped"]
+    assert shard["k_conv"] == plain["k_conv"]
+    with pytest.raises(ValueError):
+        multistart_faso(RMSProp(0.05), 100, obj, inits[:3], key, mesh=mesh)
+
+
 def test_multistart_faso_resume_matches_uninterrupted(tmp_path):
     """Interrupt a multistart run with in-flight batched verdicts,
     serialize resume_state, resume: identical per-restart results."""

@@ -41,7 +41,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
-                    check_pipeline=4, resume_state=None):
+                    check_pipeline=4, resume_state=None, mesh=None,
+                    restart_axis="restart"):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
     Semantics per restart match ``FASO.optimize`` with ``diagnostics=False``
@@ -56,6 +57,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     check cadence is SHARED (checks are batched across restarts), so the
     interval doubles only while EVERY unconverged restart is far from the
     gate and resets to full cadence as soon as any comes within margin.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — restarts (states, rings,
+    and every batched statistic) shard over ``restart_axis`` via
+    ``shard_map``, so B restarts spread across the mesh with zero
+    cross-device traffic except the tiny host verdict reads; ``B`` must
+    be divisible by the axis size.
 
     ``resume_state``: the ``results["resume_state"]`` pytree of a prior
     (possibly interrupted) run — optimization continues from that segment
@@ -106,6 +113,29 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     vag = objective.value_and_grad
     update = objective.update
 
+    # optional restart-axis sharding: every batched callable below is
+    # wrapped in shard_map over `restart_axis`, so each device runs its
+    # local restarts (same lax.map code path) with no cross-device
+    # traffic; the Pallas stat kernel is skipped under shard_map (no
+    # partitioning rule) like FASO's mesh path.
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        n_shards = mesh.shape[restart_axis]
+        if B % n_shards != 0:
+            raise ValueError(
+                f"n_restarts={B} must be divisible by the "
+                f"{restart_axis} axis size {n_shards}")
+
+        def shard_restarts(fn, n_batched, n_shared):
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(restart_axis),) * n_batched + (P(),) * n_shared,
+                out_specs=P(restart_axis), check_vma=False)
+    else:
+        def shard_restarts(fn, n_batched, n_shared):
+            return fn
+
     def make_runner(steps):
         def seg(vp, opt_state, key, ring, t, lr):
             def body(carry, _):
@@ -121,35 +151,51 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             return jax.lax.scan(body, (vp, opt_state, key, ring, t),
                                 None, length=steps)
 
-        return jax.jit(jax.vmap(seg, in_axes=(0, 0, 0, 0, None, None)),
-                       donate_argnums=(3,))
+        return jax.jit(
+            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, None, None)),
+                           4, 2),
+            donate_argnums=(3,))
 
     runner_cache = {}
     # batched statistics: one dispatch covers every restart, but the B
-    # axis runs SEQUENTIALLY (lax.map) — a vmapped jnp stat pass
-    # materializes every ring's centered copy at once (measured 8.97 GB
-    # HBO temp -> ResourceExhausted at B=8, d=500, R=1200), while map
-    # peaks at one ring's worth and lets each per-ring call dispatch the
-    # streaming Pallas kernel as usual
+    # axis runs SEQUENTIALLY (lax.map) per device — a vmapped jnp stat
+    # pass materializes every ring's centered copy at once (measured
+    # 8.97 GB HLO temp -> ResourceExhausted at B=8, d=500, R=1200), while
+    # map peaks at one ring's worth and lets each per-ring call dispatch
+    # the streaming Pallas kernel as usual
     rhat_fn = partial(split_rhat_ring_windows, group=G,
+                      use_pallas=False if mesh is not None else None,
                       exceed_threshold=(None if rhat_allowed is None
                                         else rhat_threshold))
-    mean_fn = partial(ring_window_mean, group=G)
+    mean_fn = partial(ring_window_mean, group=G,
+                      use_pallas=False if mesh is not None else None)
 
-    @jax.jit
-    def rhat_b(rings, t, windows):
-        return jax.lax.map(lambda ring: rhat_fn(ring, t, windows), rings)
+    rhat_b = jax.jit(shard_restarts(
+        lambda rings, t, windows: jax.lax.map(
+            lambda ring: rhat_fn(ring, t, windows), rings), 1, 2))
 
-    @jax.jit
-    def mean_b(rings, t, ws):
-        return jax.lax.map(lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws))
+    # batched args lead (rings, ws) so the shard specs line up
+    mean_b = jax.jit(shard_restarts(
+        lambda rings, ws, t: jax.lax.map(
+            lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws)), 2, 1))
 
     mean_one = jax.jit(mean_fn)  # single-restart (rare: R-hat pass events)
 
-    @partial(jax.jit, static_argnums=(3,))
-    def mcse_b(rings, t, ws, mf_dim):
+    def _mcse_map(rings, t, ws, mf_dim):
         return jax.lax.map(
             lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws))
+
+    if mesh is not None:
+        from jax import shard_map as _sm
+        from jax.sharding import PartitionSpec as P
+
+        @partial(jax.jit, static_argnums=(3,))
+        def mcse_b(rings, t, ws, mf_dim):
+            return _sm(lambda r, w: _mcse_map(r, t, w, mf_dim), mesh=mesh,
+                       in_specs=(P(restart_axis), P(restart_axis)),
+                       out_specs=P(restart_axis), check_vma=False)(rings, ws)
+    else:
+        mcse_b = partial(jax.jit, static_argnums=(3,))(_mcse_map)
 
     var_params = init_params
     opt_states = jax.vmap(sgo.init_state)(init_params)
@@ -281,7 +327,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             # their last-checked average (FASO's opt_param on a run whose
             # MCSE gate never passes is the average computed at the LAST
             # check, not one extended to the final iteration)
-            avgs = mean_b(rings, t, jnp.asarray(W))
+            avgs = mean_b(rings, jnp.asarray(W), t)
             for b in due:
                 if rhat_allowed is None:
                     gates_pass = (np.max(mcses[b]) < mcse_threshold
@@ -354,7 +400,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
                            np.maximum(last_best_W, 1)).astype(int)
         W_final = np.minimum(W_final, min(R, max(k, 1)))
-        avgs = mean_b(rings, t, jnp.asarray(W_final))
+        avgs = mean_b(rings, jnp.asarray(W_final), t)
     opt_params = []
     for b in range(B):
         if frozen[b] is not None:

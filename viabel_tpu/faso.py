@@ -410,7 +410,10 @@ class FASO(Optimizer):
             opt_state = resume_state["opt_state"]
             obj_state = resume_state.get("obj_state", obj_state)
             key = resume_state["key"]
-            ring = jnp.asarray(resume_state["ring"])
+            # copy: the segment runner donates the ring buffer, and
+            # resuming directly from an in-memory results["resume_state"]
+            # must not invalidate the caller's snapshot
+            ring = jnp.array(resume_state["ring"], copy=True)
             if self._mesh is not None:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as PS

@@ -181,21 +181,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
 
     mean_one = jax.jit(mean_fn)  # single-restart (rare: R-hat pass events)
 
-    def _mcse_map(rings, t, ws, mf_dim):
-        return jax.lax.map(
-            lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws))
-
-    if mesh is not None:
-        from jax import shard_map as _sm
-        from jax.sharding import PartitionSpec as P
-
-        @partial(jax.jit, static_argnums=(3,))
-        def mcse_b(rings, t, ws, mf_dim):
-            return _sm(lambda r, w: _mcse_map(r, t, w, mf_dim), mesh=mesh,
-                       in_specs=(P(restart_axis), P(restart_axis)),
-                       out_specs=P(restart_axis), check_vma=False)(rings, ws)
-    else:
-        mcse_b = partial(jax.jit, static_argnums=(3,))(_mcse_map)
+    # mf_dim is fixed for the whole call, so bind it like the other
+    # per-call statics and share the same shard wrapper as mean_b
+    mcse_b = jax.jit(shard_restarts(
+        lambda rings, ws, t: jax.lax.map(
+            lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws)),
+        2, 1))
 
     var_params = init_params
     opt_states = jax.vmap(sgo.init_state)(init_params)
@@ -231,7 +222,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         var_params = jnp.asarray(rs["var_params"])
         opt_states = rs["opt_states"]
         keys = jnp.asarray(rs["keys"])
-        rings = jnp.asarray(rs["rings"])
+        # copy: the segment runner donates the ring buffer, and resuming
+        # directly from an in-memory results["resume_state"] must not
+        # invalidate the caller's snapshot (no-op cost for checkpoints
+        # loaded from disk — those transfer from host anyway)
+        rings = jnp.array(rs["rings"], copy=True)
         R = rings.shape[1]  # the checkpointed rings win over local sizing
         t = jnp.asarray(rs["t"])
         k = int(rs["k"])
@@ -252,7 +247,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     max_interval = max(1, R // k_check)
     loop_start = _now()
 
-    def process_check(ck):
+    def process_check(ck, final=False):
         nonlocal check_interval, next_check_at, interval_adjusted_at
         ck_k = int(ck["k"])
         r_hats = np.asarray(ck["r_hats"])          # (B, K)
@@ -268,13 +263,18 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 k_Rhat[b] = ck_k
                 k_conv[b] = ck_k - int(windows[best])
                 W_check[b] = int(windows[best])
-                # keep the pass-time average like FASO (window extended
-                # over steps run while the verdict was in flight) so a
-                # restart that never reaches an MCSE check before n_iters
-                # still returns FASO's opt_param
-                w_eff = min(int(windows[best]) + (k - ck_k), R, k)
-                last_checked_avg[b] = mean_one(rings[b], t,
-                                               jnp.asarray(w_eff))
+                if final:
+                    # keep the pass-time average like FASO (window
+                    # extended over steps run while the verdict was in
+                    # flight) so a restart whose pass only surfaces in the
+                    # post-loop drain still returns FASO's opt_param.  An
+                    # in-loop pass is always immediately "due" for an MCSE
+                    # check in the same iteration (k - k_conv = best_W +
+                    # lag >= W_check), which overwrites this — so compute
+                    # it only on the final drain.
+                    w_eff = min(int(windows[best]) + (k - ck_k), R, k)
+                    last_checked_avg[b] = mean_one(rings[b], t,
+                                                   jnp.asarray(w_eff))
         if (rhat_backoff is not None and best_stats
                 and ck_k > interval_adjusted_at):
             far_gate = float(rhat_backoff) * (
@@ -317,7 +317,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         if due:
             W = np.minimum(np.maximum(k - k_conv, 1), min(R, k))
             with_timer_start = _now()
-            effs, mcses = mcse_b(rings, t, jnp.asarray(W), mf_dim)
+            effs, mcses = mcse_b(rings, jnp.asarray(W), t)
             effs = np.asarray(effs)
             mcses = np.asarray(mcses)
             mcse_interval = _now() - with_timer_start
@@ -349,8 +349,6 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     W_check[b] = int(_recheck_scale(
                         total_opt / k, mcse_interval / int(W[b]))
                         * W_check[b] + 1)
-        if np.all(k_stopped >= 0):
-            break
 
     # snapshot in-flight checks BEFORE draining them, like FASO: a resumed
     # run replays them on the same schedule; the per-restart averages are
@@ -385,7 +383,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             _now() - loop_start - mcse_time_total),
     }
     while pending:
-        process_check(pending.popleft())
+        process_check(pending.popleft(), final=True)
 
     # final averages, per restart (matching FASO's non-diagnostics
     # opt_param semantics): frozen at its own stop; else the average from

@@ -17,6 +17,7 @@ from viabel_tpu.mc_diagnostics import (
     compute_R_hat,
     ess,
     ess_and_mcse_windowed,
+    rank_normalized_R_hat,
     split_rhat_windowed,
 )
 
@@ -89,6 +90,53 @@ def test_rhat_stationary_vs_trending():
     assert np.all(r < 1.05)
     trending = stationary + np.linspace(0, 5, n)[:, None]
     r2 = np.asarray(compute_R_hat(jnp.asarray(trending)))
+    assert np.all(r2 > 1.5)
+
+
+def test_rank_normalized_rhat_stationary_vs_trending():
+    rng = np.random.RandomState(15)
+    n, d = 1000, 2
+    stationary = rng.randn(n, d)
+    r = np.asarray(rank_normalized_R_hat(jnp.asarray(stationary)))
+    assert np.all(r < 1.05)
+    trending = stationary + np.linspace(0, 5, n)[:, None]
+    r2 = np.asarray(rank_normalized_R_hat(jnp.asarray(trending)))
+    assert np.all(r2 > 1.5)
+
+
+def test_rank_normalized_rhat_heavy_tails():
+    """Rank normalization keeps R-hat meaningful on infinite-variance draws
+    (classical variance-based R-hat is undefined/noisy there), and the
+    folded component flags half-chains that agree in location but not
+    scale — the failure mode the classical statistic is blind to."""
+    rng = np.random.RandomState(16)
+    n = 2000
+    cauchy = rng.standard_cauchy((n, 3))
+    r = np.asarray(rank_normalized_R_hat(jnp.asarray(cauchy)))
+    assert np.all(r < 1.05)
+    # same location, 4x scale in the second half: classical split-R-hat's
+    # between-chain mean term barely moves, the folded rank statistic jumps
+    scale_shift = rng.randn(n, 1)
+    scale_shift[n // 2:] *= 4.0
+    r_classical = float(np.max(compute_R_hat(jnp.asarray(scale_shift))))
+    r_rank = float(np.max(rank_normalized_R_hat(jnp.asarray(scale_shift))))
+    assert r_classical < 1.1  # blind to the scale change
+    assert r_rank > 1.3
+
+
+def test_rank_normalized_rhat_calibrated_under_monotone_transform():
+    """Ranks see through monotone reparameterizations: a skewed
+    (lognormal) stationary chain stays calibrated, a transformed trending
+    chain is still flagged.  (The bulk component is exactly
+    rank-invariant; the folded component is only approximately so, since
+    folding happens after the transform.)"""
+    rng = np.random.RandomState(17)
+    n, d = 1000, 2
+    stationary = rng.randn(n, d)
+    r = np.asarray(rank_normalized_R_hat(jnp.asarray(np.exp(stationary))))
+    assert np.all(r < 1.05)
+    trending = np.exp(stationary + np.linspace(0, 5, n)[:, None])
+    r2 = np.asarray(rank_normalized_R_hat(jnp.asarray(trending)))
     assert np.all(r2 > 1.5)
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "ess",
     "MCSE",
     "compute_R_hat",
+    "rank_normalized_R_hat",
     "R_hat_convergence_check",
     "ess_and_mcse_windowed",
     "split_rhat_windowed",
@@ -441,6 +442,49 @@ def compute_R_hat(chains, warmup=0, jitter=1e-8):
     chains = jnp.asarray(chains)[warmup:, :]
     n = chains.shape[0]
     return split_rhat_windowed(chains, jnp.asarray(n), jitter)
+
+
+def _rank_normal_scores(x):
+    """Per-coordinate fractional-rank normal scores of ``(n, D)`` draws.
+
+    Ordinal ranks (double argsort; draws from continuous q are tie-free
+    almost surely) mapped through the Blom offset
+    ``z = Phi^{-1}((rank + 1 - 3/8) / (n + 1/4))``.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    ranks = jnp.argsort(jnp.argsort(x, axis=0), axis=0)
+    u = (ranks.astype(x.dtype) + (1.0 - 0.375)) / (n + 0.25)
+    return jax.scipy.special.ndtri(u)
+
+
+def rank_normalized_R_hat(chains, warmup=0, jitter=1e-8):
+    """Rank-normalized + folded split-R-hat per coordinate.
+
+    The improved R-hat of Vehtari, Gelman, Simpson, Carpenter & Burkner
+    (2021): the classical split-R-hat (reference _mc_diagnostics.py:124-160)
+    is variance-based, so it is blind to chains that disagree in scale but
+    not location when draws are heavy-tailed, and to infinite-variance
+    targets.  This variant computes split-R-hat on (a) rank-normalized
+    draws (bulk mixing) and (b) rank-normalized *folded* draws
+    ``|x - median|`` (tail mixing), returning the elementwise max.
+
+    No reference counterpart (the reference ships only the classical
+    statistic); provided at the parity-API level for offline diagnostics.
+    The per-coordinate sort makes it unsuitable for FASO's on-device gate
+    at 1e6 coordinates (docs/benchmarks.md "R-hat at scale") — use
+    ``FASO(rhat_quantile=...)``'s sort-free exceedance gate there.
+
+    ``chains``: ``(n_iters, D)`` single chain, split in half like
+    :func:`compute_R_hat`.  Returns ``(D,)``.
+    """
+    x = jnp.asarray(chains)[warmup:, :]
+    n = x.shape[0]
+    n_t = jnp.asarray(n)
+    bulk = split_rhat_windowed(_rank_normal_scores(x), n_t, jitter)
+    folded = jnp.abs(x - jnp.median(x, axis=0, keepdims=True))
+    tail = split_rhat_windowed(_rank_normal_scores(folded), n_t, jitter)
+    return jnp.maximum(bulk, tail)
 
 
 def R_hat_convergence_check(samples, windows, Rhat_threshold=1.1):

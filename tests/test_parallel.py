@@ -243,6 +243,82 @@ def test_multistart_faso_matches_single_faso():
     assert res_m["k_stopped"][0] == res_s["k_stopped"]
 
 
+def test_multistart_faso_diagnostics_histories_match_faso():
+    """diagnostics=True streams FASO's full history contract batched over
+    restarts; a B=1 run reproduces single-FASO's grad/descent-dir/value
+    and iterate-average trails exactly (an easy target stops at the first
+    MCSE check, so the whole schedule is deterministic)."""
+    from viabel_tpu import FASO, ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    init = approx.init_param()
+    key = jax.random.PRNGKey(7)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    res_m = multistart_faso(RMSProp(0.05, diagnostics=True), 2000, obj,
+                            init[None], key, diagnostics=True, **kwargs)
+    res_s = FASO(RMSProp(0.05, diagnostics=True), **kwargs).optimize(
+        2000, obj, init, key=jax.random.split(key, 1)[0])
+    assert res_m["k_stopped"][0] == res_s["k_stopped"]
+    np.testing.assert_allclose(np.asarray(res_m["value_history"][0]),
+                               np.asarray(res_s["value_history"]), rtol=1e-6)
+    np.testing.assert_allclose(res_m["grad_history"][0],
+                               np.asarray(res_s["grad_history"]), rtol=1e-6)
+    np.testing.assert_allclose(res_m["descent_dir_history"][0],
+                               np.asarray(res_s["descent_dir_history"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(res_m["iterate_average_k_history"],
+                                  np.asarray(res_s["iterate_average_k_history"]))
+    np.testing.assert_allclose(res_m["iterate_average_history"][:, 0],
+                               np.asarray(res_s["iterate_average_history"]),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(res_m["ess_and_mcse_k_history"],
+                                  np.asarray(res_s["ess_and_mcse_k_history"]))
+    assert res_m["ess_due_history"].all()
+    np.testing.assert_allclose(res_m["ess_history"][:, 0],
+                               np.asarray(res_s["ess_history"]), rtol=1e-5)
+    np.testing.assert_allclose(res_m["mcse_history"][:, 0],
+                               np.asarray(res_s["mcse_history"]), rtol=1e-5)
+
+
+def test_multistart_faso_diagnostics_freezes_stopped_rows():
+    """With B>1 and diagnostics on, a stopped restart's iterate-average
+    rows stay frozen in later history entries."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 3
+    mean = np.arange(d, dtype=float)
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    B = 2
+    rng = np.random.RandomState(1)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    res = multistart_faso(RMSProp(0.05, diagnostics=True), 3000, obj, inits,
+                          jax.random.PRNGKey(3), W_min=100,
+                          mcse_threshold=0.1, ESS_min=10, max_history=600,
+                          diagnostics=True)
+    assert res["grad_history"].shape[0] == B
+    assert res["grad_history"].shape[1] == res["value_history"].shape[1]
+    assert res["grad_history"].shape[2] == approx.var_param_dim
+    ks = res["iterate_average_k_history"]
+    avgs = res["iterate_average_history"]
+    assert avgs.shape[1:] == (B, approx.var_param_dim)
+    for b in range(B):
+        k_stop = res["k_stopped"][b]
+        assert k_stop is not None
+        # entries recorded after the restart stopped keep the frozen row
+        after = avgs[ks > k_stop, b]
+        for row in after:
+            np.testing.assert_allclose(row, np.asarray(res["opt_param"][b]),
+                                       rtol=1e-6, atol=1e-8)
+
+
 def test_multistart_faso_sharded_matches_unsharded():
     """Restart-axis sharding is placement-only: identical per-restart
     results on the virtual 8-device mesh."""

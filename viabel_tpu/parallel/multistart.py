@@ -41,16 +41,25 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
-                    check_pipeline=4, resume_state=None, mesh=None,
-                    restart_axis="restart"):
+                    check_pipeline=4, diagnostics=False, resume_state=None,
+                    mesh=None, restart_axis="restart"):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
-    Semantics per restart match ``FASO.optimize`` with ``diagnostics=False``
+    Semantics per restart match ``FASO.optimize``
     (R-hat window search every ``k_check`` steps, back-dated convergence,
     MCSE/ESS stopping with cost-aware rechecks); restarts that stop have
     their iterate average frozen at their own ``k_stopped`` while the rest
     keep optimizing, and the program exits early once every restart has
     stopped.
+
+    ``diagnostics``: stream the per-step gradient / descent-direction
+    histories and record the per-check iterate-average and ESS/MCSE
+    trails, batched over restarts (FASO's ``diagnostics=True`` contract,
+    reference optimization.py:103-108, 540-546).  Like FASO, diagnostics
+    mode reads every R-hat verdict synchronously (no check pipelining) so
+    per-check histories match the reference's schedule.  Costs B times
+    FASO's history traffic — at large d prefer ``diagnostics=False`` (the
+    default) and a single-run FASO for post-hoc analysis.
 
     ``rhat_quantile`` / ``rhat_backoff`` carry FASO's large-d options over
     (see ``FASO``): quantile gates are evaluated per restart; the adaptive
@@ -73,7 +82,14 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
-    ``value_history`` (B, n_steps_run).
+    ``value_history`` (B, n_steps_run).  With ``diagnostics=True`` also
+    ``grad_history`` / ``descent_dir_history`` (B, n, D),
+    ``iterate_average_k_history`` (n_checks,) with
+    ``iterate_average_history`` (n_checks, B, D), and
+    ``ess_and_mcse_k_history`` / ``ess_due_history`` (B,) masks /
+    ``ess_history`` / ``mcse_history`` per MCSE check (checks are batched,
+    so each entry carries every restart; rows of restarts that were not
+    due at that check are flagged False in the mask).
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
@@ -146,7 +162,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 vp = update(vp, lr * direction)
                 ring = jax.lax.dynamic_update_slice(
                     ring, pack_rows(vp)[None], (t % R, 0, 0))
-                return (vp, st, key, ring, t + 1), value
+                outs = ((value, pack_rows(grad), pack_rows(direction))
+                        if diagnostics else (value,))
+                return (vp, st, key, ring, t + 1), outs
 
             return jax.lax.scan(body, (vp, opt_state, key, ring, t),
                                 None, length=steps)
@@ -206,6 +224,20 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     frozen = [None] * B            # packed (8, C) averages at each stop
     last_checked_avg = [None] * B  # packed average at the last MCSE check
     values_hist = []
+    grad_hist = []
+    dir_hist = []
+    # rolling (B, D) snapshot of each restart's current iterate average,
+    # appended (as a copy) to the diagnostics trail at every check
+    avg_snapshot = np.asarray(init_params).copy() if diagnostics else None
+    iter_avg_k_hist = []
+    iter_avg_hist = []
+    mcse_k_hist = []
+    mcse_due_hist = []
+    ess_hist = []
+    mcse_hist = []
+    # diagnostics reads every verdict synchronously, matching FASO's
+    # per-check history schedule (faso.py `pipeline = 0 if diagnostics`)
+    pipeline = 0 if diagnostics else check_pipeline
     pending = deque()
     mcse_time_total = 0.0
     resumed_opt_time = 0.0
@@ -239,12 +271,20 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 frozen[b] = jnp.asarray(rs["frozen_avgs"][b])
             if bool(np.asarray(rs["checked_mask"])[b]):
                 last_checked_avg[b] = jnp.asarray(rs["checked_avgs"][b])
+        if diagnostics:
+            for b in range(B):
+                row = frozen[b] if frozen[b] is not None else last_checked_avg[b]
+                if row is not None:
+                    avg_snapshot[b] = np.asarray(unpack_rows(row, D))
         pending.extend(rs.get("pending_checks", []))
         check_interval = int(rs["check_interval"])
         next_check_at = int(rs["next_check_at"])
         interval_adjusted_at = int(rs["interval_adjusted_at"])
         resumed_opt_time = float(rs["total_opt_time"])
     max_interval = max(1, R // k_check)
+    if diagnostics:
+        iter_avg_k_hist.append(0)
+        iter_avg_hist.append(avg_snapshot.copy())
     loop_start = _now()
 
     def process_check(ck, final=False):
@@ -252,6 +292,26 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         ck_k = int(ck["k"])
         r_hats = np.asarray(ck["r_hats"])          # (B, K)
         windows = np.asarray(ck["windows"])
+        if diagnostics:
+            # record every live restart's current iterate average (FASO
+            # appends its average at every R-hat check in diagnostics mode,
+            # converged or not); stopped restarts keep their frozen row
+            Wd = np.empty(B, dtype=int)
+            for b in range(B):
+                if k_stopped[b] >= 0:
+                    Wd[b] = 1  # placeholder; frozen row kept below
+                elif k_conv[b] >= 0:
+                    Wd[b] = min(max(k - k_conv[b], 1), R, k)
+                else:
+                    best = int(np.argmin(r_hats[b]))
+                    Wd[b] = min(int(windows[best]) + (k - ck_k), R, k)
+            avgs_d = np.asarray(unpack_rows(mean_b(rings, jnp.asarray(Wd), t),
+                                            D))
+            for b in range(B):
+                if k_stopped[b] < 0:
+                    avg_snapshot[b] = avgs_d[b]
+            iter_avg_k_hist.append(ck_k)
+            iter_avg_hist.append(avg_snapshot.copy())
         best_stats = []
         for b in range(B):
             if k_conv[b] >= 0:
@@ -291,12 +351,17 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         steps = min(k_check - (k % k_check), n_iters - k)
         if steps not in runner_cache:
             runner_cache[steps] = make_runner(steps)
-        carry, values = runner_cache[steps](var_params, opt_states, keys,
-                                            rings, t, lr)
+        carry, outs = runner_cache[steps](var_params, opt_states, keys,
+                                          rings, t, lr)
         var_params, opt_states, keys, rings, _ = carry
         t = t + steps
         k += steps
-        values_hist.append(values)
+        values_hist.append(outs[0])
+        if diagnostics:
+            # stream to host per segment like FASO (histories cannot
+            # accumulate on device at scale; see faso.py optimize)
+            grad_hist.append(np.asarray(unpack_rows(outs[1], D)))
+            dir_hist.append(np.asarray(unpack_rows(outs[2], D)))
 
         if np.any(k_conv < 0) and k % k_check == 0 and k >= next_check_at:
             W_upper = min(int(0.95 * k), R)
@@ -308,7 +373,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 if prefetch is not None:
                     prefetch()
                 pending.append({"k": k, "windows": windows, "r_hats": r_hats})
-        while pending and k - int(pending[0]["k"]) >= check_pipeline * k_check:
+        while pending and k - int(pending[0]["k"]) >= pipeline * k_check:
             process_check(pending.popleft())
 
         due = [b for b in range(B)
@@ -328,6 +393,19 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             # MCSE gate never passes is the average computed at the LAST
             # check, not one extended to the final iteration)
             avgs = mean_b(rings, jnp.asarray(W), t)
+            if diagnostics:
+                due_mask = np.zeros(B, dtype=bool)
+                due_mask[due] = True
+                mcse_k_hist.append(k)
+                mcse_due_hist.append(due_mask)
+                ess_hist.append(effs.copy())
+                mcse_hist.append(mcses.copy())
+                avgs_np = np.asarray(unpack_rows(jnp.asarray(avgs), D))
+                for b in due:
+                    avg_snapshot[b] = avgs_np[b]
+                if not iter_avg_k_hist or iter_avg_k_hist[-1] != k:
+                    iter_avg_k_hist.append(k)
+                    iter_avg_hist.append(avg_snapshot.copy())
             for b in due:
                 if rhat_allowed is None:
                     gates_pass = (np.max(mcses[b]) < mcse_threshold
@@ -409,7 +487,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             opt_params.append(unpack_rows(avgs[b], D))
         else:
             opt_params.append(init_params[b])
-    return {
+    results = {
         "opt_param": jnp.stack(opt_params),
         "final_param": var_params,
         "value_history": (jnp.concatenate(values_hist, axis=1) if values_hist
@@ -419,3 +497,17 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
         "resume_state": resume_snapshot,
     }
+    if diagnostics:
+        empty = np.zeros((B, 0, D), dtype=np.asarray(init_params).dtype)
+        results["grad_history"] = (
+            np.concatenate(grad_hist, axis=1) if grad_hist else empty)
+        results["descent_dir_history"] = (
+            np.concatenate(dir_hist, axis=1) if dir_hist else empty)
+        results["iterate_average_k_history"] = np.asarray(iter_avg_k_hist)
+        results["iterate_average_history"] = np.stack(iter_avg_hist)
+        results["ess_and_mcse_k_history"] = np.asarray(mcse_k_hist)
+        if mcse_k_hist:
+            results["ess_due_history"] = np.stack(mcse_due_hist)
+            results["ess_history"] = np.stack(ess_hist)
+            results["mcse_history"] = np.stack(mcse_hist)
+    return results

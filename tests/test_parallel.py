@@ -309,14 +309,48 @@ def test_multistart_faso_diagnostics_freezes_stopped_rows():
     ks = res["iterate_average_k_history"]
     avgs = res["iterate_average_history"]
     assert avgs.shape[1:] == (B, approx.var_param_dim)
+    n_after = 0
     for b in range(B):
         k_stop = res["k_stopped"][b]
         assert k_stop is not None
         # entries recorded after the restart stopped keep the frozen row
         after = avgs[ks > k_stop, b]
+        n_after += len(after)
         for row in after:
             np.testing.assert_allclose(row, np.asarray(res["opt_param"][b]),
                                        rtol=1e-6, atol=1e-8)
+    # non-vacuity: at least one restart must actually have post-stop
+    # entries (if every restart stopped at the same check this test
+    # would otherwise silently assert nothing)
+    assert n_after > 0
+
+
+def test_multistart_faso_diagnostics_nonconverged_opt_param_matches_faso():
+    """A never-converging restart's diagnostics-mode opt_param is the
+    last trail entry (FASO semantics), not a window mean recomputed at
+    exit — and a B=1 run matches single-FASO exactly."""
+    from viabel_tpu import FASO, ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    # distant target + tiny lr: R-hat never passes within n_iters
+    model, _ = zoo.diagonal_gaussian(30.0 * np.ones(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    init = approx.init_param()
+    key = jax.random.PRNGKey(11)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    res_m = multistart_faso(RMSProp(0.005, diagnostics=True), 1250, obj,
+                            init[None], key, **kwargs)
+    assert res_m["k_conv"][0] is None
+    np.testing.assert_allclose(np.asarray(res_m["opt_param"][0]),
+                               res_m["iterate_average_history"][-1, 0],
+                               rtol=1e-6, atol=1e-8)
+    res_s = FASO(RMSProp(0.005, diagnostics=True), **kwargs).optimize(
+        1250, obj, init, key=jax.random.split(key, 1)[0])
+    np.testing.assert_allclose(np.asarray(res_m["opt_param"][0]),
+                               np.asarray(res_s["opt_param"]),
+                               rtol=1e-5, atol=1e-8)
 
 
 def test_multistart_faso_sharded_matches_unsharded():

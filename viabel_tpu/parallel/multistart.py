@@ -41,7 +41,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     mcse_threshold=0.1, W_min=200, ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
-                    check_pipeline=4, diagnostics=False, resume_state=None,
+                    check_pipeline=4, diagnostics=None, resume_state=None,
                     mesh=None, restart_axis="restart"):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
@@ -55,9 +55,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     ``diagnostics``: stream the per-step gradient / descent-direction
     histories and record the per-check iterate-average and ESS/MCSE
     trails, batched over restarts (FASO's ``diagnostics=True`` contract,
-    reference optimization.py:103-108, 540-546).  Like FASO, diagnostics
-    mode reads every R-hat verdict synchronously (no check pipelining) so
-    per-check histories match the reference's schedule.  Costs B times
+    reference optimization.py:103-108, 540-546).  ``None`` (default)
+    inherits ``sgo``'s own ``diagnostics`` flag, exactly like
+    ``FASO.optimize``.  Like FASO, diagnostics mode reads every R-hat
+    verdict synchronously (no check pipelining) so per-check histories
+    match the reference's schedule, and each restart's ``opt_param`` is
+    its latest recorded iterate average (the last trail entry).  Costs B times
     FASO's history traffic — at large d prefer ``diagnostics=False`` (the
     default) and a single-run FASO for post-hoc analysis.
 
@@ -93,6 +96,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
+    # None inherits the optimizer's flag, FASO's idiom (faso.py optimize
+    # reads self._sgo._diagnostics); an explicit bool overrides it
+    diagnostics = (sgo._diagnostics if diagnostics is None
+                   else bool(diagnostics))
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
     state_fn = getattr(objective, "init_obj_state", None)
@@ -283,8 +290,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         resumed_opt_time = float(rs["total_opt_time"])
     max_interval = max(1, R // k_check)
     if diagnostics:
+        # the 0-entry records the caller's init_params (FASO's trail starts
+        # with init_param, faso.py:386-388, also on resume); the rolling
+        # snapshot itself keeps any checkpoint-restored averages
         iter_avg_k_hist.append(0)
-        iter_avg_hist.append(avg_snapshot.copy())
+        iter_avg_hist.append(np.asarray(init_params).copy())
     loop_start = _now()
 
     def process_check(ck, final=False):
@@ -292,6 +302,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         ck_k = int(ck["k"])
         r_hats = np.asarray(ck["r_hats"])          # (B, K)
         windows = np.asarray(ck["windows"])
+        best_idx = np.argmin(r_hats, axis=1)       # best window per restart
         if diagnostics:
             # record every live restart's current iterate average (FASO
             # appends its average at every R-hat check in diagnostics mode,
@@ -303,8 +314,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 elif k_conv[b] >= 0:
                     Wd[b] = min(max(k - k_conv[b], 1), R, k)
                 else:
-                    best = int(np.argmin(r_hats[b]))
-                    Wd[b] = min(int(windows[best]) + (k - ck_k), R, k)
+                    Wd[b] = min(int(windows[best_idx[b]]) + (k - ck_k), R, k)
             avgs_d = np.asarray(unpack_rows(mean_b(rings, jnp.asarray(Wd), t),
                                             D))
             for b in range(B):
@@ -316,7 +326,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         for b in range(B):
             if k_conv[b] >= 0:
                 continue
-            best = int(np.argmin(r_hats[b]))
+            best = int(best_idx[b])
             last_best_W[b] = int(windows[best])
             best_stats.append(r_hats[b, best])
             if r_hats[b, best] <= gate:
@@ -469,24 +479,32 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # MCSE-checked, or R-hat never passed) the converged / best-R-hat
     # window mean; else the initial parameter.  The batched window-mean
     # pass is skipped when no restart needs it.
-    needs_final = [b for b in range(B)
-                   if frozen[b] is None and last_checked_avg[b] is None
-                   and (k_conv[b] >= 0 or last_best_W[b] > 0)]
-    if needs_final:
-        W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
-                           np.maximum(last_best_W, 1)).astype(int)
-        W_final = np.minimum(W_final, min(R, max(k, 1)))
-        avgs = mean_b(rings, jnp.asarray(W_final), t)
-    opt_params = []
-    for b in range(B):
-        if frozen[b] is not None:
-            opt_params.append(unpack_rows(frozen[b], D))
-        elif last_checked_avg[b] is not None:
-            opt_params.append(unpack_rows(last_checked_avg[b], D))
-        elif b in needs_final:
-            opt_params.append(unpack_rows(avgs[b], D))
-        else:
-            opt_params.append(init_params[b])
+    if diagnostics:
+        # FASO's diagnostics-mode opt_param is the iterate average at the
+        # LAST recorded check — the final trail entry — not a best-window
+        # mean recomputed at exit (faso.py:640 skips that recompute when
+        # diagnostics are on, because process_check kept the average
+        # current at every check); the rolling snapshot is exactly that
+        opt_params = [jnp.asarray(avg_snapshot[b]) for b in range(B)]
+    else:
+        needs_final = [b for b in range(B)
+                       if frozen[b] is None and last_checked_avg[b] is None
+                       and (k_conv[b] >= 0 or last_best_W[b] > 0)]
+        if needs_final:
+            W_final = np.where(k_conv >= 0, np.maximum(k - k_conv, 1),
+                               np.maximum(last_best_W, 1)).astype(int)
+            W_final = np.minimum(W_final, min(R, max(k, 1)))
+            avgs = mean_b(rings, jnp.asarray(W_final), t)
+        opt_params = []
+        for b in range(B):
+            if frozen[b] is not None:
+                opt_params.append(unpack_rows(frozen[b], D))
+            elif last_checked_avg[b] is not None:
+                opt_params.append(unpack_rows(last_checked_avg[b], D))
+            elif b in needs_final:
+                opt_params.append(unpack_rows(avgs[b], D))
+            else:
+                opt_params.append(init_params[b])
     results = {
         "opt_param": jnp.stack(opt_params),
         "final_param": var_params,
@@ -505,8 +523,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             np.concatenate(dir_hist, axis=1) if dir_hist else empty)
         results["iterate_average_k_history"] = np.asarray(iter_avg_k_hist)
         results["iterate_average_history"] = np.stack(iter_avg_hist)
-        results["ess_and_mcse_k_history"] = np.asarray(mcse_k_hist)
+        # all four MCSE-trail keys appear together or not at all, like
+        # FASO (its empty-history lists are dropped wholesale, faso.py
+        # results assembly `if h`)
         if mcse_k_hist:
+            results["ess_and_mcse_k_history"] = np.asarray(mcse_k_hist)
             results["ess_due_history"] = np.stack(mcse_due_hist)
             results["ess_history"] = np.stack(ess_hist)
             results["mcse_history"] = np.stack(mcse_hist)

@@ -417,7 +417,7 @@ def test_multistart_faso_resume_matches_uninterrupted(tmp_path):
     assert resumed["k_Rhat"] == full["k_Rhat"]
 
 
-def test_multistart_faso_rejects_stateful_objectives():
+def test_multistart_faso_rejects_host_loop_objectives():
     from viabel_tpu import MFGaussian, RMSProp
     from viabel_tpu.parallel import multistart_faso
 
@@ -428,6 +428,39 @@ def test_multistart_faso_rejects_stateful_objectives():
     with pytest.raises(ValueError):
         multistart_faso(RMSProp(0.05), 100, HostLoopObjective(),
                         jnp.zeros((2, 4)), jax.random.PRNGKey(0))
+
+
+def test_multistart_faso_with_stateful_objective():
+    """DIS carries one estimator-state pytree per restart through the
+    batched scan: every restart recovers the target and the per-restart
+    step counters advance independently through resume_state."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 100, ess_target=50,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.array([0.0] * dim * 2))
+    assert obj.scannable
+    B = 2
+    rng = np.random.RandomState(2)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    res = multistart_faso(RMSProp(0.05), 1200, obj, inits,
+                          jax.random.PRNGKey(0), W_min=100,
+                          mcse_threshold=0.1, ESS_min=10, max_history=600)
+    n_run = res["value_history"].shape[1]
+    for b in range(B):
+        mean, cov = approx.mean_and_cov(res["opt_param"][b])
+        np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.15)
+        np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))), 1.0,
+                                   atol=0.25)
+    # batched estimator state rides in resume_state, one per restart
+    st = res["resume_state"]["obj_states"]
+    assert st["step"].shape == (B,)
+    np.testing.assert_array_equal(np.asarray(st["step"]), n_run)
 
 
 def test_distributed_init_single_process():

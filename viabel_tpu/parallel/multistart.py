@@ -8,7 +8,10 @@ as a SINGLE XLA program — restarts advance in lockstep through
 history ring, and every convergence statistic (multi-window split-R-hat,
 windowed ESS/MCSE) is evaluated batched, so detection costs one dispatch
 per segment regardless of B.  Verdicts are prefetched and read back
-pipelined exactly like single-run FASO (viabel_tpu.faso).
+pipelined exactly like single-run FASO (viabel_tpu.faso).  Stateful
+scannable objectives (DIS) carry one estimator-state pytree per restart
+through the batched scan; only host-loop (``scannable = False``)
+objectives are unsupported.
 
 Memory: B history rings (a ring row is ``8 * packed_width(D) * 4`` bytes
 per restart) — size ``max_history`` to the HBM budget at large d.
@@ -31,7 +34,12 @@ from ..faso import (
 )
 from ..families import MFGaussian
 from ..mc_diagnostics import ring_window_mean, split_rhat_ring_windows
-from ..optimizers import StochasticGradientOptimizer
+from ..optimizers import (
+    StochasticGradientOptimizer,
+    _obj_check_state,
+    _obj_init_state,
+    _obj_step_fn,
+)
 from ..utils import pack_rows, packed_width, unpack_rows
 
 __all__ = ["multistart_faso"]
@@ -102,12 +110,16 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                    else bool(diagnostics))
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
-    state_fn = getattr(objective, "init_obj_state", None)
-    obj_state = state_fn(init_params[0]) if state_fn is not None else ()
-    if (not getattr(objective, "scannable", True)
-            or jax.tree_util.tree_leaves(obj_state)):
-        raise ValueError("multistart_faso requires a stateless scannable "
-                         "objective (no host-loop or obj-state objectives)")
+    if not getattr(objective, "scannable", True):
+        raise ValueError("multistart_faso requires a scannable objective "
+                         "(host-loop objectives need single-run FASO)")
+    # stateful scannable objectives (DIS) carry one estimator-state pytree
+    # per restart through the batched scan carry (the objective-state
+    # protocol, viabel_tpu.objectives)
+    stateful = bool(jax.tree_util.tree_leaves(
+        _obj_init_state(objective, init_params[0])))
+    obj_states = (jax.vmap(partial(_obj_init_state, objective))(init_params)
+                  if stateful else ())
     n_iters = int(n_iters)
     k_check = int(W_min if k_check is None else k_check)
     ESS_min = W_min // 8 if ESS_min is None else ESS_min
@@ -133,7 +145,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     gate = rhat_threshold if rhat_allowed is None else rhat_allowed
 
     lr = jnp.asarray(sgo._learning_rate, dtype=init_params.dtype)
-    vag = objective.value_and_grad
+    obj_step = _obj_step_fn(objective)
     update = objective.update
 
     # optional restart-axis sharding: every batched callable below is
@@ -160,26 +172,26 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             return fn
 
     def make_runner(steps):
-        def seg(vp, opt_state, key, ring, t, lr):
+        def seg(vp, opt_state, ost, key, ring, t, lr):
             def body(carry, _):
-                vp, st, key, ring, t = carry
+                vp, st, ost, key, ring, t = carry
                 key, sub = jax.random.split(key)
-                value, grad = vag(vp, sub)
+                value, grad, ost = obj_step(vp, sub, ost)
                 direction, st = sgo.descent_direction(grad, st)
                 vp = update(vp, lr * direction)
                 ring = jax.lax.dynamic_update_slice(
                     ring, pack_rows(vp)[None], (t % R, 0, 0))
                 outs = ((value, pack_rows(grad), pack_rows(direction))
                         if diagnostics else (value,))
-                return (vp, st, key, ring, t + 1), outs
+                return (vp, st, ost, key, ring, t + 1), outs
 
-            return jax.lax.scan(body, (vp, opt_state, key, ring, t),
+            return jax.lax.scan(body, (vp, opt_state, ost, key, ring, t),
                                 None, length=steps)
 
         return jax.jit(
-            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, None, None)),
-                           4, 2),
-            donate_argnums=(3,))
+            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, 0, None, None)),
+                           5, 2),
+            donate_argnums=(4,))
 
     runner_cache = {}
     # batched statistics: one dispatch covers every restart, but the B
@@ -266,6 +278,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         # invalidate the caller's snapshot (no-op cost for checkpoints
         # loaded from disk — those transfer from host anyway)
         rings = jnp.array(rs["rings"], copy=True)
+        obj_states = rs.get("obj_states", obj_states)
         R = rings.shape[1]  # the checkpointed rings win over local sizing
         t = jnp.asarray(rs["t"])
         k = int(rs["k"])
@@ -361,11 +374,17 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         steps = min(k_check - (k % k_check), n_iters - k)
         if steps not in runner_cache:
             runner_cache[steps] = make_runner(steps)
-        carry, outs = runner_cache[steps](var_params, opt_states, keys,
-                                          rings, t, lr)
-        var_params, opt_states, keys, rings, _ = carry
+        carry, outs = runner_cache[steps](var_params, opt_states, obj_states,
+                                          keys, rings, t, lr)
+        var_params, opt_states, obj_states, keys, rings, _ = carry
         t = t + steps
         k += steps
+        if stateful:
+            # host validity hook per restart (DIS raises on degenerate
+            # weights at segment boundaries, like FASO's runner)
+            for b in range(B):
+                _obj_check_state(objective, jax.tree_util.tree_map(
+                    lambda x: x[b], obj_states))
         values_hist.append(outs[0])
         if diagnostics:
             # stream to host per segment like FASO (histories cannot
@@ -445,6 +464,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     resume_snapshot = {
         "var_params": var_params,
         "opt_states": opt_states,
+        "obj_states": obj_states,
         "keys": keys,
         "rings": rings,
         "t": t,

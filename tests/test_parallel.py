@@ -461,6 +461,42 @@ def test_multistart_faso_with_stateful_objective():
     st = res["resume_state"]["obj_states"]
     assert st["step"].shape == (B,)
     np.testing.assert_array_equal(np.asarray(st["step"]), n_run)
+    assert res["obj_state_errors"] == [None] * B
+
+
+def test_multistart_faso_stateful_resume_matches_uninterrupted(tmp_path):
+    """The per-restart DIS estimator state (tempering eps, resample cache,
+    step counter) round-trips through checkpoint serialize/load and the
+    resumed run matches an uninterrupted one."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_faso
+
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 100, ess_target=50,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.array([0.0] * dim * 2))
+    B = 2
+    rng = np.random.RandomState(4)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    key = jax.random.PRNGKey(5)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    full = multistart_faso(RMSProp(0.05), 1200, obj, inits, key, **kwargs)
+    part = multistart_faso(RMSProp(0.05), 400, obj, inits, key, **kwargs)
+    path = str(tmp_path / "multistart_dis.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+    np.testing.assert_array_equal(
+        np.asarray(restored["obj_states"]["step"]), 400)
+    resumed = multistart_faso(RMSProp(0.05), 1200, obj, inits, key,
+                              resume_state=restored, **kwargs)
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-5)
+    assert resumed["k_stopped"] == full["k_stopped"]
+    assert resumed["k_conv"] == full["k_conv"]
 
 
 def test_distributed_init_single_process():

@@ -11,7 +11,13 @@ per segment regardless of B.  Verdicts are prefetched and read back
 pipelined exactly like single-run FASO (viabel_tpu.faso).  Stateful
 scannable objectives (DIS) carry one estimator-state pytree per restart
 through the batched scan; only host-loop (``scannable = False``)
-objectives are unsupported.
+objectives are unsupported.  A restart whose estimator state goes bad
+(DIS degenerate weights) is flagged in ``results["obj_state_errors"]``
+instead of aborting the other restarts.  Cost caveat: vmap lowers
+``lax.cond`` to ``select``, so DIS's resample-cache refresh
+(``num_resampling_batches > 1``) executes every step in the batched
+program — correct, but the refresh amortization is lost; at its default
+``num_resampling_batches=1`` (refresh every step) nothing changes.
 
 Memory: B history rings (a ring row is ``8 * packed_width(D) * 4`` bytes
 per restart) — size ``max_history`` to the HBM budget at large d.
@@ -115,11 +121,14 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                          "(host-loop objectives need single-run FASO)")
     # stateful scannable objectives (DIS) carry one estimator-state pytree
     # per restart through the batched scan carry (the objective-state
-    # protocol, viabel_tpu.objectives)
-    stateful = bool(jax.tree_util.tree_leaves(
-        _obj_init_state(objective, init_params[0])))
-    obj_states = (jax.vmap(partial(_obj_init_state, objective))(init_params)
-                  if stateful else ())
+    # protocol, viabel_tpu.objectives).  eval_shape probes statefulness
+    # without materializing a throwaway state; the batched init is skipped
+    # when a resume snapshot will replace it anyway.
+    stateful = bool(jax.tree_util.tree_leaves(jax.eval_shape(
+        partial(_obj_init_state, objective), init_params[0])))
+    obj_states = ()
+    if stateful and (resume_state is None or "obj_states" not in resume_state):
+        obj_states = jax.vmap(partial(_obj_init_state, objective))(init_params)
     n_iters = int(n_iters)
     k_check = int(W_min if k_check is None else k_check)
     ESS_min = W_min // 8 if ESS_min is None else ESS_min
@@ -242,6 +251,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     last_best_W = np.full(B, -1)
     frozen = [None] * B            # packed (8, C) averages at each stop
     last_checked_avg = [None] * B  # packed average at the last MCSE check
+    obj_errors = [None] * B        # first objective-state failure per restart
     values_hist = []
     grad_hist = []
     dir_hist = []
@@ -381,10 +391,29 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         k += steps
         if stateful:
             # host validity hook per restart (DIS raises on degenerate
-            # weights at segment boundaries, like FASO's runner)
+            # weights at segment boundaries).  Fetch only the small
+            # (<= 1-D, i.e. per-restart-scalar) leaves to host once, then
+            # check each restart on the copy: B separate blocking scalar
+            # reads would each pay the full host<->device round trip
+            # (~36 ms through a remote tunnel; any per-segment host sync
+            # dominates — CLAUDE.md).  A failure is recorded per restart
+            # instead of raised: one degenerate restart must not destroy
+            # the other B-1 results (single-run FASO's raise kills only
+            # its own run).
+            host_states = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if getattr(x, "ndim", 2) <= 1 else x,
+                obj_states)
             for b in range(B):
-                _obj_check_state(objective, jax.tree_util.tree_map(
-                    lambda x: x[b], obj_states))
+                if obj_errors[b] is not None:
+                    continue
+                try:
+                    _obj_check_state(objective, jax.tree_util.tree_map(
+                        lambda x: x[b], host_states))
+                except Exception as e:
+                    obj_errors[b] = str(e)
+                    print(f"WARNING: restart {b} objective state invalid "
+                          f"at iteration {k} ({e}); its results are "
+                          f"unreliable")
         values_hist.append(outs[0])
         if diagnostics:
             # stream to host per segment like FASO (histories cannot
@@ -535,6 +564,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
         "resume_state": resume_snapshot,
     }
+    if stateful:
+        results["obj_state_errors"] = list(obj_errors)
     if diagnostics:
         empty = np.zeros((B, 0, D), dtype=np.asarray(init_params).dtype)
         results["grad_history"] = (

@@ -10,7 +10,9 @@ Demonstrates the TPU-native capabilities with no reference counterpart:
 3. vmapped multi-restart optimization (``multistart_optimize``);
 4. multistart with full per-restart convergence detection
    (``multistart_faso``) — every restart runs its own history ring,
-   multi-window split-R-hat and MCSE stopping, in one XLA program.
+   multi-window split-R-hat and MCSE stopping, in one XLA program —
+   including FASO's full diagnostics-history contract batched over
+   restarts (``diagnostics=True``).
 
 For large-d convergence-detected runs see also ``FASO``'s large-scale
 knobs: ``max_history`` (ring = HBM budget), ``rhat_quantile`` (don't let
@@ -81,6 +83,17 @@ def main():
                           jax.random.PRNGKey(2), W_min=200,
                           mcse_threshold=0.2, max_history=1000)
     print("detected multistart, k_stopped per restart:", res["k_stopped"])
+
+    # diagnostics=True streams FASO's full history contract batched over
+    # restarts (per-step grads, per-check iterate averages and ESS/MCSE);
+    # costly at large d — demonstrated here at the small config
+    res = multistart_faso(RMSProp(0.05), 1500, obj_small, inits,
+                          jax.random.PRNGKey(2), W_min=200,
+                          mcse_threshold=0.2, max_history=1000,
+                          diagnostics=True)
+    print("diagnostics multistart: grad_history",
+          res["grad_history"].shape, "- iterate-average checks at",
+          list(res["iterate_average_k_history"][:4]), "...")
 
 
 if __name__ == "__main__":

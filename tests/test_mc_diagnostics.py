@@ -140,6 +140,18 @@ def test_rank_normalized_rhat_calibrated_under_monotone_transform():
     assert np.all(r2 > 1.5)
 
 
+def test_R_hat_convergence_check_rank_normalized():
+    rng = np.random.RandomState(18)
+    n, d = 1000, 2
+    x = rng.randn(n, d)
+    ok, w = R_hat_convergence_check(x, [400, 800], rank_normalized=True)
+    assert ok
+    trending = x + np.linspace(0, 5, n)[:, None]
+    ok2, _ = R_hat_convergence_check(trending, [400, 800],
+                                     rank_normalized=True)
+    assert not ok2
+
+
 def test_rhat_windowed_matches_direct():
     rng = np.random.RandomState(6)
     R, w, d = 400, 250, 3

@@ -383,6 +383,37 @@ def test_multistart_faso_sharded_matches_unsharded():
         multistart_faso(RMSProp(0.05), 100, obj, inits[:3], key, mesh=mesh)
 
 
+def test_multistart_faso_sharded_stateful_matches_unsharded():
+    """Restart-axis sharding composes with per-restart estimator state
+    (DIS): identical results on the virtual 8-device mesh."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 50, ess_target=25,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.array([0.0] * dim * 2))
+    B = 8
+    rng = np.random.RandomState(6)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    key = jax.random.PRNGKey(9)
+    kwargs = dict(W_min=100, mcse_threshold=0.2, ESS_min=10, max_history=400)
+    plain = multistart_faso(RMSProp(0.05), 800, obj, inits, key, **kwargs)
+    mesh = make_mesh((8,), ("restart",))
+    shard = multistart_faso(RMSProp(0.05), 800, obj, inits, key,
+                            mesh=mesh, **kwargs)
+    np.testing.assert_allclose(np.asarray(shard["opt_param"]),
+                               np.asarray(plain["opt_param"]),
+                               rtol=1e-5, atol=1e-7)
+    assert shard["k_stopped"] == plain["k_stopped"]
+    np.testing.assert_array_equal(
+        np.asarray(shard["resume_state"]["obj_states"]["step"]),
+        np.asarray(plain["resume_state"]["obj_states"]["step"]))
+
+
 def test_multistart_faso_resume_matches_uninterrupted(tmp_path):
     """Interrupt a multistart run with in-flight batched verdicts,
     serialize resume_state, resume: identical per-restart results."""

@@ -487,17 +487,29 @@ def rank_normalized_R_hat(chains, warmup=0, jitter=1e-8):
     return jnp.maximum(bulk, tail)
 
 
-def R_hat_convergence_check(samples, windows, Rhat_threshold=1.1):
+def R_hat_convergence_check(samples, windows, Rhat_threshold=1.1,
+                            rank_normalized=False):
     """Pick the window with the smallest max split-R-hat
     (reference _mc_diagnostics.py:163-184).
 
     ``samples``: array-like ``(n, D)`` (most recent last); ``windows``:
     iterable of ints.  Returns ``(success, best_window)``.
+
+    ``rank_normalized``: score each window with
+    :func:`rank_normalized_R_hat` instead of the classical statistic
+    (ranks are recomputed within each candidate window, so this pays a
+    per-window sort — offline use only; no reference counterpart).
     """
     samples = jnp.asarray(samples)
     windows = np.asarray(windows, dtype=int)
-    r_hats = jax.vmap(lambda w: jnp.max(split_rhat_windowed(samples, w)))(
-        jnp.asarray(windows)
-    )
+    if rank_normalized:
+        n = samples.shape[0]
+        r_hats = jnp.stack([
+            jnp.max(rank_normalized_R_hat(samples[n - int(w):]))
+            for w in windows])
+    else:
+        r_hats = jax.vmap(lambda w: jnp.max(split_rhat_windowed(samples, w)))(
+            jnp.asarray(windows)
+        )
     best = int(jnp.argmin(r_hats))
     return bool(r_hats[best] <= Rhat_threshold), int(windows[best])

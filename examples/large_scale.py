@@ -93,7 +93,7 @@ def main():
                           diagnostics=True)
     print("diagnostics multistart: grad_history",
           res["grad_history"].shape, "- iterate-average checks at",
-          list(res["iterate_average_k_history"][:4]), "...")
+          [int(x) for x in res["iterate_average_k_history"][:4]], "...")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,31 @@ def test_DISInclusiveKL():
                     ess_target=50)
 
 
+def test_DIS_weights_stable_in_float32_at_high_dim():
+    """Self-normalized weights keep DIS alive in f32 at d=100, where the
+    raw ``exp(logw)`` form (reference objectives.py:322-331) underflows
+    to all-zero weights (f32 underflow at logw < -88; an unnormalized
+    d=100 posterior's log-weights sit far below that)."""
+    dim = 100
+    model, _ = zoo.logistic_regression(dim=dim, n_data=64)
+    # pin the whole estimator to f32 (the test conftest enables x64, which
+    # would otherwise promote through the zoo model's f64 data)
+    model_f32 = lambda s: model(s).astype(jnp.float32)  # noqa: E731
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model_f32, 100, ess_target=50,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim, np.float32))
+    vp = jnp.asarray(approx.init_param(), dtype=jnp.float32)
+    state = obj.init_obj_state(vp)
+    for i in range(3):
+        value, grad, state = obj.value_and_grad_with_state(
+            vp, jax.random.PRNGKey(i), state)
+    obj.check_obj_state(state)  # must not raise "All weights zero!"
+    assert bool(state["ok"])
+    assert np.isfinite(float(value))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
 def test_AlphaDivergence():
     # The raw CUBO MC estimator (reference objectives.py:453-461) is
     # bistable under gradient noise — like the reference's own test, this

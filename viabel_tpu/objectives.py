@@ -313,10 +313,13 @@ class DISInclusiveKL(StochasticVariationalObjective):
     refresh-every-``num_resampling_batches`` cadence becomes a ``lax.cond``
     on the carried step counter.
 
-    Behavior delta vs the reference: degenerate importance weights (all
+    Behavior deltas vs the reference: degenerate importance weights (all
     zero / non-finite — reference objectives.py:326-329 raises mid-step)
     are recorded in the carried state and raised by the optimizer at the
-    next segment boundary instead of mid-scan.
+    next segment boundary instead of mid-scan; and the weights are
+    computed self-normalized (see :meth:`_weights`) so DIS stays usable
+    in float32 at dimensions where the reference's raw ``exp(logw)``
+    underflows.
     """
 
     def __init__(self, approx, model, num_mc_samples, ess_target,
@@ -340,8 +343,22 @@ class DISInclusiveKL(StochasticVariationalObjective):
         return eps * ltp + (1.0 - eps) * log_p_unnormalized
 
     def _weights(self, eps, samples, log_p, log_q):
+        """Self-normalized importance weights ``exp(logw - max logw)``.
+
+        Documented behavior delta vs reference objectives.py:322-331,
+        which exponentiates the raw log-weights: with an unnormalized
+        target, ``logw`` grows like the dimension, so ``exp`` underflows
+        to all-zeros below -745 in the reference's float64 (its
+        "All weights zero!" error) and below -88 in TPU float32 — i.e.
+        already at d~100.  Everything scale-dependent downstream (the
+        surrogate's ``w_sum/S`` factor) is scaled by an arbitrary
+        unnormalized constant in the reference anyway, so the max is
+        folded out; ESS and proportional clipping are scale-invariant
+        and unchanged, hence the eps bisection visits the identical
+        epsilon sequence.
+        """
         logw = self._tempered_log_pdf(eps, samples, log_p) - log_q
-        return jnp.exp(logw)
+        return jnp.exp(logw - jnp.max(logw))
 
     def _eps_and_weights(self, eps_guess, samples, log_p, log_q):
         """Bisection on epsilon to hit the ESS target (reference 338-368)."""

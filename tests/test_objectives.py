@@ -104,7 +104,7 @@ def test_DIS_weights_stable_in_float32_at_high_dim():
     for i in range(3):
         value, grad, state = obj.value_and_grad_with_state(
             vp, jax.random.PRNGKey(i), state)
-    obj.check_obj_state(state)  # must not raise "All weights zero!"
+    obj.check_obj_state(state)  # must not raise (degenerate-weight path)
     assert bool(state["ok"])
     assert np.isfinite(float(value))
     assert np.all(np.isfinite(np.asarray(grad)))

@@ -313,10 +313,11 @@ class DISInclusiveKL(StochasticVariationalObjective):
     refresh-every-``num_resampling_batches`` cadence becomes a ``lax.cond``
     on the carried step counter.
 
-    Behavior deltas vs the reference: degenerate importance weights (all
-    zero / non-finite — reference objectives.py:326-329 raises mid-step)
-    are recorded in the carried state and raised by the optimizer at the
-    next segment boundary instead of mid-scan; and the weights are
+    Behavior deltas vs the reference: degenerate importance weights
+    (non-finite log-weights; the reference's all-zero case,
+    objectives.py:326-329, cannot occur self-normalized) are recorded in
+    the carried state and raised by the optimizer at the next segment
+    boundary instead of mid-scan; and the weights are
     computed self-normalized (see :meth:`_weights`) so DIS stays usable
     in float32 at dimensions where the reference's raw ``exp(logw)``
     underflows.
@@ -493,8 +494,11 @@ class DISInclusiveKL(StochasticVariationalObjective):
 
     def check_obj_state(self, obj_state):
         if "ok" in obj_state and not bool(obj_state["ok"]):
-            # reference objectives.py:326-329
-            raise ValueError("All weights zero! "
+            # counterpart of the reference's "All weights zero!" raise
+            # (objectives.py:326-329); with self-normalized weights the
+            # all-zero case is unreachable and degeneracy surfaces as
+            # non-finite log-weights instead
+            raise ValueError("Non-finite importance weights! "
                              "Suggests overflow in importance density.")
 
     def _mirrored_value_and_grad(self, var_param, key):

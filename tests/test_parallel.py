@@ -448,6 +448,57 @@ def test_multistart_faso_resume_matches_uninterrupted(tmp_path):
     assert resumed["k_Rhat"] == full["k_Rhat"]
 
 
+def test_multistart_faso_per_restart_learning_rates():
+    """A (B,) learning_rate runs an lr grid in one program: a tiled
+    scalar matches the scalar run exactly, and a starved restart (tiny
+    lr) ends with a visibly worse loss than a well-tuned one."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(3.0 * np.ones(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    B = 2
+    inits = jnp.tile(approx.init_param(), (B, 1))
+    key = jax.random.PRNGKey(13)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    res_scalar = multistart_faso(RMSProp(0.05), 1000, obj, inits, key,
+                                 **kwargs)
+    res_tiled = multistart_faso(RMSProp(0.05), 1000, obj, inits, key,
+                                learning_rate=jnp.full((B,), 0.05), **kwargs)
+    np.testing.assert_array_equal(np.asarray(res_tiled["value_history"]),
+                                  np.asarray(res_scalar["value_history"]))
+    np.testing.assert_allclose(np.asarray(res_tiled["opt_param"]),
+                               np.asarray(res_scalar["opt_param"]),
+                               rtol=1e-7)
+    res_grid = multistart_faso(RMSProp(0.05), 1000, obj, inits, key,
+                               learning_rate=jnp.asarray([1e-4, 0.05]),
+                               **kwargs)
+    final = np.asarray(res_grid["value_history"][:, -1])
+    assert final[0] > final[1] + 1.0  # starved restart visibly behind
+
+
+def test_multistart_faso_per_restart_mcse_thresholds():
+    """A (B,) mcse_threshold gates each restart separately: the loose
+    restart stops no later than the tight one."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    inits = jnp.tile(approx.init_param(), (2, 1))
+    res = multistart_faso(RMSProp(0.05), 3000, obj, inits,
+                          jax.random.PRNGKey(4), W_min=100,
+                          mcse_threshold=np.array([10.0, 1e-4]),
+                          ESS_min=10, max_history=600)
+    assert res["k_stopped"][0] is not None
+    assert (res["k_stopped"][1] is None
+            or res["k_stopped"][1] >= res["k_stopped"][0])
+
+
 def test_multistart_faso_rejects_host_loop_objectives():
     from viabel_tpu import MFGaussian, RMSProp
     from viabel_tpu.parallel import multistart_faso

@@ -52,7 +52,8 @@ __all__ = ["multistart_faso"]
 
 
 def multistart_faso(sgo, n_iters, objective, init_params, key, *,
-                    mcse_threshold=0.1, W_min=200, ESS_min=None,
+                    learning_rate=None, mcse_threshold=0.1, W_min=200,
+                    ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                     check_pipeline=4, diagnostics=None, resume_state=None,
@@ -65,6 +66,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     their iterate average frozen at their own ``k_stopped`` while the rest
     keep optimizing, and the program exits early once every restart has
     stopped.
+
+    ``learning_rate`` / ``mcse_threshold``: scalar, or shape-``(B,)`` for
+    PER-RESTART values — e.g. a multistart over a learning-rate grid, or
+    (round-3 roadmap) batched RAABBVI rounds where each restart carries
+    its own decayed lr/threshold.  A scalar ``learning_rate`` overrides
+    ``sgo``'s rate for this call, like ``FASO.optimize``.
 
     ``diagnostics``: stream the per-step gradient / descent-direction
     histories and record the per-check iterate-average and ESS/MCSE
@@ -153,7 +160,14 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     else int((1.0 - float(rhat_quantile)) * D))
     gate = rhat_threshold if rhat_allowed is None else rhat_allowed
 
-    lr = jnp.asarray(sgo._learning_rate, dtype=init_params.dtype)
+    # lr rides batched through the runner (one per restart; a scalar is
+    # broadcast), the building block for lr-grid multistarts and batched
+    # RAABBVI rounds; the MCSE gate thresholds are host-side scalars
+    lr_val = sgo._learning_rate if learning_rate is None else learning_rate
+    lr = jnp.broadcast_to(
+        jnp.asarray(lr_val, dtype=init_params.dtype), (B,))
+    mcse_thresholds = np.broadcast_to(
+        np.asarray(mcse_threshold, dtype=float), (B,))
     obj_step = _obj_step_fn(objective)
     update = objective.update
 
@@ -181,7 +195,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             return fn
 
     def make_runner(steps):
-        def seg(vp, opt_state, ost, key, ring, t, lr):
+        def seg(vp, opt_state, ost, key, ring, lr, t):
             def body(carry, _):
                 vp, st, ost, key, ring, t = carry
                 key, sub = jax.random.split(key)
@@ -198,8 +212,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                                 None, length=steps)
 
         return jax.jit(
-            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, 0, None, None)),
-                           5, 2),
+            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, 0, 0, None)),
+                           6, 1),
             donate_argnums=(4,))
 
     runner_cache = {}
@@ -385,7 +399,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         if steps not in runner_cache:
             runner_cache[steps] = make_runner(steps)
         carry, outs = runner_cache[steps](var_params, opt_states, obj_states,
-                                          keys, rings, t, lr)
+                                          keys, rings, lr, t)
         var_params, opt_states, obj_states, keys, rings, _ = carry
         t = t + steps
         k += steps
@@ -466,14 +480,14 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     iter_avg_hist.append(avg_snapshot.copy())
             for b in due:
                 if rhat_allowed is None:
-                    gates_pass = (np.max(mcses[b]) < mcse_threshold
+                    gates_pass = (np.max(mcses[b]) < mcse_thresholds[b]
                                   and np.min(effs[b]) > ESS_min)
                 else:
                     # quantile gates over the real (unpadded) coordinates,
                     # like FASO's (pads are constant: mcse 0 / ess inf)
                     q = float(rhat_quantile)
                     gates_pass = (
-                        float(np.quantile(mcses[b][:D], q)) < mcse_threshold
+                        float(np.quantile(mcses[b][:D], q)) < mcse_thresholds[b]
                         and float(np.quantile(effs[b][:D], 1.0 - q)) > ESS_min)
                 if gates_pass:
                     k_stopped[b] = k

@@ -495,8 +495,69 @@ def test_multistart_faso_per_restart_mcse_thresholds():
                           mcse_threshold=np.array([10.0, 1e-4]),
                           ESS_min=10, max_history=600)
     assert res["k_stopped"][0] is not None
-    assert (res["k_stopped"][1] is None
-            or res["k_stopped"][1] >= res["k_stopped"][0])
+    # 1e-4 MCSE is unreachable within 3000 iterations, so the tight
+    # restart must NOT stop — catches a thresholds[0]-broadcast bug
+    assert res["k_stopped"][1] is None
+
+
+def test_multistart_faso_lr_grid_resume_restores_grid(tmp_path):
+    """Resuming an lr-grid run without re-passing learning_rate restores
+    the checkpointed per-restart rates (the grid must not silently
+    collapse to sgo's scalar)."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    inits = jnp.tile(approx.init_param(), (2, 1))
+    key = jax.random.PRNGKey(21)
+    grid = jnp.asarray([1e-3, 0.05])
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    full = multistart_faso(RMSProp(0.5), 1000, obj, inits, key,
+                           learning_rate=grid, **kwargs)
+    part = multistart_faso(RMSProp(0.5), 400, obj, inits, key,
+                           learning_rate=grid, **kwargs)
+    path = str(tmp_path / "grid.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+    resumed = multistart_faso(RMSProp(0.5), 1000, obj, inits, key,
+                              resume_state=restored, **kwargs)
+    np.testing.assert_allclose(np.asarray(resumed["final_param"]),
+                               np.asarray(full["final_param"]), rtol=1e-6)
+    assert resumed["k_stopped"] == full["k_stopped"]
+
+
+def test_weight_decay_applied_in_segment_runners():
+    """The documented weight-decay rule (vp *= 1-wd after each update,
+    optimizers._make_step) also applies inside FASO's and multistart's
+    fused segment runners — it used to silently no-op there."""
+    from viabel_tpu import FASO, ExclusiveKL, MFGaussian, RMSProp
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = zoo.diagonal_gaussian(3.0 * np.ones(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    init = approx.init_param()
+    key = jax.random.PRNGKey(17)
+    kwargs = dict(W_min=100, mcse_threshold=0.5, ESS_min=10, max_history=600)
+    res_wd = FASO(RMSProp(0.05, weight_decay=0.01), **kwargs).optimize(
+        600, obj, init, key=key)
+    res_nowd = FASO(RMSProp(0.05), **kwargs).optimize(600, obj, init, key=key)
+    assert not np.allclose(
+        np.asarray(res_wd["resume_state"]["var_param"]),
+        np.asarray(res_nowd["resume_state"]["var_param"]))
+    # B=1 multistart parity under decay
+    res_m = multistart_faso(RMSProp(0.05, weight_decay=0.01), 600, obj,
+                            init[None], key, **kwargs)
+    res_s = FASO(RMSProp(0.05, weight_decay=0.01), **kwargs).optimize(
+        600, obj, init, key=jax.random.split(key, 1)[0])
+    np.testing.assert_allclose(
+        np.asarray(res_m["resume_state"]["var_params"][0]),
+        np.asarray(res_s["resume_state"]["var_param"]), rtol=1e-6)
 
 
 def test_multistart_faso_rejects_host_loop_objectives():

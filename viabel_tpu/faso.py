@@ -252,6 +252,7 @@ class FASO(Optimizer):
 
     def _build_segment_runner(self, objective, diagnostics):
         sgo = self._sgo
+        wd = sgo._weight_decay
         obj_step = _obj_step_fn(objective)
 
         def seg(vp, opt_state, obj_state, key, ring, t, lr, steps):
@@ -263,6 +264,8 @@ class FASO(Optimizer):
                 value, grad, ost = obj_step(vp, sub, ost)
                 direction, st = sgo.descent_direction(grad, st)
                 vp = objective.update(vp, lr * direction)
+                if wd > 0.0:  # same rule as the plain SGO loop
+                    vp = vp * (1.0 - wd)
                 # one tile-aligned slab write (see utils.pack_rows for why
                 # an unpacked (R, D) row write costs ~12x more)
                 ring = lax.dynamic_update_slice(
@@ -292,6 +295,8 @@ class FASO(Optimizer):
             value, grad, obj_state = obj_step(vp, sub, obj_state)
             direction, opt_state = sgo.descent_direction(grad, opt_state)
             vp = objective.update(vp, lr * direction)
+            if sgo._weight_decay > 0.0:
+                vp = vp * (1.0 - sgo._weight_decay)
             ring = write(ring, vp, int(t) % R)
             t = t + 1
             values.append(value)

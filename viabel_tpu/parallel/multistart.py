@@ -52,7 +52,7 @@ __all__ = ["multistart_faso"]
 
 
 def multistart_faso(sgo, n_iters, objective, init_params, key, *,
-                    learning_rate=None, mcse_threshold=0.1, W_min=200,
+                    learning_rate=None, mcse_threshold=None, W_min=200,
                     ESS_min=None,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
@@ -71,7 +71,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     PER-RESTART values — e.g. a multistart over a learning-rate grid, or
     (round-3 roadmap) batched RAABBVI rounds where each restart carries
     its own decayed lr/threshold.  A scalar ``learning_rate`` overrides
-    ``sgo``'s rate for this call, like ``FASO.optimize``.
+    ``sgo``'s rate for this call, like ``FASO.optimize``.  Defaults
+    (``None``): ``sgo``'s rate / an MCSE threshold of 0.1 — except on
+    resume, where the checkpointed per-restart values are restored, so
+    an lr-grid run resumes on its grid; explicitly passed values win.
 
     ``diagnostics``: stream the per-step gradient / descent-direction
     histories and record the per-check iterate-average and ESS/MCSE
@@ -166,10 +169,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     lr_val = sgo._learning_rate if learning_rate is None else learning_rate
     lr = jnp.broadcast_to(
         jnp.asarray(lr_val, dtype=init_params.dtype), (B,))
-    mcse_thresholds = np.broadcast_to(
-        np.asarray(mcse_threshold, dtype=float), (B,))
+    mcse_thresholds = np.broadcast_to(np.asarray(
+        0.1 if mcse_threshold is None else mcse_threshold, dtype=float), (B,))
     obj_step = _obj_step_fn(objective)
     update = objective.update
+    wd = sgo._weight_decay
 
     # optional restart-axis sharding: every batched callable below is
     # wrapped in shard_map over `restart_axis`, so each device runs its
@@ -202,6 +206,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 value, grad, ost = obj_step(vp, sub, ost)
                 direction, st = sgo.descent_direction(grad, st)
                 vp = update(vp, lr * direction)
+                if wd > 0.0:  # same rule as the plain SGO loop
+                    vp = vp * (1.0 - wd)
                 ring = jax.lax.dynamic_update_slice(
                     ring, pack_rows(vp)[None], (t % R, 0, 0))
                 outs = ((value, pack_rows(grad), pack_rows(direction))
@@ -303,6 +309,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         # loaded from disk — those transfer from host anyway)
         rings = jnp.array(rs["rings"], copy=True)
         obj_states = rs.get("obj_states", obj_states)
+        # per-restart lr / threshold grids continue from the checkpoint
+        # unless the caller explicitly re-passes them
+        if learning_rate is None and "lr" in rs:
+            lr = jnp.asarray(rs["lr"])
+        if mcse_threshold is None and "mcse_thresholds" in rs:
+            mcse_thresholds = np.asarray(rs["mcse_thresholds"])
         R = rings.shape[1]  # the checkpointed rings win over local sizing
         t = jnp.asarray(rs["t"])
         k = int(rs["k"])
@@ -509,6 +521,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "opt_states": opt_states,
         "obj_states": obj_states,
         "keys": keys,
+        "lr": lr,
+        "mcse_thresholds": mcse_thresholds.copy(),
         "rings": rings,
         "t": t,
         "k": k,

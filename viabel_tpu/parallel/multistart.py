@@ -484,7 +484,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 mcse_due_hist.append(due_mask)
                 ess_hist.append(effs.copy())
                 mcse_hist.append(mcses.copy())
-                avgs_np = np.asarray(unpack_rows(jnp.asarray(avgs), D))
+                avgs_np = np.asarray(unpack_rows(avgs, D))
                 for b in due:
                     avg_snapshot[b] = avgs_np[b]
                 if not iter_avg_k_hist or iter_avg_k_hist[-1] != k:
@@ -562,7 +562,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         # mean recomputed at exit (faso.py:640 skips that recompute when
         # diagnostics are on, because process_check kept the average
         # current at every check); the rolling snapshot is exactly that
-        opt_params = [jnp.asarray(avg_snapshot[b]) for b in range(B)]
+        opt_param_arr = jnp.asarray(avg_snapshot)
     else:
         needs_final = [b for b in range(B)
                        if frozen[b] is None and last_checked_avg[b] is None
@@ -582,8 +582,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 opt_params.append(unpack_rows(avgs[b], D))
             else:
                 opt_params.append(init_params[b])
+        opt_param_arr = jnp.stack(opt_params)
     results = {
-        "opt_param": jnp.stack(opt_params),
+        "opt_param": opt_param_arr,
         "final_param": var_params,
         "value_history": (jnp.concatenate(values_hist, axis=1) if values_hist
                           else jnp.zeros((B, 0), dtype=init_params.dtype)),

@@ -374,11 +374,21 @@ def test_faso_with_host_loop_objective():
         scannable = False
 
     init = jnp.asarray(true_value + 0.3)
-    res = {}
-    for cls in (DummyObjective, HostLoopObjective):
-        opt = FASO(RMSProp(0.01), W_min=100, mcse_threshold=0.01)
-        res[cls.__name__] = opt.optimize(
-            600, cls(true_value, noise=0.1), init, key=jax.random.PRNGKey(5))
-    np.testing.assert_allclose(
-        np.asarray(res["DummyObjective"]["opt_param"]),
-        np.asarray(res["HostLoopObjective"]["opt_param"]), rtol=1e-6)
+    for wd in (0.0, 0.01):  # wd also covers both runners' decay step
+        res = {}
+        for cls in (DummyObjective, HostLoopObjective):
+            opt = FASO(RMSProp(0.01, weight_decay=wd), W_min=100,
+                       mcse_threshold=0.01)
+            res[cls.__name__] = opt.optimize(
+                600, cls(true_value, noise=0.1), init,
+                key=jax.random.PRNGKey(5))
+        np.testing.assert_allclose(
+            np.asarray(res["DummyObjective"]["opt_param"]),
+            np.asarray(res["HostLoopObjective"]["opt_param"]), rtol=1e-6)
+        if wd > 0.0:
+            np.testing.assert_raises(
+                AssertionError, np.testing.assert_allclose,
+                np.asarray(res["DummyObjective"]["opt_param"]),
+                np.asarray(res_nodecay), rtol=1e-6)
+        else:
+            res_nodecay = res["DummyObjective"]["opt_param"]

@@ -110,6 +110,26 @@ def test_DIS_weights_stable_in_float32_at_high_dim():
     assert np.all(np.isfinite(np.asarray(grad)))
 
 
+@pytest.mark.parametrize("use_resampling", [True, False])
+def test_DIS_degenerate_weights_raise(use_resampling):
+    """Degenerate importance weights must surface as a raise at the next
+    segment boundary in BOTH step modes (the reference raises in both,
+    objectives.py:326-329); round 2 carried the ``ok`` flag only in the
+    resampling state, so no-resampling degeneracy yielded silent NaNs."""
+    dim = 2
+    # log-density that overflows to +inf at any sample, so the tempered
+    # log-weights are +inf and the self-normalized weights come out NaN
+    model = lambda s: jnp.exp(1e4 * jnp.sum(s**2, axis=-1))  # noqa: E731
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 50, ess_target=25,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim),
+                         use_resampling=use_resampling)
+    with pytest.raises(ValueError, match="Non-finite importance weights"):
+        RMSProp(0.1).optimize(5, obj, jnp.zeros(2 * dim),
+                              key=jax.random.PRNGKey(0))
+
+
 def test_AlphaDivergence():
     # The raw CUBO MC estimator (reference objectives.py:453-461) is
     # bistable under gradient noise — like the reference's own test, this

@@ -427,7 +427,7 @@ class DISInclusiveKL(StochasticVariationalObjective):
         def loss_no_resampling(var_param, key, eps_guess):
             samples, log_q, w_clipped, eps = refresh(var_param, key, eps_guess)
             obj = -jnp.dot(lax.stop_gradient(w_clipped), log_q) / S
-            return obj, eps
+            return obj, (eps, jnp.sum(w_clipped))
 
         vag_no_resampling = jax.value_and_grad(loss_no_resampling, has_aux=True)
 
@@ -448,8 +448,15 @@ class DISInclusiveKL(StochasticVariationalObjective):
             return samples[idx]
 
         def step_no_resampling(var_param, key, state):
-            (value, eps), grad = vag_no_resampling(var_param, key, state["eps"])
-            return value, grad, {"eps": eps, "step": state["step"] + 1}
+            (value, (eps, w_sum)), grad = vag_no_resampling(
+                var_param, key, state["eps"])
+            # same degeneracy flag as the resampling step: the reference
+            # raises on degenerate weights in BOTH modes (objectives.py:
+            # 326-329); with self-normalized weights degeneracy surfaces
+            # as non-finite weight mass
+            ok = state["ok"] & jnp.isfinite(w_sum) & (w_sum > 0.0)
+            return value, grad, {"eps": eps, "step": state["step"] + 1,
+                                 "ok": ok}
 
         def step_resampling(var_param, key, state):
             key_refresh, key_resample = jax.random.split(key)
@@ -479,13 +486,13 @@ class DISInclusiveKL(StochasticVariationalObjective):
     def init_obj_state(self, var_param):
         dtype = jnp.asarray(var_param).dtype
         state = {"eps": jnp.asarray(self._max_eps, dtype),
-                 "step": jnp.asarray(0)}
+                 "step": jnp.asarray(0),
+                 "ok": jnp.asarray(True)}
         if self._use_resampling:
             state.update(
                 samples=jnp.zeros((self.num_mc_samples, self.approx.dim), dtype),
                 w_norm=jnp.zeros((self.num_mc_samples,), dtype),
                 w_sum=jnp.asarray(1.0, dtype),
-                ok=jnp.asarray(True),
             )
         return state
 

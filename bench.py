@@ -34,6 +34,53 @@ enable_compilation_cache()
 # Measured reference anchor at the flagship config (BASELINE.md "Measured
 # d=1000 full-rank anchor"): LRGaussian(k=d) proxy upper bound, CPU f64.
 REFERENCE_ITERS_PER_SEC = 4.97
+# Second BASELINE.json metric anchor: one ELBO value+grad with 1000 MC
+# draws at the same config, same LRGaussian(k=d) proxy
+# (benchmarks/reference_proxy.py --grad-only; receipt in
+# benchmarks/reference_baseline.json "elbo_grad_per_1k_draws").
+REFERENCE_ELBO_GRAD_SEC_PER_1K = 0.3596
+
+
+def elbo_grad_sec_per_1k_draws(objective, vp, n_reps=50):
+    """Second driver metric: ELBO-gradient wall-time per 1k MC draws.
+
+    One ``value_and_grad`` of the flagship ELBO with 1000 MC samples, so
+    seconds per call IS seconds per 1k draws.  Reps are chained (each
+    input depends on the previous gradient) and the run ends with a host
+    transfer — independent dispatches of one program report bogus
+    completion through the remote-device tunnel (docs/benchmarks.md
+    "timing methodology").
+    """
+    vag = jax.value_and_grad(
+        lambda p, key: objective._loss(p, key, num_samples=1000))
+
+    def body(carry, _):
+        vp, key = carry
+        key, sub = jax.random.split(key)
+        value, grad = vag(vp, sub)
+        # tiny multiplier: keeps the chain dependency without changing
+        # the estimator being measured
+        vp = vp + 1e-20 * grad
+        return (vp, key), value
+
+    @jax.jit
+    def run(vp, key):
+        return lax.scan(body, (vp, key), None, length=n_reps)
+
+    key = jax.random.PRNGKey(1)
+    # two warmups fenced by HOST TRANSFERS: after a fresh compile the
+    # first execution carries ~400 ms of load overhead that
+    # block_until_ready fails to fence through the tunnel (measured —
+    # it leaked into the timed run and inflated this metric 14x)
+    for _ in range(2):
+        (vp_w, _), _ = run(vp, key)
+        float(jnp.sum(vp_w))
+
+    t0 = time.perf_counter()
+    (vp2, _), values = run(vp, key)
+    float(jnp.sum(vp2))  # host transfer ends the timed chain
+    elapsed = time.perf_counter() - t0
+    return elapsed / n_reps
 
 
 def main():
@@ -64,9 +111,10 @@ def main():
     st = sgo.init_state(vp)
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
+    # warmup/compile, fenced by a host transfer (block_until_ready alone
+    # can return before a freshly compiled program finishes loading)
     (vp_w, st_w, key_w), _ = run(vp, st, key)
-    jax.block_until_ready(vp_w)
+    float(jnp.sum(vp_w))
 
     t0 = time.perf_counter()
     (vp2, st2, key2), values = run(vp, st, key)
@@ -74,12 +122,20 @@ def main():
     elapsed = time.perf_counter() - t0
 
     iters_per_sec = n_steps / elapsed
-    print(json.dumps({
+
+    grad_sec = elbo_grad_sec_per_1k_draws(objective, vp)
+    record = {
         "metric": "BBVI iters/sec at d=1000 full-rank (ExclusiveKL, S=10, RMSProp)",
         "value": round(iters_per_sec, 2),
         "unit": "iters/sec",
         "vs_baseline": round(iters_per_sec / REFERENCE_ITERS_PER_SEC, 2),
-    }))
+        # second BASELINE.json metric (same flagship config, S=1000)
+        "elbo_grad_ms_per_1k_draws": round(grad_sec * 1e3, 3),
+    }
+    if REFERENCE_ELBO_GRAD_SEC_PER_1K:
+        record["elbo_grad_vs_baseline"] = round(
+            REFERENCE_ELBO_GRAD_SEC_PER_1K / grad_sec, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

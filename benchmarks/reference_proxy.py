@@ -203,14 +203,61 @@ def run_config(name, family, model):
     return rec
 
 
-def main():
+def run_grad_metric(d=1000, draws=1000):
+    """Second BASELINE.json metric: ELBO-gradient wall-time per 1k MC draws.
+
+    One ELBO value+gradient evaluation with ``draws`` MC samples at the
+    flagship config (d=1000, LRGaussian(k=d) — the reference-favorable
+    full-rank stand-in, like the it/s anchor); seconds per call IS seconds
+    per 1k draws.  No optimizer update — the metric isolates the gradient
+    estimator.
+    """
+    global S
+    S_prev, S = S, draws
+    try:
+        model = make_logreg(d)
+        family = LRProxy(d)
+        p = torch.tensor(family.init_flat, requires_grad=True)
+
+        def one_call():
+            loss = family.neg_elbo(p, model)
+            torch.autograd.grad(loss, p)
+
+        one_call()  # warmup
+        n, t0 = 0, time.perf_counter()
+        while n < MIN_STEPS or (time.perf_counter() - t0 < TIME_BUDGET
+                                and n < MAX_STEPS):
+            one_call()
+            n += 1
+        per_call = (time.perf_counter() - t0) / n
+    finally:
+        S = S_prev
+    rec = {
+        "config": f"elbo_grad_lrgaussian_kd_d{d}_S{draws}",
+        "calls": n,
+        "sec_per_1k_draws": round(per_call, 4),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main(grad_only=False):
+    path = "benchmarks/reference_baseline.json"
+    if grad_only:
+        # update only the ELBO-grad metric in the existing record
+        with open(path) as f:
+            record = json.load(f)
+        record["elbo_grad_per_1k_draws"] = run_grad_metric()
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
+        return
     results = []
     results.append(run_config("mf_funnel_d2", MFProxy(2), make_funnel()))
     for d in (125, 250, 500, 1000):
         model = make_logreg(d)
         results.append(run_config(f"lrgaussian_kd_d{d}", LRProxy(d), model))
         results.append(run_config(f"multivariatet_d{d}", MVTProxy(d), model))
-    with open("benchmarks/reference_baseline.json", "w") as f:
+    with open(path, "w") as f:
         json.dump(
             {
                 "note": (
@@ -221,6 +268,7 @@ def main():
                 ),
                 "S": S,
                 "results": results,
+                "elbo_grad_per_1k_draws": run_grad_metric(),
             },
             f,
             indent=1,
@@ -228,4 +276,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(grad_only="--grad-only" in sys.argv)

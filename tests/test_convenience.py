@@ -48,6 +48,29 @@ def test_bbvi_diagnostics_override():
     assert "value_history" in results
 
 
+@pytest.mark.parametrize("adaptive,fixed_lr", [
+    (True, False),   # RAABBVI
+    (True, True),    # FASO
+    (False, True),   # plain SGO scan
+])
+def test_bbvi_progress_callback_fires(adaptive, fixed_lr):
+    """``bbvi(progress_callback=...)`` reports segment progress on all
+    three optimizer paths (reference shows tqdm on every optimizer,
+    optimization.py:91, 534)."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    events = []
+    convenience.bbvi(
+        2, log_density=model, n_iters=600, adaptive=adaptive,
+        fixed_lr=fixed_lr, RMS_kwargs=dict(diagnostics=False),
+        FASO_kwargs=dict(W_min=100), RAABBVI_kwargs=dict(W_min=100),
+        progress_callback=lambda k, loss: events.append((k, loss)),
+        key=jax.random.PRNGKey(5))
+    assert events, "progress callback never fired"
+    ks = [k for k, _ in events]
+    assert ks == sorted(ks) and ks[0] > 0
+    assert all(np.isfinite(loss) for _, loss in events)
+
+
 def test_bbvi_arg_validation():
     with pytest.raises(ValueError):
         convenience.bbvi(2)

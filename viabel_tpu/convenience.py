@@ -24,6 +24,7 @@ __all__ = ["bbvi", "vi_diagnostics"]
 def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
          approx=None, objective=None, fit=None, adaptive=True, fixed_lr=False,
          init_var_param=None, learning_rate=0.01, key=None,
+         progress_callback=None,
          RMS_kwargs=None, FASO_kwargs=None, RAABBVI_kwargs=None):
     """Fit a model using black-box variational inference
     (reference convenience.py:14-94).
@@ -32,6 +33,10 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     for argument-validation parity but is not supported — port the model to
     a JAX ``log_density`` instead (see ``viabel_tpu.models.zoo``).
     ``key`` is an optional ``jax.random`` key controlling all sampling.
+    ``progress_callback(k, avg_loss)`` fires at segment boundaries on every
+    optimizer path (the counterpart of the reference's tqdm bars,
+    optimization.py:91, 534; the loop here is a fused device scan, so
+    progress reports per ~200-step segment instead of per iteration).
 
     Large-``dimension`` guidance (measured, docs/benchmarks.md): with a
     full-rank family at d >= ~2000 the default ``num_mc_samples=10`` is
@@ -91,7 +96,8 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     else:
         raise ValueError("a decaying learning rate needs the adaptive "
                          "optimizer: set adaptive=True or fixed_lr=True")
-    opt_results = opt.optimize(n_iters, objective, init_var_param, key=key)
+    opt_results = opt.optimize(n_iters, objective, init_var_param, key=key,
+                               progress_callback=progress_callback)
     opt_results["objective"] = objective
     return opt_results
 

@@ -824,13 +824,19 @@ class RAABBVI(FASO):
         """Negative lr-vs-iterations trend? (reference optimization.py:757-776)."""
         return slope < 0
 
-    def optimize(self, K_max, objective, init_param, key=None):
+    def optimize(self, K_max, objective, init_param, key=None,
+                 progress_callback=None):
+        """Run RAABBVI.  ``progress_callback(k, avg_loss)`` fires at every
+        inner-FASO segment boundary with ``k`` counted cumulatively across
+        learning-rate rounds (the reference's tqdm shows a single
+        continuing bar across rounds, optimization.py:534, 812)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         if not objective.approx.supports_kl:
             print("WARNING: approximation family does not support KL. "
                   "Using FASO.", flush=True)
-            return super().optimize(K_max, objective, init_param, key=key)
+            return super().optimize(K_max, objective, init_param, key=key,
+                                    progress_callback=progress_callback)
 
         K_max = int(K_max)
         k_new = -1        # iterations used at the current learning rate
@@ -849,6 +855,7 @@ class RAABBVI(FASO):
         mcse_round = self._mcse_threshold
         iterate_average_curr = jnp.asarray(init_param)
         opt_state = None
+        steps_run_total = 0  # actual steps across rounds (progress offset)
         history = defaultdict(list)
         history["iterate_average_curr_hist"].append(iterate_average_curr)
         history["k_mcse"].append(0)
@@ -861,22 +868,31 @@ class RAABBVI(FASO):
                 break
             iterate_average_prev = iterate_average_curr
             key, key_round, key_reg = jax.random.split(key, 3)
+            round_cb = None
+            if progress_callback is not None:
+                # report cumulative iterations across rounds
+                round_cb = (lambda kk, loss, _off=steps_run_total:
+                            progress_callback(_off + kk, loss))
             if k == 0 and self._init_rmsprop:
                 # warm-start round with plain RMSProp (reference 815-818)
                 rmsprop = RMSProp(learning_rate=lr_round,
                                   diagnostics=diagnostics)
                 faso = FASO(sgo=rmsprop, max_history=self._max_history)
                 opt = faso.optimize(K_max, objective, iterate_average_curr,
-                                    key=key_round)
+                                    key=key_round,
+                                    progress_callback=round_cb)
             else:
                 opt = super().optimize(K_max, objective, iterate_average_curr,
                                        key=key_round, init_opt_state=opt_state,
                                        learning_rate=lr_round,
-                                       mcse_threshold=mcse_round)
+                                       mcse_threshold=mcse_round,
+                                       progress_callback=round_cb)
                 if not averaged:
                     # persist non-averaged SGO state across rounds
                     # (the reference only resets averaged SGOs, 865-866)
                     opt_state = opt["opt_state"]
+            if "value_history" in opt:
+                steps_run_total += int(opt["value_history"].shape[0])
             if opt["k_stopped"] is not None and k != 0:
                 history["conv_iters_hist"].append(opt["k_stopped"])
             iterate_average_curr = opt["opt_param"]

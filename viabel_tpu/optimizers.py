@@ -128,7 +128,22 @@ class StochasticGradientOptimizer(Optimizer):
 
         return step
 
-    def optimize(self, n_iters, objective, init_param, key=None):
+    #: steps per progress segment when a ``progress_callback`` is given
+    #: (the host-side counterpart of the reference's per-iteration tqdm
+    #: descriptions, optimization.py:91, 109-112 — segment granularity
+    #: keeps the loop fused on device)
+    progress_every = 200
+
+    def optimize(self, n_iters, objective, init_param, key=None,
+                 progress_callback=None):
+        """Run the fixed-learning-rate loop.
+
+        ``progress_callback(k, avg_loss)`` is invoked every
+        ``progress_every`` steps with the iteration count and the mean
+        loss over the last segment (reference optimization.py:109-112
+        shows a tqdm rolling average per iteration; here the loop is a
+        device scan, so progress reports at segment boundaries).
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
         var_param = jnp.asarray(init_param)
@@ -141,14 +156,16 @@ class StochasticGradientOptimizer(Optimizer):
 
         if _objective_is_scannable(objective):
             results = self._optimize_scan(
-                n_iters, step, objective, var_param, key, window, diagnostics, iap)
+                n_iters, step, objective, var_param, key, window, diagnostics,
+                iap, progress_callback)
         else:
             results = self._optimize_host(
-                n_iters, step, objective, var_param, key, window, diagnostics, iap)
+                n_iters, step, objective, var_param, key, window, diagnostics,
+                iap, progress_callback)
         return results
 
     def _optimize_scan(self, n_iters, step, objective, var_param, key, window,
-                       diagnostics, iap):
+                       diagnostics, iap, progress_callback=None):
         D = var_param.shape[0]
         # iterate ring and per-step histories are stored as tile-aligned
         # packed slabs — an unpacked (n, D) row write from a 1-D carry costs
@@ -165,12 +182,29 @@ class StochasticGradientOptimizer(Optimizer):
                    if diagnostics else (value,))
             return (vp, st, ost, key, ring, t + 1), out
 
-        def run(init):
-            return lax.scan(body, init, None, length=n_iters)
-
         init = (var_param, self.init_state(var_param),
                 _obj_init_state(objective, var_param), key, ring, jnp.asarray(0))
-        (vp, _, obj_state, _, ring, _), outs = jax.jit(run)(init)
+        if progress_callback is None:
+            # no callback: the whole loop is one fused device program
+            def run(init):
+                return lax.scan(body, init, None, length=n_iters)
+
+            carry, outs = jax.jit(run)(init)
+        else:
+            # segment the scan so progress can surface between segments;
+            # at most two compilations (full segments + one remainder)
+            seg = jax.jit(lambda c, steps: lax.scan(body, c, None, length=steps),
+                          static_argnums=(1,))
+            carry, k, outs_segs = init, 0, []
+            while k < n_iters:
+                steps = min(self.progress_every, n_iters - k)
+                carry, outs = seg(carry, steps)
+                k += steps
+                outs_segs.append(outs)
+                progress_callback(k, float(jnp.mean(outs[0])))
+            outs = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *outs_segs)
+        vp, _, obj_state, _, ring, _ = carry
         _obj_check_state(objective, obj_state)
 
         results = {"value_history": outs[0]}
@@ -185,17 +219,22 @@ class StochasticGradientOptimizer(Optimizer):
         return results
 
     def _optimize_host(self, n_iters, step, objective, var_param, key, window,
-                       diagnostics, iap):
+                       diagnostics, iap, progress_callback=None):
         opt_state = self.init_state(var_param)
         obj_state = _obj_init_state(objective, var_param)
         value_history, param_history, dir_history = [], [], []
         ring = []
-        for _ in range(n_iters):
+        for i in range(n_iters):
             key, sub = jax.random.split(key)
             var_param, opt_state, obj_state, value, direction = step(
                 var_param, opt_state, obj_state, sub)
             _obj_check_state(objective, obj_state)
             value_history.append(value)
+            if progress_callback is not None and (
+                    (i + 1) % self.progress_every == 0 or i + 1 == n_iters):
+                seg = value_history[-self.progress_every:]
+                progress_callback(
+                    i + 1, float(jnp.mean(jnp.asarray(seg))))
             if iap is not None:
                 ring.append(var_param)
                 if len(ring) > window:

@@ -6,12 +6,19 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+from viabel_tpu import (
+    AlphaDivergence,
+    DISInclusiveKL,
+    ExclusiveKL,
+    MFGaussian,
+    RMSProp,
+)
 from viabel_tpu.models import zoo
 from viabel_tpu.parallel import (
     ShardedExclusiveKL,
     make_mesh,
     multistart_optimize,
+    shard_mc_objective,
 )
 
 
@@ -67,6 +74,131 @@ def test_sharded_objective_optimizes():
     mean, cov = approx.mean_and_cov(results["opt_param"])
     np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.05)
     np.testing.assert_allclose(np.diag(np.asarray(cov)), 1.0, atol=0.1)
+
+
+def test_sharded_alpha_divergence_matches_concatenated_reference():
+    """The generic MC-sharded AlphaDivergence equals the unsharded CUBO
+    math evaluated on the concatenation of every shard's samples (the
+    stabilizing max is a pmax, the vjp contributions a psum)."""
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    S, alpha = 64, 2.0
+    obj = AlphaDivergence(approx, model, S, alpha)
+    sharded = shard_mc_objective(obj, mesh)
+    vp = jnp.concatenate([0.3 * jnp.ones(3), -0.2 * jnp.ones(3)])
+    key = jax.random.PRNGKey(7)
+    v_s, g_s = sharded.value_and_grad(vp, key)
+
+    local = S // 8
+
+    def lw_fn(p):
+        parts = []
+        for i in range(8):
+            k = jax.random.fold_in(key, i)
+            s = approx.sample(p, local, k)
+            parts.append(model(s) - approx.log_density(p, s))
+        return jnp.concatenate(parts)
+
+    lw, vjp = jax.vjp(lw_fn, vp)
+    m = jnp.max(lw)
+    scaled = jnp.exp(alpha * (lw - m))
+    v_ref = jnp.log(jnp.mean(scaled)) / alpha + m
+    g_ref = alpha * vjp(scaled)[0] / S
+    np.testing.assert_allclose(float(v_s), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_dis_no_resampling_matches_concatenated_reference():
+    """MC-sharded no-resampling DIS visits the same epsilon and produces
+    the same surrogate value/gradient as an unsharded step on the
+    concatenated samples (the bisection's ESS sums, the weight scale,
+    and the clip totals all reduce globally)."""
+    dim = 3
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    S = 64
+    obj = DISInclusiveKL(approx, model, S, ess_target=32,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim),
+                         use_resampling=False)
+    sharded = shard_mc_objective(obj, mesh)
+    vp = jnp.concatenate([0.2 * jnp.ones(3), -0.1 * jnp.ones(3)])
+    key = jax.random.PRNGKey(11)
+    state = sharded.init_obj_state(vp)
+    v_s, g_s, state_s = sharded.value_and_grad_with_state(vp, key, state)
+
+    local = S // 8
+    samples = jnp.concatenate([
+        approx.sample(vp, local, jax.random.fold_in(key, i))
+        for i in range(8)])
+    log_p = model(samples)
+
+    def ref_loss(p):
+        log_q = approx.log_density(p, samples)
+        eps, _, w = obj._eps_and_weights(1.0, samples, log_p,
+                                         jax.lax.stop_gradient(log_q))
+        w_c = obj._clip_weights(w)
+        return -jnp.dot(jax.lax.stop_gradient(w_c), log_q) / S, eps
+
+    (v_ref, eps_ref), g_ref = jax.value_and_grad(ref_loss, has_aux=True)(vp)
+    np.testing.assert_allclose(float(v_s), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(state_s["eps"]), float(eps_ref),
+                               rtol=1e-6)
+    assert bool(state_s["ok"])
+    assert int(state_s["step"]) == 1
+
+
+def test_shard_mc_objective_through_optimizer():
+    """The generic wrapper drops into the standard optimizer loop."""
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    obj = shard_mc_objective(ExclusiveKL(approx, model, 64), mesh)
+    results = RMSProp(0.05).optimize(2000, obj, approx.init_param(),
+                                     key=jax.random.PRNGKey(0))
+    mean, cov = approx.mean_and_cov(results["opt_param"])
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), 1.0, atol=0.1)
+
+
+def test_shard_mc_objective_rejects_unsupported():
+    dim = 3
+    approx, model = _setup()
+    mesh = make_mesh((8,), ("mc",))
+    # resampling DIS: the resample draw is a global categorical
+    dis = DISInclusiveKL(approx, model, 64, ess_target=32,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim),
+                         use_resampling=True)
+    with pytest.raises(ValueError, match="use_resampling"):
+        shard_mc_objective(dis, mesh)
+    # Hessian CV estimators have no sharded recipe
+    cv = ExclusiveKL(approx, model, 64, hessian_approx_method="full")
+    with pytest.raises(ValueError, match="control-variate"):
+        shard_mc_objective(cv, mesh)
+
+
+def test_multistart_mc_axis_objective_generic():
+    """multistart_optimize(mc_axis=...) is no longer ExclusiveKL-only."""
+    approx, model = _setup()
+    obj = AlphaDivergence(approx, model, 32, alpha=2)
+    mesh = make_mesh((2, 4), ("restart", "mc"))
+    init = jnp.tile(approx.init_param(), (4, 1))
+    res = multistart_optimize(RMSProp(0.05), 1500, obj, init,
+                              jax.random.PRNGKey(1), mesh=mesh, mc_axis="mc")
+    assert res["opt_param"].shape == (4, 6)
+    assert np.all(np.isfinite(np.asarray(res["opt_param"])))
+    assert np.all(np.isfinite(np.asarray(res["value_history"])))
+    # stateful objectives have no stateless per-shard recipe
+    dis = DISInclusiveKL(approx, model, 32, ess_target=16,
+                         temper_prior=MFGaussian(3),
+                         temper_prior_params=np.zeros(6),
+                         use_resampling=False)
+    with pytest.raises(ValueError, match="mc_sharded_step"):
+        multistart_optimize(RMSProp(0.05), 10, dis, init,
+                            jax.random.PRNGKey(0), mesh=mesh, mc_axis="mc")
 
 
 def test_multistart_vmapped():
@@ -146,10 +278,27 @@ def test_fsdp_divisibility_checks():
         FSDPFullRankELBO(8, model, 7, mesh, mc_axis="mc")  # 7 % 2 != 0
 
 
-def test_sharded_faso_matches_unsharded():
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_sharded_faso_matches_unsharded(force_pallas):
     """FASO with the history ring + convergence stats sharded over `mc`
     must produce the same results as unsharded FASO driving the identical
-    objective (placement-only difference)."""
+    objective (placement-only difference).  ``force_pallas`` additionally
+    exercises the interpret-mode streaming kernel under the per-shard
+    ``shard_map`` wrapper (on a real pod the kernel stays ON when the
+    ring is sharded; round 2 forced it off)."""
+    from viabel_tpu import FASO, MFGaussian, RMSProp
+    from viabel_tpu.ops.dispatch import set_pallas_enabled
+    from viabel_tpu.parallel import ShardedExclusiveKL
+
+    if force_pallas:
+        set_pallas_enabled(True)
+    try:
+        _run_sharded_faso_equality()
+    finally:
+        set_pallas_enabled(None)
+
+
+def _run_sharded_faso_equality():
     from viabel_tpu import FASO, MFGaussian, RMSProp
     from viabel_tpu.parallel import ShardedExclusiveKL
 
@@ -353,9 +502,23 @@ def test_multistart_faso_diagnostics_nonconverged_opt_param_matches_faso():
                                rtol=1e-5, atol=1e-8)
 
 
-def test_multistart_faso_sharded_matches_unsharded():
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_multistart_faso_sharded_matches_unsharded(force_pallas):
     """Restart-axis sharding is placement-only: identical per-restart
-    results on the virtual 8-device mesh."""
+    results on the virtual 8-device mesh.  ``force_pallas`` also runs the
+    interpret-mode streaming kernel inside the restart ``shard_map``
+    (stays ON under sharding since round 3)."""
+    from viabel_tpu.ops.dispatch import set_pallas_enabled
+
+    if force_pallas:
+        set_pallas_enabled(True)
+    try:
+        _run_multistart_sharded_equality()
+    finally:
+        set_pallas_enabled(None)
+
+
+def _run_multistart_sharded_equality():
     from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
     from viabel_tpu.parallel import multistart_faso
 

@@ -65,9 +65,10 @@ _now = time.perf_counter
 
 _rhat_ring = jax.jit(split_rhat_ring_windows,
                      static_argnames=("group", "use_pallas", "top_k",
-                                      "exceed_threshold"))
+                                      "exceed_threshold", "pallas_shards"))
 _ring_mean = jax.jit(ring_window_mean,
-                     static_argnames=("group", "use_pallas"))
+                     static_argnames=("group", "use_pallas",
+                                      "pallas_shards"))
 
 
 def _largest_divisor_leq(n, cap):
@@ -364,15 +365,27 @@ class FASO(Optimizer):
         # statistic) over the packed coordinate axis of `mesh` — R-hat,
         # MCSE and window means are coordinate-wise, so GSPMD partitions
         # them with only the final max/min reductions crossing devices.
-        # The jnp stats path is used when sharded (the Pallas kernel has
-        # no partitioning rule).
+        # The Pallas streaming kernel stays ON via a shard_map over the
+        # same axis (per-shard kernel, unchanged combination — it has no
+        # GSPMD partitioning rule of its own); only uneven coordinate
+        # shards fall back to the jnp stats.
         use_pallas = None
+        pallas_shards = None
         if self._mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as PS
+            from .ops.dispatch import pallas_enabled
             ring = jax.device_put(ring, NamedSharding(
                 self._mesh, PS(None, None, self._shard_axis)))
-            use_pallas = False
+            # resolve the kernel dispatch NOW (not at trace time) so it is
+            # part of the module-level jits' static cache key — tests flip
+            # the dispatch global between runs
+            if (packed_width(D) % self._mesh.shape[self._shard_axis] == 0
+                    and pallas_enabled()):
+                use_pallas = True
+                pallas_shards = (self._mesh, self._shard_axis)
+            else:
+                use_pallas = False
         opt_state = (self._sgo.init_state(var_param)
                      if init_opt_state is None else init_opt_state)
         obj_state = _obj_init_state(objective, var_param)
@@ -499,7 +512,8 @@ class FASO(Optimizer):
                 w_eff = min(best_W + (k - ck_k), R, k)
                 iterate_average = unpack_rows(
                     _ring_mean(ring, t, jnp.asarray(w_eff), group=G,
-                               use_pallas=use_pallas), D)
+                               use_pallas=use_pallas,
+                               pallas_shards=pallas_shards), D)
             if diagnostics:
                 history["iterate_average_k_history"].append(ck_k)
                 history["iterate_average_history"].append(iterate_average)
@@ -553,7 +567,7 @@ class FASO(Optimizer):
                     windows = _candidate_windows(self._W_min, W_upper, G)
                     r_hats = _rhat_ring(
                         ring, t, jnp.asarray(windows), group=G,
-                        use_pallas=use_pallas,
+                        use_pallas=use_pallas, pallas_shards=pallas_shards,
                         exceed_threshold=(None if rhat_allowed is None
                                           else self._rhat_threshold))
                     # start the (tiny) device->host copy immediately: the
@@ -580,7 +594,8 @@ class FASO(Optimizer):
                 W = min(k - k_conv, R, k)
                 iterate_average = unpack_rows(
                     _ring_mean(ring, t, jnp.asarray(W), group=G,
-                               use_pallas=use_pallas), D)
+                               use_pallas=use_pallas,
+                               pallas_shards=pallas_shards), D)
                 if diagnostics and (not history["iterate_average_k_history"]
                                     or history["iterate_average_k_history"][-1] != k):
                     history["iterate_average_k_history"].append(k)
@@ -649,7 +664,8 @@ class FASO(Optimizer):
             # (optimization.py:556, 632) instead of handing back init_param.
             iterate_average = unpack_rows(
                 _ring_mean(ring, t, jnp.asarray(last_best_W), group=G,
-                           use_pallas=use_pallas), D)
+                           use_pallas=use_pallas,
+                           pallas_shards=pallas_shards), D)
 
         if k_stopped is None and not interrupted:
             if k_conv is None:

@@ -288,17 +288,39 @@ def split_rhat_windowed(history, w, jitter=1e-8):
 # ---------------------------------------------------------------------------
 
 
-def _ring_group_stats(ring, center, group, use_pallas=None):
+def _ring_group_stats(ring, center, group, use_pallas=None,
+                      pallas_shards=None):
+    """Dispatch the group-stats pass: Pallas streaming kernel on TPU, jnp
+    fallback elsewhere.
+
+    ``pallas_shards``: optional ``(mesh, axis_name)`` when the ring is
+    sharded over its packed-coordinate axis (``FASO(mesh=...)``).  The
+    kernel is coordinate-wise, so it runs per-shard under a ``shard_map``
+    over that axis — a ``pallas_call`` has no GSPMD partitioning rule, so
+    without the wrapper XLA would gather the whole ring onto one device.
+    The jnp fallback ignores this (GSPMD partitions elementwise ops and
+    reductions natively).
+    """
     from .ops.dispatch import pallas_enabled
     if pallas_enabled() if use_pallas is None else use_pallas:
         from .ops.ringstats import ring_group_stats
+        if pallas_shards is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = pallas_shards
+            fn = shard_map(
+                lambda r, c: ring_group_stats(r, c, group), mesh=mesh,
+                in_specs=(P(None, None, axis), P(None, axis)),
+                out_specs=(P(None, None, axis), P(None, None, axis)),
+                check_vma=False)
+            return fn(ring, center)
         return ring_group_stats(ring, center, group)
     R = ring.shape[0]
     x = (ring - center).reshape(R // group, group, *ring.shape[1:])
     return jnp.sum(x, axis=1), jnp.sum(x * x, axis=1)
 
 
-def ring_cum_stats(ring, t, group, use_pallas=None):
+def ring_cum_stats(ring, t, group, use_pallas=None, pallas_shards=None):
     """Cumulative group statistics of a packed ring, centered at the newest
     iterate (an uncentered one-pass sum-of-squares would cancel
     catastrophically in float32 near stationarity; variances are
@@ -317,7 +339,7 @@ def ring_cum_stats(ring, t, group, use_pallas=None):
     R = ring.shape[0]
     t = jnp.asarray(t)
     center = ring[(t - 1) % R]
-    GS, GQ = _ring_group_stats(ring, center, group, use_pallas)
+    GS, GQ = _ring_group_stats(ring, center, group, use_pallas, pallas_shards)
     zero = jnp.zeros_like(GS[:1])
     cumS = jnp.concatenate([zero, jnp.cumsum(GS, axis=0)])
     cumQ = jnp.concatenate([zero, jnp.cumsum(GQ, axis=0)])
@@ -352,7 +374,8 @@ def _arcs(stats, bounds, group):
 
 
 def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
-                            use_pallas=None, top_k=1, exceed_threshold=None):
+                            use_pallas=None, top_k=1, exceed_threshold=None,
+                            pallas_shards=None):
     """Max split-R-hat for several windows, directly on the packed ring.
 
     ``windows``: (K,) candidate window sizes — each an even multiple of
@@ -388,7 +411,7 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     """
     windows = jnp.asarray(windows)
     t = jnp.asarray(t)
-    stats = ring_cum_stats(ring, t, group, use_pallas)
+    stats = ring_cum_stats(ring, t, group, use_pallas, pallas_shards)
     dtype = stats["cumS"].dtype
     h = windows // 2
     s1, q1 = _arcs(stats, t - windows, group)   # steps [t-w, t)
@@ -412,7 +435,7 @@ def split_rhat_ring_windows(ring, t, windows, group, jitter=1e-8,
     return lax.top_k(flat, int(top_k))[0][:, -1]
 
 
-def ring_window_mean(ring, t, w, group, use_pallas=None):
+def ring_window_mean(ring, t, w, group, use_pallas=None, pallas_shards=None):
     """Mean of the last ``w`` iterates of the packed ring — exact for any
     ``(t, w)`` (one boundary partial-group sum handles misalignment).
     Returns the packed ``(8, C)`` mean."""
@@ -420,7 +443,7 @@ def ring_window_mean(ring, t, w, group, use_pallas=None):
     R = ring.shape[0]
     t = jnp.asarray(t)
     w = jnp.asarray(w)
-    stats = ring_cum_stats(ring, t, group, use_pallas)
+    stats = ring_cum_stats(ring, t, group, use_pallas, pallas_shards)
     b = t - w
     s0 = b % R
     g0 = s0 // group

@@ -265,6 +265,34 @@ class ExclusiveKL(StochasticVariationalObjective):
         g = jax.grad(self._loss)
         return jax.jvp(lambda p: g(p, key), (var_param,), (x,))[1]
 
+    def mc_sharded_step(self, axis_name, n_shards):
+        """Per-shard step for MC-sample-axis data parallelism.
+
+        Returns ``(var_param, key) -> (value, grad)`` to be called INSIDE
+        a ``shard_map``/``pmap`` context over ``axis_name``: each shard
+        draws ``num_mc_samples / n_shards`` samples with a key folded by
+        its mesh coordinate and the value/gradient are ``pmean``-combined
+        — one ICI all-reduce per step.  Used by
+        :mod:`viabel_tpu.parallel` (``shard_mc_objective``,
+        ``multistart_optimize(mc_axis=...)``).
+        """
+        if self.hessian_approx_method is not None:
+            raise ValueError("the Hessian control-variate estimators do "
+                             "not support MC-axis sharding")
+        if self.num_mc_samples % n_shards:
+            raise ValueError(
+                f"num_mc_samples={self.num_mc_samples} must be divisible "
+                f"by the {axis_name} axis size {n_shards}")
+        local_S = self.num_mc_samples // n_shards
+
+        def step(var_param, key):
+            key = jax.random.fold_in(key, lax.axis_index(axis_name))
+            value, grad = jax.value_and_grad(
+                lambda p: self._loss(p, key, num_samples=local_S))(var_param)
+            return lax.pmean(value, axis_name), lax.pmean(grad, axis_name)
+
+        return step
+
 
 class AlphaDivergence(StochasticVariationalObjective):
     """Log alpha-divergence / CUBO objective (reference objectives.py:419-463).
@@ -300,6 +328,43 @@ class AlphaDivergence(StochasticVariationalObjective):
             return value, grad
 
         self._value_and_grad = jax.jit(objective_and_grad)
+
+    def mc_sharded_step(self, axis_name, n_shards):
+        """Per-shard step for MC-sample-axis data parallelism (see
+        ``ExclusiveKL.mc_sharded_step``).
+
+        Each shard computes its local log-weights and their vjp; the
+        stabilizing max is a ``pmax`` so every shard scales identically,
+        the CUBO value is a ``pmean`` of the local means, and the
+        manually-assembled gradient ``alpha * J^T w^alpha / S``
+        (reference objectives.py:448-460) is a ``psum`` of the local
+        vjp contributions.
+        """
+        if self.num_mc_samples % n_shards:
+            raise ValueError(
+                f"num_mc_samples={self.num_mc_samples} must be divisible "
+                f"by the {axis_name} axis size {n_shards}")
+        local_S = self.num_mc_samples // n_shards
+        approx, model = self.approx, self.model
+        S, alpha = self.num_mc_samples, self._alpha
+
+        def log_weights_fn(var_param, key):
+            samples = approx.sample(var_param, local_S, key)
+            return model(samples) - approx.log_density(var_param, samples)
+
+        def step(var_param, key):
+            key = jax.random.fold_in(key, lax.axis_index(axis_name))
+            log_weights, vjp_fn = jax.vjp(
+                lambda p: log_weights_fn(p, key), var_param)
+            log_norm = lax.pmax(jnp.max(log_weights), axis_name)
+            scaled = jnp.exp(alpha * (log_weights - log_norm))
+            value = (jnp.log(lax.pmean(jnp.mean(scaled), axis_name)) / alpha
+                     + log_norm)
+            grad = alpha * lax.psum(
+                vjp_fn(lax.stop_gradient(scaled))[0], axis_name) / S
+            return value, grad
+
+        return step
 
 
 class DISInclusiveKL(StochasticVariationalObjective):
@@ -343,7 +408,7 @@ class DISInclusiveKL(StochasticVariationalObjective):
         ltp = self._temper_prior.log_density(self._temper_prior_params, samples)
         return eps * ltp + (1.0 - eps) * log_p_unnormalized
 
-    def _weights(self, eps, samples, log_p, log_q):
+    def _weights(self, eps, samples, log_p, log_q, axis_name=None):
         """Self-normalized importance weights ``exp(logw - max logw)``.
 
         Documented behavior delta vs reference objectives.py:322-331,
@@ -357,19 +422,35 @@ class DISInclusiveKL(StochasticVariationalObjective):
         folded out; ESS and proportional clipping are scale-invariant
         and unchanged, hence the eps bisection visits the identical
         epsilon sequence.
+
+        ``axis_name``: when the sample axis is sharded over a mesh axis
+        (called inside ``shard_map``), the normalizing max is a ``pmax``
+        over it so every shard's weights share one scale.
         """
         logw = self._tempered_log_pdf(eps, samples, log_p) - log_q
-        return jnp.exp(logw - jnp.max(logw))
+        m = jnp.max(logw)
+        if axis_name is not None:
+            m = lax.pmax(m, axis_name)
+        return jnp.exp(logw - m)
 
-    def _eps_and_weights(self, eps_guess, samples, log_p, log_q):
-        """Bisection on epsilon to hit the ESS target (reference 338-368)."""
+    def _eps_and_weights(self, eps_guess, samples, log_p, log_q,
+                         axis_name=None):
+        """Bisection on epsilon to hit the ESS target (reference 338-368).
+
+        With ``axis_name`` the ESS sums are ``psum``-ed over the sharded
+        sample axis, so the bisection visits the same epsilon sequence as
+        an unsharded run on the concatenated samples."""
 
         def ess_of(w):
-            return jnp.sum(w) ** 2 / jnp.sum(w**2)
+            s1, s2 = jnp.sum(w), jnp.sum(w**2)
+            if axis_name is not None:
+                s1 = lax.psum(s1, axis_name)
+                s2 = lax.psum(s2, axis_name)
+            return s1**2 / s2
 
         def body(_, carry):
             lower, upper, guess = carry
-            w = self._weights(guess, samples, log_p, log_q)
+            w = self._weights(guess, samples, log_p, log_q, axis_name)
             too_big = ess_of(w) > self._ess_target
             upper = jnp.where(too_big, guess, upper)
             lower = jnp.where(too_big, lower, guess)
@@ -383,56 +464,72 @@ class DISInclusiveKL(StochasticVariationalObjective):
         # endpoint handling (reference objectives.py:362-366)
         guess = jnp.where(lower == 0.0, 0.0, guess)
         guess = jnp.where(upper == self._max_eps, self._max_eps, guess)
-        w = self._weights(guess, samples, log_p, log_q)
+        w = self._weights(guess, samples, log_p, log_q, axis_name)
         return guess, ess_of(w), w
 
-    def _clip_weights(self, w):
+    def _clip_weights(self, w, axis_name=None):
         """Proportional weight clipping (correct form of reference 370-386).
 
         Ensures no weight exceeds ``threshold`` times the total weight, with
         the clipped mass redistributed proportionally to unclipped weights;
         total mass is preserved.  A no-op for ``threshold >= 1`` (the
-        reference default of 10 makes its branch unreachable).
+        reference default of 10 makes its branch unreachable).  With
+        ``axis_name`` the mass totals are ``psum``-ed over the sharded
+        sample axis.
         """
         tau = self._w_clip_threshold
-        n = w.shape[0]
+        n = self.num_mc_samples if axis_name is not None else w.shape[0]
         if tau >= 1.0 or tau * n <= 1.0:
             return w
-        total = jnp.sum(w)
+
+        def gsum(x):
+            s = jnp.sum(x)
+            return lax.psum(s, axis_name) if axis_name is not None else s
+
+        total = gsum(w)
         p = w / total
 
         def body(_, p):
             over = p > tau
-            excess = jnp.sum(jnp.where(over, p - tau, 0.0))
-            keep = jnp.sum(jnp.where(over, 0.0, p))
+            excess = gsum(jnp.where(over, p - tau, 0.0))
+            keep = gsum(jnp.where(over, 0.0, p))
             scale = jnp.where(keep > 0, 1.0 + excess / keep, 1.0)
             return jnp.where(over, tau, p * scale)
 
         p = lax.fori_loop(0, 16, body, p)
         return p * total
 
+    def _refresh(self, var_param, key, eps_guess, num_samples=None,
+                 axis_name=None):
+        """Draw samples, bisect epsilon, clip weights (reference 392-398).
+
+        Shared by the unsharded step closures and the MC-axis-sharded
+        step (``num_samples`` is the per-shard count there)."""
+        S = num_samples or self.num_mc_samples
+        samples = lax.stop_gradient(self.approx.sample(var_param, S, key))
+        log_q = self.approx.log_density(var_param, samples)
+        log_p = self.model(samples)
+        eps, ess, w = self._eps_and_weights(
+            eps_guess, samples, log_p, lax.stop_gradient(log_q),
+            axis_name=axis_name)
+        w_clipped = self._clip_weights(w, axis_name=axis_name)
+        return samples, log_q, w_clipped, eps
+
     # -- objective construction -------------------------------------------------
     def _update_objective_and_grad(self):
-        approx, model, S = self.approx, self.model, self.num_mc_samples
-
-        def refresh(var_param, key, eps_guess):
-            samples = lax.stop_gradient(approx.sample(var_param, S, key))
-            log_q = approx.log_density(var_param, samples)
-            log_p = model(samples)
-            eps, ess, w = self._eps_and_weights(
-                eps_guess, samples, log_p, lax.stop_gradient(log_q))
-            w_clipped = self._clip_weights(w)
-            return samples, log_q, w_clipped, eps
+        approx, S = self.approx, self.num_mc_samples
 
         def loss_no_resampling(var_param, key, eps_guess):
-            samples, log_q, w_clipped, eps = refresh(var_param, key, eps_guess)
+            samples, log_q, w_clipped, eps = self._refresh(
+                var_param, key, eps_guess)
             obj = -jnp.dot(lax.stop_gradient(w_clipped), log_q) / S
             return obj, (eps, jnp.sum(w_clipped))
 
         vag_no_resampling = jax.value_and_grad(loss_no_resampling, has_aux=True)
 
         def refresh_cache(var_param, key, eps_guess):
-            samples, _, w_clipped, eps = refresh(var_param, key, eps_guess)
+            samples, _, w_clipped, eps = self._refresh(
+                var_param, key, eps_guess)
             w_sum = jnp.sum(w_clipped)
             return samples, w_clipped / w_sum, w_sum, eps
 
@@ -507,6 +604,54 @@ class DISInclusiveKL(StochasticVariationalObjective):
             # non-finite log-weights instead
             raise ValueError("Non-finite importance weights! "
                              "Suggests overflow in importance density.")
+
+    def mc_sharded_step_with_state(self, axis_name, n_shards):
+        """Per-shard stateful step for MC-sample-axis data parallelism.
+
+        Returns ``(var_param, key, state) -> (value, grad, state)`` to be
+        called inside a ``shard_map`` context over ``axis_name``.  Only
+        the no-resampling estimator shards (the resampling draw is a
+        global categorical over every shard's weights — keep
+        ``use_resampling=False`` or use an unsharded DIS).  The epsilon
+        bisection, weight normalization, and clipping all reduce globally
+        (``psum``/``pmax``), so the step visits the same epsilon sequence
+        and loss as an unsharded run on the concatenated samples.
+        """
+        if self._use_resampling:
+            raise ValueError(
+                "MC-axis sharding supports DIS with use_resampling=False "
+                "only (the resampling draw is a global categorical over "
+                "every shard's weights)")
+        if self.num_mc_samples % n_shards:
+            raise ValueError(
+                f"num_mc_samples={self.num_mc_samples} must be divisible "
+                f"by the {axis_name} axis size {n_shards}")
+        local_S = self.num_mc_samples // n_shards
+        S = self.num_mc_samples
+
+        def loss(var_param, key, eps_guess):
+            samples, log_q, w_clipped, eps = self._refresh(
+                var_param, key, eps_guess, num_samples=local_S,
+                axis_name=axis_name)
+            obj = -jnp.dot(lax.stop_gradient(w_clipped), log_q) / S
+            w_sum = lax.psum(jnp.sum(w_clipped), axis_name)
+            return obj, (eps, w_sum)
+
+        vag = jax.value_and_grad(loss, has_aux=True)
+
+        def step(var_param, key, state):
+            key = jax.random.fold_in(key, lax.axis_index(axis_name))
+            (value, (eps, w_sum)), grad = vag(var_param, key, state["eps"])
+            # the surrogate is a sum of per-shard local terms (the shared
+            # weight scale is stop-gradient'd), so value and grad combine
+            # with one psum each
+            value = lax.psum(value, axis_name)
+            grad = lax.psum(grad, axis_name)
+            ok = state["ok"] & jnp.isfinite(w_sum) & (w_sum > 0.0)
+            return value, grad, {"eps": eps, "step": state["step"] + 1,
+                                 "ok": ok}
+
+        return step
 
     def _mirrored_value_and_grad(self, var_param, key):
         """Direct-call convenience: mirrors the estimator state on the

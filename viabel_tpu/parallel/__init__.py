@@ -1,7 +1,8 @@
 from .mesh import distributed_init, make_mesh
-from .sharded import ShardedExclusiveKL, multistart_optimize
+from .sharded import ShardedExclusiveKL, multistart_optimize, shard_mc_objective
 from .multistart import multistart_faso
 from .fsdp import FSDPFullRankELBO
 
 __all__ = ["make_mesh", "distributed_init", "ShardedExclusiveKL",
-           "multistart_optimize", "multistart_faso", "FSDPFullRankELBO"]
+           "shard_mc_objective", "multistart_optimize", "multistart_faso",
+           "FSDPFullRankELBO"]

@@ -178,8 +178,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # optional restart-axis sharding: every batched callable below is
     # wrapped in shard_map over `restart_axis`, so each device runs its
     # local restarts (same lax.map code path) with no cross-device
-    # traffic; the Pallas stat kernel is skipped under shard_map (no
-    # partitioning rule) like FASO's mesh path.
+    # traffic.  Inside the shard_map each per-ring statistic is an
+    # ordinary per-device computation, so the Pallas streaming kernel
+    # dispatches as usual (round 2 forced it off; nothing about the
+    # restart sharding actually requires that).
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -230,11 +232,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # map peaks at one ring's worth and lets each per-ring call dispatch
     # the streaming Pallas kernel as usual
     rhat_fn = partial(split_rhat_ring_windows, group=G,
-                      use_pallas=False if mesh is not None else None,
                       exceed_threshold=(None if rhat_allowed is None
                                         else rhat_threshold))
-    mean_fn = partial(ring_window_mean, group=G,
-                      use_pallas=False if mesh is not None else None)
+    mean_fn = partial(ring_window_mean, group=G)
 
     rhat_b = jax.jit(shard_restarts(
         lambda rings, t, windows: jax.lax.map(

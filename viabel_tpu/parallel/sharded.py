@@ -15,9 +15,10 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..objectives import ExclusiveKL
+from ..optimizers import _obj_check_state, _obj_init_state
 from ..utils import pack_rows, packed_width, unpack_rows
 
-__all__ = ["ShardedExclusiveKL", "multistart_optimize"]
+__all__ = ["ShardedExclusiveKL", "shard_mc_objective", "multistart_optimize"]
 
 
 class ShardedExclusiveKL(ExclusiveKL):
@@ -28,7 +29,8 @@ class ShardedExclusiveKL(ExclusiveKL):
     value-and-grad, and the results are averaged with ``pmean`` over the
     ``mc`` axis — a single ICI all-reduce per step.  The variational
     parameter is replicated (VI parameters are small relative to sample
-    batches except at extreme ``d``).
+    batches except at extreme ``d``).  For other objectives use the
+    generic :func:`shard_mc_objective` wrapper.
     """
 
     def __init__(self, approx, model, num_mc_samples, mesh, axis_name="mc",
@@ -45,19 +47,102 @@ class ShardedExclusiveKL(ExclusiveKL):
 
     def _update_objective_and_grad(self):
         mesh, axis = self._mesh, self._axis_name
-        n_shards = mesh.shape[axis]
-        local_S = self.num_mc_samples // n_shards
-
-        def per_shard(var_param, key):
-            key = jax.random.fold_in(key, lax.axis_index(axis))
-            value, grad = jax.value_and_grad(
-                lambda vp: self._loss(vp, key, num_samples=local_S))(var_param)
-            return lax.pmean(value, axis), lax.pmean(grad, axis)
-
+        per_shard = self.mc_sharded_step(axis, mesh.shape[axis])
         smapped = shard_map(per_shard, mesh=mesh,
                             in_specs=(P(), P()), out_specs=(P(), P()),
                             check_vma=False)
         self._value_and_grad = jax.jit(smapped)
+
+
+class _MCShardedObjective:
+    """Duck-typed objective whose MC sample axis is sharded over a mesh
+    (built by :func:`shard_mc_objective`).  Delegates the objective-state
+    protocol and ``update`` to the wrapped objective; the step itself is
+    the objective's own per-shard recipe under one ``shard_map``."""
+
+    scannable = True
+
+    def __init__(self, objective, mesh, axis_name):
+        self._inner = objective
+        n_shards = mesh.shape[axis_name]
+        build_stateful = getattr(objective, "mc_sharded_step_with_state", None)
+        if build_stateful is not None:
+            step = build_stateful(axis_name, n_shards)
+            self._stateful = True
+        else:
+            build = getattr(objective, "mc_sharded_step", None)
+            if build is None:
+                raise ValueError(
+                    f"{type(objective).__name__} does not support MC-axis "
+                    "sharding (no mc_sharded_step)")
+            inner_step = build(axis_name, n_shards)
+
+            def step(var_param, key, obj_state):
+                value, grad = inner_step(var_param, key)
+                return value, grad, obj_state
+
+            self._stateful = False
+        # the state pytree (DIS no-resampling: eps/step/ok scalars) rides
+        # replicated through the shard_map like the parameters
+        self._step = jax.jit(shard_map(
+            step, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False))
+        self._obj_state = None  # host-side mirror for direct calls
+
+    # -- objective-state protocol ------------------------------------------
+    def init_obj_state(self, var_param):
+        return _obj_init_state(self._inner, var_param)
+
+    def value_and_grad_with_state(self, var_param, key, obj_state):
+        return self._step(var_param, key, obj_state)
+
+    def check_obj_state(self, obj_state):
+        _obj_check_state(self._inner, obj_state)
+
+    def value_and_grad(self, var_param, key):
+        if self._obj_state is None:
+            self._obj_state = self.init_obj_state(var_param)
+        value, grad, self._obj_state = self._step(var_param, key,
+                                                  self._obj_state)
+        if self._stateful:
+            self.check_obj_state(self._obj_state)
+        return value, grad
+
+    def __call__(self, var_param, key):
+        return self.value_and_grad(var_param, key)
+
+    def update(self, var_param, direction):
+        return self._inner.update(var_param, direction)
+
+    @property
+    def approx(self):
+        return self._inner.approx
+
+    @property
+    def model(self):
+        return self._inner.model
+
+    @property
+    def num_mc_samples(self):
+        return self._inner.num_mc_samples
+
+
+def shard_mc_objective(objective, mesh, axis_name="mc"):
+    """Shard any supporting objective's MC sample axis over a mesh axis.
+
+    Objective-generic MC-axis data parallelism (the framework's flagship
+    parallel axis, SURVEY.md §7): wraps the objective's own per-shard
+    recipe — ``mc_sharded_step`` (ExclusiveKL incl. path-derivative,
+    AlphaDivergence) or ``mc_sharded_step_with_state`` (DIS with
+    ``use_resampling=False``) — in a single ``shard_map`` over
+    ``axis_name``, with the variational parameter replicated and one
+    collective combining value/gradient per step.  The returned object
+    implements the full objective protocol and drops into every
+    optimizer (``SGO.optimize``, ``FASO``, ``RAABBVI``).
+
+    ``num_mc_samples`` must be divisible by ``mesh.shape[axis_name]``.
+    """
+    return _MCShardedObjective(objective, mesh, axis_name)
 
 
 def _scan_restart(sgo, objective_vag, objective_update, n_iters, window, lr):
@@ -134,15 +219,14 @@ def multistart_optimize(sgo, n_iters, objective, init_params, key,
             f"{restart_axis} axis size {n_restart_shards}")
 
     if mc_axis is not None:
-        if not isinstance(objective, ExclusiveKL):
-            raise ValueError("mc_axis sharding requires an ExclusiveKL objective")
-        local_S = objective.num_mc_samples // mesh.shape[mc_axis]
-
-        def vag(vp, key):
-            key = jax.random.fold_in(key, lax.axis_index(mc_axis))
-            value, grad = jax.value_and_grad(
-                lambda p: objective._loss(p, key, num_samples=local_S))(vp)
-            return lax.pmean(value, mc_axis), lax.pmean(grad, mc_axis)
+        # objective-generic: any objective exposing the stateless
+        # per-shard recipe works (ExclusiveKL, AlphaDivergence, ...)
+        build = getattr(objective, "mc_sharded_step", None)
+        if build is None:
+            raise ValueError(
+                f"{type(objective).__name__} does not support MC-axis "
+                "sharding (no mc_sharded_step)")
+        vag = build(mc_axis, mesh.shape[mc_axis])
     else:
         vag = objective.value_and_grad
 

@@ -392,3 +392,101 @@ def test_faso_with_host_loop_objective():
                 np.asarray(res_nodecay), rtol=1e-6)
         else:
             res_nodecay = res["DummyObjective"]["opt_param"]
+
+
+def _stub_clock(monkeypatch):
+    """Deterministic stand-ins for the wall-clock-driven MCSE recheck
+    schedule (the pattern of test_raabbvi_is_reusable)."""
+    import viabel_tpu.faso as faso_mod
+
+    class FixedTimer:
+        interval = 1.0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class FakeClock:
+        _t = 0.0
+
+        @classmethod
+        def perf_counter(cls):
+            cls._t += 1.0
+            return cls._t
+
+    monkeypatch.setattr(faso_mod, "Timer", FixedTimer)
+    monkeypatch.setattr(faso_mod, "_now", FakeClock.perf_counter)
+
+
+def test_raabbvi_whole_run_resume_matches_uninterrupted(monkeypatch, tmp_path):
+    """Kill RAABBVI mid-run and resume: the resumed run reproduces the
+    uninterrupted run exactly — round counter, decayed lr/threshold, SKL
+    and convergence histories, and the in-flight FASO round (including
+    its pending pipelined R-hat verdicts) all continue through
+    results["resume_state"], serialized via viabel_tpu.checkpoint.
+
+    Round structure at this config (measured): round 1 converges at 1400,
+    round 2 at 1200, so a 2000-iteration budget dies mid-round-2 during
+    its R-hat phase (a verdict dispatched at k=400 is still in flight),
+    and a 2602 budget dies exactly between rounds 2 and 3.
+    """
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+
+    _stub_clock(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    key = jax.random.PRNGKey(3)
+
+    def make_opt():
+        return RAABBVI(AveragedRMSProp(0.01), rho=0.5, mcse_threshold=0.01,
+                       inefficiency_threshold=1.0, accuracy_threshold=0.01,
+                       max_history=2000, ESS_min=10)
+
+    K = 3002
+    full = make_opt().optimize(K, objective, init, key=key)
+    assert full["conv_iters_hist"] == [1200]
+
+    # --- interrupt mid-round-2 (in-flight FASO state rides the payload)
+    part = make_opt().optimize(2000, objective, init, key=key)
+    assert part["k_stopped_final"] is None
+    rs = part["resume_state"]
+    assert rs is not None and isinstance(rs["flight"], dict)
+    assert rs["flight"]["pending_checks"], "expected an in-flight verdict"
+    path = str(tmp_path / "raabbvi.npz")
+    save_pytree(path, rs)
+    restored = load_pytree(path, like=rs)
+    resumed = make_opt().optimize(K, objective, init, key=key,
+                                  resume_state=restored)
+
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert resumed["conv_iters_hist"] == full["conv_iters_hist"]
+    assert resumed["k_mcse"] == full["k_mcse"]
+    assert resumed["k_conv"] == full["k_conv"]
+    np.testing.assert_allclose(resumed["learning_rate_hist"],
+                               full["learning_rate_hist"], rtol=1e-12)
+    np.testing.assert_allclose(resumed["SKL_history"], full["SKL_history"],
+                               rtol=1e-8)
+    np.testing.assert_allclose(resumed["kappa_hist"], full["kappa_hist"],
+                               rtol=1e-8)
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+
+    # --- interrupt exactly between rounds (flight is empty)
+    part2 = make_opt().optimize(2602, objective, init, key=key)
+    rs2 = part2["resume_state"]
+    assert rs2 is not None and not isinstance(rs2["flight"], dict)
+    resumed2 = make_opt().optimize(K, objective, init, key=key,
+                                   resume_state=rs2)
+    np.testing.assert_allclose(np.asarray(resumed2["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert resumed2["conv_iters_hist"] == full["conv_iters_hist"]
+    np.testing.assert_allclose(resumed2["SKL_history"], full["SKL_history"],
+                               rtol=1e-8)
+
+    # a spent budget refuses to run backwards
+    spent = make_opt().optimize(1000, objective, init, key=key,
+                                resume_state=rs)
+    assert spent["k_stopped_final"] is None

@@ -840,12 +840,38 @@ class RAABBVI(FASO):
         """Negative lr-vs-iterations trend? (reference optimization.py:757-776)."""
         return slope < 0
 
+    # outer-loop scalar histories carried through whole-run resume; the
+    # *_NONE lists may contain None entries (encoded as -1), the *_INT
+    # lists restore as Python ints, the rest as floats
+    _RESUME_HISTS_NONE = ("k_Rhat", "k_conv", "k_mcse")
+    _RESUME_HISTS_INT = ("conv_iters_hist", "predicted_iters_hist",
+                         "k_stopped_final_hist")
+    _RESUME_HISTS_FLOAT = ("learning_rate_hist", "SKL_history", "kappa_hist",
+                           "c_hist", "stopping_crt")
+    _RESUME_HISTS = _RESUME_HISTS_NONE + _RESUME_HISTS_INT + _RESUME_HISTS_FLOAT
+
     def optimize(self, K_max, objective, init_param, key=None,
-                 progress_callback=None):
+                 progress_callback=None, resume_state=None):
         """Run RAABBVI.  ``progress_callback(k, avg_loss)`` fires at every
         inner-FASO segment boundary with ``k`` counted cumulatively across
         learning-rate rounds (the reference's tqdm shows a single
-        continuing bar across rounds, optimization.py:534, 812)."""
+        continuing bar across rounds, optimization.py:534, 812).
+
+        ``resume_state``: the ``results["resume_state"]`` pytree of a
+        prior run that exhausted its iteration budget (``K_max``) — the
+        whole outer loop resumes: round counter, decayed
+        lr/mcse-threshold, SKL / learning-rate / convergence histories,
+        persisted optimizer state, RNG chain, and (when the budget ran
+        out mid-round) the in-flight FASO round via its own segment-level
+        resume.  Pass the same or a larger ``K_max``; the resumed run
+        reproduces an uninterrupted run with that budget exactly (ring
+        sizes must match — set ``max_history``).  Serialize across
+        processes with :mod:`viabel_tpu.checkpoint`.  The resumed run's
+        ``value_history`` (and diagnostics trails) cover only its own
+        steps; scalar round histories are restored in full.
+        ``results["resume_state"]`` is ``None`` after the termination
+        rule fires (the run is complete).
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
         if not objective.approx.supports_kl:
@@ -859,6 +885,7 @@ class RAABBVI(FASO):
         k = 0             # number of learning-rate decays
         k_total = 0       # total iterations across rounds
         k_add = 0
+        budget_spent = 0  # iterations consumed by completed rounds (+1 each)
         k_stopped_final = None
         sgo = self._sgo
         diagnostics = sgo._diagnostics
@@ -877,11 +904,81 @@ class RAABBVI(FASO):
         history["k_mcse"].append(0)
         stopped = False
         relative_skl = relative_iters = None
+        flight = None          # in-flight FASO round state being resumed
+        resume_payload = None  # what results["resume_state"] will carry
+
+        if resume_state is not None:
+            rs = resume_state
+            k = int(rs["k"])
+            k_total = int(rs["k_total"])
+            k_add = int(rs["k_add"])
+            budget_spent = int(rs["budget_spent"])
+            steps_run_total = int(rs["steps_run_total"])
+            lr_round = float(rs["lr_round"])
+            mcse_round = float(rs["mcse_round"])
+            iterate_average_curr = jnp.asarray(rs["iterate_average_curr"])
+            opt_state = (rs["opt_state"]
+                         if jax.tree_util.tree_leaves(rs["opt_state"]) else None)
+            key = jnp.asarray(rs["key"])
+            history = defaultdict(list)
+            history["iterate_average_curr_hist"] = [
+                jnp.asarray(r) for r in rs["iterate_average_curr_hist"]]
+            for name in self._RESUME_HISTS:
+                vals = np.asarray(rs["hists"][name])
+                if name in self._RESUME_HISTS_NONE:
+                    history[name] = [None if int(v) < 0 else int(v)
+                                     for v in vals]
+                elif name in self._RESUME_HISTS_INT:
+                    history[name] = [int(v) for v in vals]
+                else:
+                    history[name] = [float(v) for v in vals]
+            flight = rs["flight"] if isinstance(rs["flight"], dict) else None
+            # remaining budget for the in-flight (or next) round — matches
+            # what an uninterrupted run with this K_max would have given it
+            K_max -= budget_spent
+            if K_max <= 0:
+                print("WARNING: resume budget already spent; increase K_max")
+                results = {"opt_param": iterate_average_curr,
+                           "k_stopped_final": None,
+                           "resume_state": resume_state}
+                return results
+
+        def outer_snapshot():
+            """Outer state as of the start of the current round."""
+            hists = {}
+            for name in self._RESUME_HISTS:
+                vals = history[name]
+                if name in self._RESUME_HISTS_NONE:
+                    hists[name] = np.asarray(
+                        [-1 if v is None else int(v) for v in vals],
+                        dtype=np.int64)
+                elif name in self._RESUME_HISTS_INT:
+                    hists[name] = np.asarray(vals, dtype=np.int64)
+                else:
+                    hists[name] = np.asarray(vals, dtype=float)
+            return {
+                "k": k, "k_total": k_total, "k_add": k_add,
+                "budget_spent": budget_spent,
+                "steps_run_total": steps_run_total,
+                "lr_round": lr_round, "mcse_round": mcse_round,
+                "iterate_average_curr": iterate_average_curr,
+                "opt_state": opt_state if opt_state is not None else (),
+                "key": key,
+                "iterate_average_curr_hist": jnp.stack(
+                    history["iterate_average_curr_hist"]),
+                "hists": hists,
+            }
 
         while not stopped:
-            K_max -= (k_new + 1)
-            if K_max <= 0:
-                break
+            if flight is None:
+                budget_spent += k_new + 1
+                K_max -= (k_new + 1)
+                if K_max <= 0:
+                    # budget exhausted exactly between rounds: resumable
+                    # at the next round
+                    resume_payload = {**outer_snapshot(), "flight": ()}
+                    break
+            round_snapshot = outer_snapshot()
             iterate_average_prev = iterate_average_curr
             key, key_round, key_reg = jax.random.split(key, 3)
             round_cb = None
@@ -896,17 +993,20 @@ class RAABBVI(FASO):
                 faso = FASO(sgo=rmsprop, max_history=self._max_history)
                 opt = faso.optimize(K_max, objective, iterate_average_curr,
                                     key=key_round,
+                                    resume_state=flight,
                                     progress_callback=round_cb)
             else:
                 opt = super().optimize(K_max, objective, iterate_average_curr,
                                        key=key_round, init_opt_state=opt_state,
                                        learning_rate=lr_round,
                                        mcse_threshold=mcse_round,
+                                       resume_state=flight,
                                        progress_callback=round_cb)
                 if not averaged:
                     # persist non-averaged SGO state across rounds
                     # (the reference only resets averaged SGOs, 865-866)
                     opt_state = opt["opt_state"]
+            flight = None
             if "value_history" in opt:
                 steps_run_total += int(opt["value_history"].shape[0])
             if opt["k_stopped"] is not None and k != 0:
@@ -945,7 +1045,11 @@ class RAABBVI(FASO):
             if history["iterate_average_k_history"]:
                 k_add = history["iterate_average_k_history"][-1]
 
-            if k_new is None:  # maximum iterations reached
+            if k_new is None:  # maximum iterations reached mid-round
+                # resumable: outer state as of this round's start, plus
+                # the round's own segment-level FASO resume state
+                resume_payload = {**round_snapshot,
+                                  "flight": opt["resume_state"]}
                 break
 
             # learning-rate decay and threshold tightening (reference 862-866)
@@ -1033,4 +1137,6 @@ class RAABBVI(FASO):
         results["k_Rhat"] = history["k_Rhat"]
         results["k_mcse"] = history["k_mcse"]
         results["k_conv"] = history["k_conv"]
+        # None once the termination rule fired (nothing left to resume)
+        results["resume_state"] = resume_payload
         return results

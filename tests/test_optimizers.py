@@ -490,3 +490,84 @@ def test_raabbvi_whole_run_resume_matches_uninterrupted(monkeypatch, tmp_path):
     spent = make_opt().optimize(1000, objective, init, key=key,
                                 resume_state=rs)
     assert spent["k_stopped_final"] is None
+
+
+def _stub_clock_everywhere(monkeypatch):
+    """Like _stub_clock, also covering multistart's imported _now binding."""
+    import viabel_tpu.faso as faso_mod
+    import viabel_tpu.parallel.multistart as ms_mod
+    _stub_clock(monkeypatch)
+    monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
+
+
+def test_multistart_raabbvi_b1_matches_single(monkeypatch):
+    """B=1 batched RAABBVI reproduces a single RAABBVI run exactly: the
+    same key chain (the single restart consumes key_round unsplit), the
+    same round budgets, and identical SKL / learning-rate / convergence
+    bookkeeping.  Budget chosen (see the resume test) so the final round
+    ends before any wall-clock-scheduled MCSE recheck."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10)
+    K = 3002
+    single = RAABBVI(AveragedRMSProp(0.01), **kwargs).optimize(
+        K, objective, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(AveragedRMSProp(0.01), K, objective,
+                                 init[None], jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["learning_rate_hist"][0],
+                               single["learning_rate_hist"], rtol=1e-12)
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    np.testing.assert_allclose(batched["kappa_hist"][0],
+                               single["kappa_hist"], rtol=1e-8)
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+
+
+def test_multistart_raabbvi_per_restart_termination(monkeypatch):
+    """B adaptive optimizations in one program: every restart runs its
+    own learning-rate-decay rounds, SKL regression, and termination rule,
+    stopping at its own inefficiency point (restarts terminate in
+    different rounds) while recovering the target accurately."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 4
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    res = multistart_raabbvi(AveragedRMSProp(0.01), 20000, objective, inits,
+                             jax.random.PRNGKey(2), rho=0.5,
+                             mcse_threshold=0.05, inefficiency_threshold=1.0,
+                             accuracy_threshold=0.1, max_history=2000,
+                             ESS_min=10)
+    assert all(v is not None for v in res["k_stopped_final"])
+    assert all(len(c) >= 1 for c in res["conv_iters_hist"])
+    assert all(len(s) >= 1 for s in res["SKL_history"])
+    # termination points genuinely differ per restart
+    assert len(set(res["k_stopped_final"])) > 1
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.tile(true_value, (B, 1)), atol=0.05)
+    # per-restart lr grids decayed independently (different round counts)
+    assert len({len(h) for h in res["learning_rate_hist"]}) > 1
+
+
+def test_multistart_raabbvi_validation():
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    class NoKL:
+        supports_kl = False
+
+    objective = DummyObjective(np.zeros(2), noise=0.1)
+    objective.approx = NoKL()
+    with pytest.raises(ValueError, match="supports_kl"):
+        multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
+                           jnp.zeros((2, 2)), jax.random.PRNGKey(0))

@@ -57,7 +57,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     k_check=None, max_history=None, rhat_threshold=1.1,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                     check_pipeline=4, diagnostics=None, resume_state=None,
-                    mesh=None, restart_axis="restart"):
+                    mesh=None, restart_axis="restart", keys=None,
+                    init_opt_states=None, _jit_cache=None):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
     Semantics per restart match ``FASO.optimize``
@@ -202,6 +203,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
 
     def make_runner(steps):
         def seg(vp, opt_state, ost, key, ring, lr, t):
+            # ring rows from the argument, not the enclosing scope: a
+            # runner reused across rounds via _jit_cache retraces on a new
+            # ring shape and must not bake in a stale R
+            R_seg = ring.shape[0]
+
             def body(carry, _):
                 vp, st, ost, key, ring, t = carry
                 key, sub = jax.random.split(key)
@@ -211,7 +217,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 if wd > 0.0:  # same rule as the plain SGO loop
                     vp = vp * (1.0 - wd)
                 ring = jax.lax.dynamic_update_slice(
-                    ring, pack_rows(vp)[None], (t % R, 0, 0))
+                    ring, pack_rows(vp)[None], (t % R_seg, 0, 0))
                 outs = ((value, pack_rows(grad), pack_rows(direction))
                         if diagnostics else (value,))
                 return (vp, st, ost, key, ring, t + 1), outs
@@ -224,39 +230,59 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                            6, 1),
             donate_argnums=(4,))
 
-    runner_cache = {}
-    # batched statistics: one dispatch covers every restart, but the B
-    # axis runs SEQUENTIALLY (lax.map) per device — a vmapped jnp stat
-    # pass materializes every ring's centered copy at once (measured
-    # 8.97 GB HLO temp -> ResourceExhausted at B=8, d=500, R=1200), while
-    # map peaks at one ring's worth and lets each per-ring call dispatch
-    # the streaming Pallas kernel as usual
-    rhat_fn = partial(split_rhat_ring_windows, group=G,
-                      exceed_threshold=(None if rhat_allowed is None
-                                        else rhat_threshold))
-    mean_fn = partial(ring_window_mean, group=G)
+    # ``_jit_cache`` (private): a dict a ROUND-driving caller
+    # (multistart_raabbvi) passes to every call so the jitted segment
+    # runners and batched statistics are built ONCE — a fresh closure per
+    # round forfeits jax.jit's trace cache, and on a single-core host the
+    # per-round retracing dominated the batched win (measured).  Only
+    # valid when every call shares the identical configuration (same
+    # objective, sgo, B, D, R, detection knobs).
+    cache = {} if _jit_cache is None else _jit_cache
+    runner_cache = cache.setdefault("runners", {})
+    if "rhat_b" not in cache:
+        # batched statistics: one dispatch covers every restart, but the B
+        # axis runs SEQUENTIALLY (lax.map) per device — a vmapped jnp stat
+        # pass materializes every ring's centered copy at once (measured
+        # 8.97 GB HLO temp -> ResourceExhausted at B=8, d=500, R=1200),
+        # while map peaks at one ring's worth and lets each per-ring call
+        # dispatch the streaming Pallas kernel as usual
+        rhat_fn = partial(split_rhat_ring_windows, group=G,
+                          exceed_threshold=(None if rhat_allowed is None
+                                            else rhat_threshold))
+        mean_fn = partial(ring_window_mean, group=G)
 
-    rhat_b = jax.jit(shard_restarts(
-        lambda rings, t, windows: jax.lax.map(
-            lambda ring: rhat_fn(ring, t, windows), rings), 1, 2))
+        cache["rhat_b"] = jax.jit(shard_restarts(
+            lambda rings, t, windows: jax.lax.map(
+                lambda ring: rhat_fn(ring, t, windows), rings), 1, 2))
 
-    # batched args lead (rings, ws) so the shard specs line up
-    mean_b = jax.jit(shard_restarts(
-        lambda rings, ws, t: jax.lax.map(
-            lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws)), 2, 1))
+        # batched args lead (rings, ws) so the shard specs line up
+        cache["mean_b"] = jax.jit(shard_restarts(
+            lambda rings, ws, t: jax.lax.map(
+                lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws)), 2, 1))
 
-    mean_one = jax.jit(mean_fn)  # single-restart (rare: R-hat pass events)
+        # single-restart (rare: R-hat pass events)
+        cache["mean_one"] = jax.jit(mean_fn)
 
-    # mf_dim is fixed for the whole call, so bind it like the other
-    # per-call statics and share the same shard wrapper as mean_b
-    mcse_b = jax.jit(shard_restarts(
-        lambda rings, ws, t: jax.lax.map(
-            lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws)),
-        2, 1))
+        # mf_dim is fixed for the whole call, so bind it like the other
+        # per-call statics and share the same shard wrapper as mean_b
+        cache["mcse_b"] = jax.jit(shard_restarts(
+            lambda rings, ws, t: jax.lax.map(
+                lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws)),
+            2, 1))
+    rhat_b = cache["rhat_b"]
+    mean_b = cache["mean_b"]
+    mean_one = cache["mean_one"]
+    mcse_b = cache["mcse_b"]
 
     var_params = init_params
-    opt_states = jax.vmap(sgo.init_state)(init_params)
-    keys = jax.random.split(key, B)
+    # ``init_opt_states`` / ``keys``: optional batched overrides so a
+    # caller driving ROUNDS of multistart runs (multistart_raabbvi) can
+    # persist per-restart optimizer state across rounds and control the
+    # per-restart key chains exactly (B=1 parity with single FASO/RAABBVI
+    # needs the single restart to consume the caller's key unsplit)
+    opt_states = (jax.vmap(sgo.init_state)(init_params)
+                  if init_opt_states is None else init_opt_states)
+    keys = jax.random.split(key, B) if keys is None else jnp.asarray(keys)
     # don't allocate fresh rings when resuming — the checkpointed rings
     # replace them and the transient 2x peak matters at HBM-sized rings
     rings = (jnp.zeros((B, R, 8, C), dtype=init_params.dtype)

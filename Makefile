@@ -19,8 +19,11 @@ docs:
 test:
 	python -m pytest tests/ -q
 
+# curated fast tier (< ~2 min): everything not marked slow — the slow set
+# (statistical 1e6-sample checks, end-to-end convergence runs, bit-exact
+# resume comparisons) is maintained centrally in tests/conftest.py
 test-fast:
-	python -m pytest tests/ -q -x -k "not MC_SAMPLES and not families"
+	python -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	python bench.py

@@ -21,3 +21,102 @@ import jax  # noqa: E402
 # jax.config.update("jax_platforms", ...); override it after import.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Fast tier: `make test-fast` runs `-m "not slow"` (< ~2 min) so the
+# ~20-minute full suite isn't the only loop.  Slow tests (statistical
+# 1e6-sample family checks, end-to-end convergence runs, bit-exact resume
+# comparisons) are curated here centrally instead of decorating each file;
+# durations measured on the 1-core dev host (pytest --durations).
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    # test_optimizers — end-to-end convergence machinery
+    "test_sgo_optimize",
+    "test_rule_optimize",
+    "test_faso_rmsprop_optimize",
+    "test_raabbvi_avgrmsprop_optimize",
+    "test_raabbvi_avgadam_optimize",
+    "test_raabbvi_is_reusable",
+    "test_raabbvi_fullrank_end_to_end",
+    "test_faso_rhat_backoff",
+    "test_faso_rhat_quantile_gate",
+    "test_raabbvi_whole_run_resume_matches_uninterrupted",
+    "test_multistart_raabbvi_b1_matches_single",
+    "test_multistart_raabbvi_per_restart_termination",
+    # test_convenience — full bbvi matrix + diagnostics pipelines
+    "test_bbvi",
+    "test_vi_diagnostics",
+    "test_vi_diagnostics_with_flow_family",
+    # test_families — 1e6-sample statistical self-consistency
+    "test_MFGaussian",
+    "test_MFStudentT",
+    "test_MultivariateT",
+    "test_LRGaussian",
+    "test_FullRankGaussian",
+    "test_nvpflow_normalization",
+    # test_objectives — end-to-end recovery runs
+    "test_ExclusiveKL",
+    "test_ExclusiveKL_path_deriv",
+    "test_ExclusiveKL_control_variates",
+    "test_ExclusiveKL_control_variates_path_deriv",
+    "test_DISInclusiveKL",
+    "test_AlphaDivergence",
+    "test_nvpflow_as_variational_family",
+    # test_parallel — batched detection + bit-exact equality runs
+    "test_sharded_faso_matches_unsharded",
+    "test_multistart_faso_detection",
+    "test_multistart_faso_matches_single_faso",
+    "test_multistart_faso_diagnostics_histories_match_faso",
+    "test_multistart_faso_diagnostics_freezes_stopped_rows",
+    "test_multistart_faso_diagnostics_nonconverged_opt_param_matches_faso",
+    "test_multistart_faso_sharded_matches_unsharded",
+    "test_multistart_faso_sharded_stateful_matches_unsharded",
+    "test_multistart_faso_resume_matches_uninterrupted",
+    "test_multistart_faso_stateful_resume_matches_uninterrupted",
+    "test_multistart_faso_lr_grid_resume_restores_grid",
+    "test_multistart_faso_per_restart_learning_rates",
+    "test_multistart_faso_per_restart_mcse_thresholds",
+    "test_multistart_faso_with_stateful_objective",
+    "test_weight_decay_applied_in_segment_runners",
+    "test_shard_mc_objective_through_optimizer",
+    "test_multistart_vmapped",
+    "test_multistart_sharded_2d_mesh",
+    "test_fsdp_fullrank_trainer",
+    # test_checkpoint — straight-vs-resumed double runs
+    "test_faso_resume_matches_uninterrupted",
+    "test_faso_resume_with_inflight_checks",
+    # test_psis / test_mc_diagnostics — large-n golden sweeps
+    "test_psislw_2d_columns_match_1d",
+    "test_psisloo_shapes_and_consistency",
+    "test_ess_vectorized_matches_while_loop",
+    "test_psisloo_matches_reference",
+    "test_gpdfit_matches_reference",
+    "test_psislw_normalization_and_khat_gates",
+    "test_psislw_matches_reference",
+    "test_mc_diagnostics_golden_vs_reference",
+    "test_ess_windowed_matches_direct",
+    "test_split_rhat_ring_windows_matches_windowed",
+    # second tier (3-14 s each on the 1-core host)
+    "test_NVPFlow",
+    "test_NeuralNet",
+    "test_stl_fused_log_density_matches_generic",
+    "test_faso_with_host_loop_objective",
+    "test_faso_with_stateful_objective",
+    "test_divergence_bound",
+    "test_vmem_solve_matches_solve_triangular",
+    "test_ess_and_mcse_windowed_chunked",
+    "test_rank_normalized_rhat_heavy_tails",
+    "test_native_matches_jax_zoo",
+    "test_R_hat_convergence_check_rank_normalized",
+    "test_split_rhat_ring_windows_unwrapped",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

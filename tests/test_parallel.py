@@ -736,10 +736,14 @@ def test_multistart_faso_rejects_host_loop_objectives():
                         jnp.zeros((2, 4)), jax.random.PRNGKey(0))
 
 
-def test_multistart_faso_with_stateful_objective():
+@pytest.mark.parametrize("num_resampling_batches", [1, 4])
+def test_multistart_faso_with_stateful_objective(num_resampling_batches):
     """DIS carries one estimator-state pytree per restart through the
-    batched scan: every restart recovers the target and the per-restart
-    step counters advance independently through resume_state."""
+    batched scan: every restart recovers the target.  The step counter
+    is SHARED across lockstep restarts (scalar in resume_state) so the
+    refresh cadence stays a real lax.cond under vmap and
+    ``num_resampling_batches > 1`` amortizes like a single run (round-2
+    weakness: the all-batched counter lowered the cond to select)."""
     from viabel_tpu import DISInclusiveKL, MFGaussian, RMSProp
     from viabel_tpu.parallel import multistart_faso
 
@@ -748,7 +752,8 @@ def test_multistart_faso_with_stateful_objective():
     approx = MFGaussian(dim)
     obj = DISInclusiveKL(approx, model, 100, ess_target=50,
                          temper_prior=MFGaussian(dim),
-                         temper_prior_params=np.array([0.0] * dim * 2))
+                         temper_prior_params=np.array([0.0] * dim * 2),
+                         num_resampling_batches=num_resampling_batches)
     assert obj.scannable
     B = 2
     rng = np.random.RandomState(2)
@@ -763,10 +768,12 @@ def test_multistart_faso_with_stateful_objective():
         np.testing.assert_allclose(np.asarray(mean), 0.0, atol=0.15)
         np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))), 1.0,
                                    atol=0.25)
-    # batched estimator state rides in resume_state, one per restart
+    # batched estimator state rides in resume_state: per-restart leaves
+    # batched, the lockstep step counter shared (a scalar)
     st = res["resume_state"]["obj_states"]
-    assert st["step"].shape == (B,)
-    np.testing.assert_array_equal(np.asarray(st["step"]), n_run)
+    assert st["eps"].shape == (B,)
+    assert jnp.asarray(st["step"]).ndim == 0
+    assert int(st["step"]) == n_run
     assert res["obj_state_errors"] == [None] * B
 
 

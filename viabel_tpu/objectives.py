@@ -91,6 +91,20 @@ class VariationalObjective:
         """Host-side validity hook; optimizers call it at segment
         boundaries.  Raises if the fused loop recorded a failure."""
 
+    def obj_state_batch_axes(self, obj_state):
+        """Per-leaf vmap axes for batching this state over restarts.
+
+        Batched drivers (``multistart_faso``) map restarts over the
+        state with these axes: ``0`` for per-restart leaves, ``None``
+        for leaves shared by every restart (restarts advance in
+        lockstep, so e.g. a step counter is common).  A ``None`` axis
+        keeps data-dependent ``lax.cond``s on that leaf real branches
+        under vmap instead of lowering them to ``select`` — which is
+        what preserves DIS's refresh amortization in batched runs.
+        Default: everything per-restart.
+        """
+        return jax.tree_util.tree_map(lambda _: 0, obj_state)
+
     def __call__(self, var_param, key):
         return self.value_and_grad(var_param, key)
 
@@ -595,6 +609,15 @@ class DISInclusiveKL(StochasticVariationalObjective):
 
     def value_and_grad_with_state(self, var_param, key, obj_state):
         return self._pure_step(var_param, key, obj_state)
+
+    def obj_state_batch_axes(self, obj_state):
+        """The step counter is SHARED across lockstep restarts (axis
+        ``None``): with it unbatched, vmap keeps the refresh ``lax.cond``
+        a real branch, so ``num_resampling_batches > 1`` amortizes the
+        refresh in batched multistart runs exactly like single runs
+        (round-2 review: the all-batched state lowered the cond to
+        ``select`` and every batched step paid the full refresh)."""
+        return {name: (None if name == "step" else 0) for name in obj_state}
 
     def check_obj_state(self, obj_state):
         if "ok" in obj_state and not bool(obj_state["ok"]):

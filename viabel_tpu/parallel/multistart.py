@@ -13,11 +13,13 @@ scannable objectives (DIS) carry one estimator-state pytree per restart
 through the batched scan; only host-loop (``scannable = False``)
 objectives are unsupported.  A restart whose estimator state goes bad
 (DIS degenerate weights) is flagged in ``results["obj_state_errors"]``
-instead of aborting the other restarts.  Cost caveat: vmap lowers
-``lax.cond`` to ``select``, so DIS's resample-cache refresh
-(``num_resampling_batches > 1``) executes every step in the batched
-program — correct, but the refresh amortization is lost; at its default
-``num_resampling_batches=1`` (refresh every step) nothing changes.
+instead of aborting the other restarts.  State leaves an objective marks
+as SHARED across lockstep restarts (``obj_state_batch_axes`` — DIS's
+step counter) stay unbatched, so data-dependent ``lax.cond``s on them
+remain real branches under vmap: DIS's resample-cache refresh cadence
+(``num_resampling_batches > 1``) amortizes exactly like a single run
+(round 2 batched the counter, which lowered the cond to ``select`` and
+paid the full refresh every step).
 
 Memory: B history rings (a ring row is ``8 * packed_width(D) * 4`` bytes
 per restart) — size ``max_history`` to the HBM budget at large d.
@@ -135,11 +137,38 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # protocol, viabel_tpu.objectives).  eval_shape probes statefulness
     # without materializing a throwaway state; the batched init is skipped
     # when a resume snapshot will replace it anyway.
-    stateful = bool(jax.tree_util.tree_leaves(jax.eval_shape(
-        partial(_obj_init_state, objective), init_params[0])))
+    state_shape = jax.eval_shape(
+        partial(_obj_init_state, objective), init_params[0])
+    stateful = bool(jax.tree_util.tree_leaves(state_shape))
+    # per-leaf restart axes for the state: 0 = per-restart, None = shared
+    # by every lockstep restart (e.g. DIS's step counter — keeping it
+    # unbatched keeps the refresh lax.cond a real branch under vmap, so
+    # num_resampling_batches > 1 amortizes in batched runs too)
+    if stateful:
+        axes_fn = getattr(objective, "obj_state_batch_axes", None)
+        ost_axes = (axes_fn(state_shape) if axes_fn is not None
+                    else jax.tree_util.tree_map(lambda _: 0, state_shape))
+        flat_axes, _ = jax.tree_util.tree_flatten(
+            ost_axes, is_leaf=lambda x: x is None)
+    else:
+        ost_axes, flat_axes = 0, []
+
+    def _unbatch_shared(states):
+        """Collapse shared-axis leaves of a batched state to one copy."""
+        flat, td = jax.tree_util.tree_flatten(states)
+        return td.unflatten([s if a == 0 else s[0]
+                             for s, a in zip(flat, flat_axes)])
+
+    def _per_restart_state(states, b):
+        """Restart ``b``'s view of the (host-fetched) batched state."""
+        flat, td = jax.tree_util.tree_flatten(states)
+        return td.unflatten([s[b] if a == 0 else s
+                             for s, a in zip(flat, flat_axes)])
+
     obj_states = ()
     if stateful and (resume_state is None or "obj_states" not in resume_state):
-        obj_states = jax.vmap(partial(_obj_init_state, objective))(init_params)
+        obj_states = _unbatch_shared(
+            jax.vmap(partial(_obj_init_state, objective))(init_params))
     n_iters = int(n_iters)
     k_check = int(W_min if k_check is None else k_check)
     ESS_min = W_min // 8 if ESS_min is None else ESS_min
@@ -197,8 +226,29 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 fn, mesh=mesh,
                 in_specs=(P(restart_axis),) * n_batched + (P(),) * n_shared,
                 out_specs=P(restart_axis), check_vma=False)
+
+        # the runner's state arg follows the per-leaf restart axes
+        # (shared leaves replicate, per-restart leaves shard)
+        _ost_specs = (jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state_shape),
+            [P(restart_axis) if a == 0 else P() for a in flat_axes])
+            if stateful else P(restart_axis))
+
+        def shard_runner(fn):
+            return shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(restart_axis), P(restart_axis), _ost_specs,
+                          P(restart_axis), P(restart_axis), P(restart_axis),
+                          P()),
+                out_specs=((P(restart_axis), P(restart_axis), _ost_specs,
+                            P(restart_axis), P(restart_axis), P()),
+                           P(restart_axis)),
+                check_vma=False)
     else:
         def shard_restarts(fn, n_batched, n_shared):
+            return fn
+
+        def shard_runner(fn):
             return fn
 
     def make_runner(steps):
@@ -226,8 +276,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                                 None, length=steps)
 
         return jax.jit(
-            shard_restarts(jax.vmap(seg, in_axes=(0, 0, 0, 0, 0, 0, None)),
-                           6, 1),
+            shard_runner(jax.vmap(
+                seg, in_axes=(0, 0, ost_axes, 0, 0, 0, None),
+                out_axes=((0, 0, ost_axes, 0, 0, None), 0))),
             donate_argnums=(4,))
 
     # ``_jit_cache`` (private): a dict a ROUND-driving caller
@@ -459,8 +510,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 if obj_errors[b] is not None:
                     continue
                 try:
-                    _obj_check_state(objective, jax.tree_util.tree_map(
-                        lambda x: x[b], host_states))
+                    _obj_check_state(objective,
+                                     _per_restart_state(host_states, b))
                 except Exception as e:
                     obj_errors[b] = str(e)
                     print(f"WARNING: restart {b} objective state invalid "

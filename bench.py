@@ -41,7 +41,7 @@ REFERENCE_ITERS_PER_SEC = 4.97
 REFERENCE_ELBO_GRAD_SEC_PER_1K = 0.3596
 
 
-def elbo_grad_sec_per_1k_draws(objective, vp, n_reps=50):
+def elbo_grad_sec_per_1k_draws(objective, vp, n_reps=3000):
     """Second driver metric: ELBO-gradient wall-time per 1k MC draws.
 
     One ``value_and_grad`` of the flagship ELBO with 1000 MC samples, so
@@ -49,7 +49,11 @@ def elbo_grad_sec_per_1k_draws(objective, vp, n_reps=50):
     input depends on the previous gradient) and the run ends with a host
     transfer — independent dispatches of one program report bogus
     completion through the remote-device tunnel (docs/benchmarks.md
-    "timing methodology").
+    "timing methodology").  ``n_reps`` must be large: the whole chain is
+    ONE dispatch, so the ~36 ms host<->device round trip divides across
+    reps — at 50 reps that floor alone is 0.7 ms/call and the metric
+    measures the tunnel, not the gradient (found in round 3; at 3000
+    reps the bias is ~12 us on a ~155 us call).
     """
     vag = jax.value_and_grad(
         lambda p, key: objective._loss(p, key, num_samples=1000))

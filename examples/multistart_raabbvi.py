@@ -1,0 +1,56 @@
+"""Batched RAABBVI: 8 adaptive optimizations in lockstep rounds.
+
+Runs ``multistart_raabbvi`` — B full RAABBVI machines (per-restart
+learning-rate-decay rounds, symmetrized-KL tracking, Bayesian weighted
+regression, inefficiency termination; reference
+``viabel/optimization.py:812-917`` semantics per restart) with every
+round's inner optimization executed as ONE batched XLA program.  Each
+restart starts from its own perturbed initialization and its own
+learning rate, decays independently, and stops at its own termination
+point.
+
+Run: ``python examples/multistart_raabbvi.py`` (a few minutes on CPU;
+seconds on a TPU chip).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from viabel_tpu import AveragedRMSProp, ExclusiveKL, MFGaussian
+from viabel_tpu.models import zoo
+from viabel_tpu.parallel import multistart_raabbvi
+
+
+def main():
+    d = 20
+    model, _ = zoo.logistic_regression(dim=d, n_data=64)
+    approx = MFGaussian(d)
+    objective = ExclusiveKL(approx, model, 10)
+
+    B = 8
+    rng = np.random.RandomState(0)
+    base = np.asarray(approx.init_param())
+    inits = jnp.asarray(base + 0.1 * rng.randn(B, base.shape[0]))
+    # per-restart starting learning rates (each decays by rho per round)
+    lr_grid = jnp.asarray(np.geomspace(0.1, 0.4, B))
+
+    results = multistart_raabbvi(
+        AveragedRMSProp(0.2), 20000, objective, inits, jax.random.PRNGKey(0),
+        learning_rate=lr_grid, mcse_threshold=0.1, max_history=2000)
+
+    print("\nper-restart outcomes:")
+    for b in range(B):
+        lrs = [f"{v:.3g}" for v in results["learning_rate_hist"][b]]
+        print(f"  restart {b}: stopped at {results['k_stopped_final'][b]} "
+              f"({len(results['conv_iters_hist'][b]) + 1} rounds, "
+              f"decayed lr {lrs})")
+    errs = np.abs(np.asarray(results["opt_param"][:, :d]))
+    print(f"\nmax |posterior-mean error| across restarts: "
+          f"{errs.max():.3f} (posterior concentrates near 0 for this "
+          f"synthetic model)")
+
+
+if __name__ == "__main__":
+    main()

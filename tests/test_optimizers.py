@@ -571,3 +571,46 @@ def test_multistart_raabbvi_validation():
     with pytest.raises(ValueError, match="supports_kl"):
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0))
+
+
+def test_multistart_raabbvi_round_resume_matches_uninterrupted(
+        monkeypatch, tmp_path):
+    """Round-granularity elastic recovery: resume from a round_callback
+    snapshot (serialized through viabel_tpu.checkpoint) and reproduce
+    the uninterrupted batched run exactly — per-restart termination
+    points, SKL/regression histories, and final parameters."""
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 4
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    kwargs = dict(rho=0.5, mcse_threshold=0.05, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, ESS_min=10,
+                  verbose=False)
+    snaps = {}
+    full = multistart_raabbvi(
+        AveragedRMSProp(0.01), 20000, objective, inits, jax.random.PRNGKey(2),
+        round_callback=lambda r, s: snaps.update({r: s}), **kwargs)
+    assert full["n_rounds"] >= 3 and 2 in snaps
+
+    path = str(tmp_path / "mraabbvi.npz")
+    save_pytree(path, snaps[2])
+    restored = load_pytree(path, like=snaps[2])
+    resumed = multistart_raabbvi(
+        AveragedRMSProp(0.01), 20000, objective, inits, jax.random.PRNGKey(2),
+        resume_state=restored, **kwargs)
+
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+    assert resumed["conv_iters_hist"] == full["conv_iters_hist"]
+    for a, b in zip(resumed["SKL_history"], full["SKL_history"]):
+        np.testing.assert_allclose(a, b, rtol=1e-8)
+    for a, b in zip(resumed["learning_rate_hist"], full["learning_rate_hist"]):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    # n_rounds is cumulative across the logical run (restored + resumed)
+    assert resumed["n_rounds"] == full["n_rounds"]

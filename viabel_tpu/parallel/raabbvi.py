@@ -51,7 +51,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                        mcse_threshold=0.1, W_min=200, ESS_min=None,
                        k_check=None, max_history=None, rhat_threshold=1.1,
                        rhat_quantile=None, rhat_backoff=None, rhat_group=None,
-                       check_pipeline=4, verbose=True):
+                       check_pipeline=4, mesh=None, restart_axis="restart",
+                       resume_state=None, round_callback=None,
+                       verbose=True):
     """Run ``B = init_params.shape[0]`` RAABBVI optimizations batched.
 
     Parameters mirror :class:`viabel_tpu.RAABBVI` (rho / iters0 /
@@ -63,13 +65,28 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
 
     ``objective.approx`` must support closed-form KL (``supports_kl``)
     like single RAABBVI; diagnostics histories are not recorded (use a
-    single-restart RAABBVI for per-step trails).
+    single-restart RAABBVI for per-step trails).  ``mesh`` /
+    ``restart_axis``: shard every round's restarts (states, rings,
+    batched statistics) over a mesh axis exactly like
+    ``multistart_faso(mesh=...)`` — the outer round bookkeeping stays on
+    host.
+
+    Elastic recovery at ROUND granularity: ``round_callback(n_rounds,
+    resume_state)`` fires after every completed round with a
+    fixed-structure pytree snapshot (serialize via
+    :mod:`viabel_tpu.checkpoint`); passing it back as ``resume_state``
+    (with the same ``K_max`` and kwargs) continues at the next round and
+    reproduces the uninterrupted run exactly (the inner rounds are
+    deterministic given the snapshot; as everywhere, the wall-clock
+    MCSE *recheck* schedule is the one nondeterministic input).
+    ``results["resume_state"]`` carries the final snapshot.
 
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
     rule never fired), ``k_total``, ``conv_iters_hist``,
     ``learning_rate_hist``, ``SKL_history``, ``kappa_hist``, ``c_hist``,
-    ``predicted_iters_hist``, ``stopping_crt``, and ``n_rounds``.
+    ``predicted_iters_hist``, ``stopping_crt``, ``n_rounds``, and
+    ``resume_state``.
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
@@ -116,15 +133,66 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     crt_hist = [[] for _ in range(B)]
     n_rounds = 0
 
+    if resume_state is not None:
+        rs = resume_state
+        K_rem = np.asarray(rs["K_rem"]).copy()
+        k_new = np.asarray(rs["k_new"]).copy()
+        k_dec = np.asarray(rs["k_dec"]).copy()
+        k_total = np.asarray(rs["k_total"]).copy()
+        active = np.asarray(rs["active"]).copy()
+        k_stopped_final = [None if int(v) < 0 else int(v)
+                           for v in np.asarray(rs["k_stopped_final"])]
+        avg_curr = jnp.asarray(rs["avg_curr"])
+        opt_states = (rs["opt_states"]
+                      if jax.tree_util.tree_leaves(rs["opt_states"]) else None)
+        lr = np.asarray(rs["lr"]).copy()
+        mcse = np.asarray(rs["mcse"]).copy()
+        key = jnp.asarray(rs["key"])
+        n_rounds = int(rs["n_rounds"])
+        conv_iters = [[int(v) for v in h] for h in rs["conv_iters_hist"]]
+        lr_hist = [[float(v) for v in h] for h in rs["learning_rate_hist"]]
+        skl_hist = [[float(v) for v in h] for h in rs["SKL_history"]]
+        kappa_hist = [[float(v) for v in h] for h in rs["kappa_hist"]]
+        c_hist = [[float(v) for v in h] for h in rs["c_hist"]]
+        pred_hist = [[int(v) for v in h] for h in rs["predicted_iters_hist"]]
+        crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
+
+    def outer_snapshot():
+        """Round-boundary state: fixed-structure pytree (ragged per-
+        restart histories are lists of Python-scalar lists, which
+        viabel_tpu.checkpoint serializes by tree structure)."""
+        return {
+            "K_rem": K_rem.copy(), "k_new": k_new.copy(),
+            "k_dec": k_dec.copy(), "k_total": k_total.copy(),
+            "active": active.copy(),
+            "k_stopped_final": np.asarray(
+                [-1 if v is None else v for v in k_stopped_final]),
+            "avg_curr": avg_curr,
+            "opt_states": opt_states if opt_states is not None else (),
+            "lr": lr.copy(), "mcse": mcse.copy(), "key": key,
+            "n_rounds": n_rounds,
+            "conv_iters_hist": [list(h) for h in conv_iters],
+            "learning_rate_hist": [list(h) for h in lr_hist],
+            "SKL_history": [list(h) for h in skl_hist],
+            "kappa_hist": [list(h) for h in kappa_hist],
+            "c_hist": [list(h) for h in c_hist],
+            "predicted_iters_hist": [list(h) for h in pred_hist],
+            "stopping_crt": [list(h) for h in crt_hist],
+        }
+
     detection_kwargs = dict(
         W_min=W_min, ESS_min=ESS_min, k_check=k_check,
         max_history=max_history, rhat_threshold=rhat_threshold,
         rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
         rhat_group=rhat_group, check_pipeline=check_pipeline,
-        diagnostics=False,
+        diagnostics=False, mesh=mesh, restart_axis=restart_axis,
         # every round shares one trace/compile of the segment runners and
         # batched statistics (a fresh closure per round would retrace)
         _jit_cache={})
+
+    # snapshots are valid only at round boundaries (the loop-top budget
+    # accounting must run exactly once per round on resume)
+    snapshot = outer_snapshot()
 
     while True:
         # per-restart budget accounting (reference: K_max -= k_new + 1)
@@ -220,6 +288,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             lr[b] = lr_next
             k_dec[b] += 1
         avg_curr = jnp.asarray(new_avgs)
+        snapshot = outer_snapshot()
+        if round_callback is not None:
+            round_callback(n_rounds, snapshot)
 
     if verbose:
         unfinished = [b for b in range(B) if k_stopped_final[b] is None]
@@ -239,4 +310,5 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         "predicted_iters_hist": pred_hist,
         "stopping_crt": crt_hist,
         "n_rounds": n_rounds,
+        "resume_state": snapshot,
     }

@@ -493,11 +493,14 @@ def test_raabbvi_whole_run_resume_matches_uninterrupted(monkeypatch, tmp_path):
 
 
 def _stub_clock_everywhere(monkeypatch):
-    """Like _stub_clock, also covering multistart's imported _now binding."""
+    """Like _stub_clock, also covering the parallel drivers' imported
+    _now bindings."""
     import viabel_tpu.faso as faso_mod
     import viabel_tpu.parallel.multistart as ms_mod
+    import viabel_tpu.parallel.raabbvi as mr_mod
     _stub_clock(monkeypatch)
     monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
+    monkeypatch.setattr(mr_mod, "_now", faso_mod._now)
 
 
 def test_multistart_raabbvi_b1_matches_single(monkeypatch):
@@ -614,3 +617,93 @@ def test_multistart_raabbvi_round_resume_matches_uninterrupted(
                                np.asarray(full["opt_param"]), rtol=1e-10)
     # n_rounds is cumulative across the logical run (restored + resumed)
     assert resumed["n_rounds"] == full["n_rounds"]
+
+
+def test_multistart_raabbvi_async_b1_matches_single(monkeypatch):
+    """schedule="async" at B=1 reproduces a single RAABBVI run exactly:
+    the per-restart key chain replays the single-run split discipline,
+    round-local window search and budget accounting match, and the
+    budget-exhausted final round settles through the same in-flight
+    verdict drain FASO performs at exit."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10)
+    K = 3002
+    single = RAABBVI(AveragedRMSProp(0.01), **kwargs).optimize(
+        K, objective, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(AveragedRMSProp(0.01), K, objective,
+                                 init[None], jax.random.PRNGKey(3),
+                                 schedule="async", **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["learning_rate_hist"][0],
+                               single["learning_rate_hist"], rtol=1e-12)
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    np.testing.assert_allclose(batched["kappa_hist"][0],
+                               single["kappa_hist"], rtol=1e-8)
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+
+
+def test_multistart_raabbvi_async_per_restart_termination(monkeypatch):
+    """Async schedule: every restart runs its own decay rounds on its own
+    round clock, fires its own termination rule, and recovers the target
+    — and the whole program runs FEWER global batched steps than the
+    lockstep schedule's total (the idle time the async rounds reclaim)."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 4
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    # heterogeneous starting lrs: restarts converge at very different
+    # speeds, the regime where lockstep rounds idle the fast ones
+    kwargs = dict(learning_rate=np.asarray([0.04, 0.02, 0.01, 0.005]),
+                  rho=0.5, mcse_threshold=0.05, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, ESS_min=10,
+                  verbose=False)
+    res = multistart_raabbvi(AveragedRMSProp(0.01), 20000, objective, inits,
+                             jax.random.PRNGKey(2), schedule="async",
+                             **kwargs)
+    assert all(v is not None for v in res["k_stopped_final"])
+    assert all(len(c) >= 1 for c in res["conv_iters_hist"])
+    assert all(len(s) >= 1 for s in res["SKL_history"])
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.tile(true_value, (B, 1)), atol=0.05)
+    assert all(r >= 3 for r in res["n_rounds_per_restart"])
+
+    lock = multistart_raabbvi(AveragedRMSProp(0.01), 20000, objective, inits,
+                              jax.random.PRNGKey(2), schedule="lockstep",
+                              **kwargs)
+    # wall-clock proxy: total batched steps the program(s) ran.  Under a
+    # heterogeneous lr grid the lockstep schedule idles fast restarts
+    # until each round's slowest finishes; async reclaims that time
+    assert res["k_global_steps"] < lock["k_global_steps"]
+
+
+def test_multistart_raabbvi_async_validation():
+    from viabel_tpu.parallel import multistart_raabbvi
+    from viabel_tpu import ExclusiveKL, MFGaussian
+
+    objective = ExclusiveKL(MFGaussian(1), lambda z: -0.5 * jnp.sum(z**2, -1),
+                            4)
+    with pytest.raises(ValueError, match="schedule"):
+        multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
+                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
+                           schedule="bogus")
+    with pytest.raises(ValueError, match="resume_state"):
+        multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
+                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
+                           schedule="async", resume_state={})
+    with pytest.raises(ValueError, match="mesh"):
+        multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
+                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
+                           schedule="async", mesh=object())

@@ -53,6 +53,231 @@ from ..utils import pack_rows, packed_width, unpack_rows
 __all__ = ["multistart_faso"]
 
 
+class _BatchedEngine:
+    """Jitted B-restart segment runners + batched ring statistics.
+
+    The device-side machinery shared by :func:`multistart_faso` and the
+    asynchronous round driver in :mod:`viabel_tpu.parallel.raabbvi`: the
+    vmapped (optionally ``shard_map``-sharded) ``k_check``-step scan
+    runner, the batched multi-window split-R-hat / window-mean / MCSE
+    statistics, and the objective-state batching helpers, for one fixed
+    configuration (objective, sgo, B, D, ring group G, detection gates,
+    mesh).  Jitted callables live in the caller-provided ``cache`` dict
+    so a round-driving caller reuses one trace across calls (a fresh
+    closure per round forfeits jax.jit's trace cache; on a single-core
+    host the per-round retracing dominated the batched win — measured).
+    """
+
+    def __init__(self, sgo, objective, init_params, *, G, diagnostics,
+                 rhat_allowed, rhat_threshold, mesh=None,
+                 restart_axis="restart", cache=None):
+        B, D = init_params.shape
+        self.B, self.D = B, D
+        self.G = G
+        self.C = packed_width(D)
+        self.diagnostics = diagnostics
+        self._sgo = sgo
+        self._objective = objective
+        self._dtype = init_params.dtype
+        mf_dim = (objective.approx.dim
+                  if isinstance(getattr(objective, "approx", None), MFGaussian)
+                  else None)
+
+        # stateful scannable objectives (DIS) carry one estimator-state
+        # pytree per restart through the batched scan carry (the
+        # objective-state protocol, viabel_tpu.objectives).  eval_shape
+        # probes statefulness without materializing a throwaway state.
+        state_shape = jax.eval_shape(
+            partial(_obj_init_state, objective), init_params[0])
+        self.stateful = bool(jax.tree_util.tree_leaves(state_shape))
+        # per-leaf restart axes for the state: 0 = per-restart, None =
+        # shared by every lockstep restart (e.g. DIS's step counter —
+        # keeping it unbatched keeps the refresh lax.cond a real branch
+        # under vmap, so num_resampling_batches > 1 amortizes in batched
+        # runs too)
+        if self.stateful:
+            axes_fn = getattr(objective, "obj_state_batch_axes", None)
+            self.ost_axes = (axes_fn(state_shape) if axes_fn is not None
+                             else jax.tree_util.tree_map(lambda _: 0,
+                                                         state_shape))
+            self._flat_axes, _ = jax.tree_util.tree_flatten(
+                self.ost_axes, is_leaf=lambda x: x is None)
+        else:
+            self.ost_axes, self._flat_axes = 0, []
+
+        obj_step = _obj_step_fn(objective)
+        update = objective.update
+        wd = sgo._weight_decay
+
+        # optional restart-axis sharding: every batched callable below is
+        # wrapped in shard_map over `restart_axis`, so each device runs
+        # its local restarts (same lax.map code path) with no
+        # cross-device traffic.  Inside the shard_map each per-ring
+        # statistic is an ordinary per-device computation, so the Pallas
+        # streaming kernel dispatches as usual (round 2 forced it off;
+        # nothing about the restart sharding actually requires that).
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            n_shards = mesh.shape[restart_axis]
+            if B % n_shards != 0:
+                raise ValueError(
+                    f"n_restarts={B} must be divisible by the "
+                    f"{restart_axis} axis size {n_shards}")
+
+            def shard_restarts(fn, n_batched, n_shared):
+                return shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(restart_axis),) * n_batched
+                    + (P(),) * n_shared,
+                    out_specs=P(restart_axis), check_vma=False)
+
+            # the runner's state arg follows the per-leaf restart axes
+            # (shared leaves replicate, per-restart leaves shard)
+            _ost_specs = (jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(state_shape),
+                [P(restart_axis) if a == 0 else P()
+                 for a in self._flat_axes])
+                if self.stateful else P(restart_axis))
+
+            def shard_runner(fn):
+                return shard_map(
+                    fn, mesh=mesh,
+                    in_specs=(P(restart_axis), P(restart_axis), _ost_specs,
+                              P(restart_axis), P(restart_axis),
+                              P(restart_axis), P()),
+                    out_specs=((P(restart_axis), P(restart_axis), _ost_specs,
+                                P(restart_axis), P(restart_axis), P()),
+                               P(restart_axis)),
+                    check_vma=False)
+        else:
+            def shard_restarts(fn, n_batched, n_shared):
+                return fn
+
+            def shard_runner(fn):
+                return fn
+
+        def make_runner(steps):
+            def seg(vp, opt_state, ost, key, ring, lr, t):
+                # ring rows from the argument, not the enclosing scope: a
+                # runner reused across rounds via the cache retraces on a
+                # new ring shape and must not bake in a stale R
+                R_seg = ring.shape[0]
+
+                def body(carry, _):
+                    vp, st, ost, key, ring, t = carry
+                    key, sub = jax.random.split(key)
+                    value, grad, ost = obj_step(vp, sub, ost)
+                    direction, st = sgo.descent_direction(grad, st)
+                    vp = update(vp, lr * direction)
+                    if wd > 0.0:  # same rule as the plain SGO loop
+                        vp = vp * (1.0 - wd)
+                    ring = jax.lax.dynamic_update_slice(
+                        ring, pack_rows(vp)[None], (t % R_seg, 0, 0))
+                    outs = ((value, pack_rows(grad), pack_rows(direction))
+                            if diagnostics else (value,))
+                    return (vp, st, ost, key, ring, t + 1), outs
+
+                return jax.lax.scan(body, (vp, opt_state, ost, key, ring, t),
+                                    None, length=steps)
+
+            return jax.jit(
+                shard_runner(jax.vmap(
+                    seg, in_axes=(0, 0, self.ost_axes, 0, 0, 0, None),
+                    out_axes=((0, 0, self.ost_axes, 0, 0, None), 0))),
+                donate_argnums=(4,))
+
+        cache = {} if cache is None else cache
+        self._runner_cache = cache.setdefault("runners", {})
+        self._make_runner = make_runner
+        if "rhat_b" not in cache:
+            # batched statistics: one dispatch covers every restart, but
+            # the B axis runs SEQUENTIALLY (lax.map) per device — a
+            # vmapped jnp stat pass materializes every ring's centered
+            # copy at once (measured 8.97 GB HLO temp ->
+            # ResourceExhausted at B=8, d=500, R=1200), while map peaks
+            # at one ring's worth and lets each per-ring call dispatch
+            # the streaming Pallas kernel as usual
+            rhat_fn = partial(split_rhat_ring_windows, group=G,
+                              exceed_threshold=(None if rhat_allowed is None
+                                                else rhat_threshold))
+            mean_fn = partial(ring_window_mean, group=G)
+
+            cache["rhat_b"] = jax.jit(shard_restarts(
+                lambda rings, t, windows: jax.lax.map(
+                    lambda ring: rhat_fn(ring, t, windows), rings), 1, 2))
+
+            # batched args lead (rings, ws) so the shard specs line up
+            cache["mean_b"] = jax.jit(shard_restarts(
+                lambda rings, ws, t: jax.lax.map(
+                    lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws)), 2, 1))
+
+            # single-restart (rare: R-hat pass events)
+            cache["mean_one"] = jax.jit(mean_fn)
+
+            # mf_dim is fixed for the whole call, so bind it like the
+            # other per-call statics and share mean_b's shard wrapper
+            cache["mcse_b"] = jax.jit(shard_restarts(
+                lambda rings, ws, t: jax.lax.map(
+                    lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim),
+                    (rings, ws)),
+                2, 1))
+        self.rhat_b = cache["rhat_b"]
+        self.mean_b = cache["mean_b"]
+        self.mean_one = cache["mean_one"]
+        self.mcse_b = cache["mcse_b"]
+
+    def runner(self, steps):
+        """The jitted ``steps``-step batched segment runner (cached)."""
+        if steps not in self._runner_cache:
+            self._runner_cache[steps] = self._make_runner(steps)
+        return self._runner_cache[steps]
+
+    def unbatch_shared(self, states):
+        """Collapse shared-axis leaves of a batched state to one copy."""
+        flat, td = jax.tree_util.tree_flatten(states)
+        return td.unflatten([s if a == 0 else s[0]
+                             for s, a in zip(flat, self._flat_axes)])
+
+    def per_restart_state(self, states, b):
+        """Restart ``b``'s view of the (host-fetched) batched state."""
+        flat, td = jax.tree_util.tree_flatten(states)
+        return td.unflatten([s[b] if a == 0 else s
+                             for s, a in zip(flat, self._flat_axes)])
+
+    def init_obj_states(self, init_params):
+        """Batched objective states for ``init_params`` (() if stateless)."""
+        if not self.stateful:
+            return ()
+        return self.unbatch_shared(
+            jax.vmap(partial(_obj_init_state, self._objective))(init_params))
+
+    def check_obj_states(self, obj_states, obj_errors, k):
+        """Host validity hook per restart (DIS raises on degenerate
+        weights at segment boundaries).  Fetch only the small (<= 1-D,
+        i.e. per-restart-scalar) leaves to host once, then check each
+        restart on the copy: B separate blocking scalar reads would each
+        pay the full host<->device round trip (~36 ms through a remote
+        tunnel; any per-segment host sync dominates — CLAUDE.md).  A
+        failure is recorded in ``obj_errors`` (in place) instead of
+        raised: one degenerate restart must not destroy the other B-1
+        results (single-run FASO's raise kills only its own run)."""
+        host_states = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if getattr(x, "ndim", 2) <= 1 else x,
+            obj_states)
+        for b in range(self.B):
+            if obj_errors[b] is not None:
+                continue
+            try:
+                _obj_check_state(self._objective,
+                                 self.per_restart_state(host_states, b))
+            except Exception as e:
+                obj_errors[b] = str(e)
+                print(f"WARNING: restart {b} objective state invalid "
+                      f"at iteration {k} ({e}); its results are "
+                      f"unreliable")
+
+
 def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     learning_rate=None, mcse_threshold=None, W_min=200,
                     ESS_min=None,
@@ -132,43 +357,6 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     if not getattr(objective, "scannable", True):
         raise ValueError("multistart_faso requires a scannable objective "
                          "(host-loop objectives need single-run FASO)")
-    # stateful scannable objectives (DIS) carry one estimator-state pytree
-    # per restart through the batched scan carry (the objective-state
-    # protocol, viabel_tpu.objectives).  eval_shape probes statefulness
-    # without materializing a throwaway state; the batched init is skipped
-    # when a resume snapshot will replace it anyway.
-    state_shape = jax.eval_shape(
-        partial(_obj_init_state, objective), init_params[0])
-    stateful = bool(jax.tree_util.tree_leaves(state_shape))
-    # per-leaf restart axes for the state: 0 = per-restart, None = shared
-    # by every lockstep restart (e.g. DIS's step counter — keeping it
-    # unbatched keeps the refresh lax.cond a real branch under vmap, so
-    # num_resampling_batches > 1 amortizes in batched runs too)
-    if stateful:
-        axes_fn = getattr(objective, "obj_state_batch_axes", None)
-        ost_axes = (axes_fn(state_shape) if axes_fn is not None
-                    else jax.tree_util.tree_map(lambda _: 0, state_shape))
-        flat_axes, _ = jax.tree_util.tree_flatten(
-            ost_axes, is_leaf=lambda x: x is None)
-    else:
-        ost_axes, flat_axes = 0, []
-
-    def _unbatch_shared(states):
-        """Collapse shared-axis leaves of a batched state to one copy."""
-        flat, td = jax.tree_util.tree_flatten(states)
-        return td.unflatten([s if a == 0 else s[0]
-                             for s, a in zip(flat, flat_axes)])
-
-    def _per_restart_state(states, b):
-        """Restart ``b``'s view of the (host-fetched) batched state."""
-        flat, td = jax.tree_util.tree_flatten(states)
-        return td.unflatten([s[b] if a == 0 else s
-                             for s, a in zip(flat, flat_axes)])
-
-    obj_states = ()
-    if stateful and (resume_state is None or "obj_states" not in resume_state):
-        obj_states = _unbatch_shared(
-            jax.vmap(partial(_obj_init_state, objective))(init_params))
     n_iters = int(n_iters)
     k_check = int(W_min if k_check is None else k_check)
     ESS_min = W_min // 8 if ESS_min is None else ESS_min
@@ -182,9 +370,6 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     R = max(R, 2 * W_min)
     R = -(-R // G) * G
     C = packed_width(D)
-    mf_dim = (objective.approx.dim
-              if isinstance(getattr(objective, "approx", None), MFGaussian)
-              else None)
     if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
         raise ValueError('"rhat_quantile" must be in (0, 1)')
     if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
@@ -201,86 +386,6 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         jnp.asarray(lr_val, dtype=init_params.dtype), (B,))
     mcse_thresholds = np.broadcast_to(np.asarray(
         0.1 if mcse_threshold is None else mcse_threshold, dtype=float), (B,))
-    obj_step = _obj_step_fn(objective)
-    update = objective.update
-    wd = sgo._weight_decay
-
-    # optional restart-axis sharding: every batched callable below is
-    # wrapped in shard_map over `restart_axis`, so each device runs its
-    # local restarts (same lax.map code path) with no cross-device
-    # traffic.  Inside the shard_map each per-ring statistic is an
-    # ordinary per-device computation, so the Pallas streaming kernel
-    # dispatches as usual (round 2 forced it off; nothing about the
-    # restart sharding actually requires that).
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-        n_shards = mesh.shape[restart_axis]
-        if B % n_shards != 0:
-            raise ValueError(
-                f"n_restarts={B} must be divisible by the "
-                f"{restart_axis} axis size {n_shards}")
-
-        def shard_restarts(fn, n_batched, n_shared):
-            return shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(restart_axis),) * n_batched + (P(),) * n_shared,
-                out_specs=P(restart_axis), check_vma=False)
-
-        # the runner's state arg follows the per-leaf restart axes
-        # (shared leaves replicate, per-restart leaves shard)
-        _ost_specs = (jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(state_shape),
-            [P(restart_axis) if a == 0 else P() for a in flat_axes])
-            if stateful else P(restart_axis))
-
-        def shard_runner(fn):
-            return shard_map(
-                fn, mesh=mesh,
-                in_specs=(P(restart_axis), P(restart_axis), _ost_specs,
-                          P(restart_axis), P(restart_axis), P(restart_axis),
-                          P()),
-                out_specs=((P(restart_axis), P(restart_axis), _ost_specs,
-                            P(restart_axis), P(restart_axis), P()),
-                           P(restart_axis)),
-                check_vma=False)
-    else:
-        def shard_restarts(fn, n_batched, n_shared):
-            return fn
-
-        def shard_runner(fn):
-            return fn
-
-    def make_runner(steps):
-        def seg(vp, opt_state, ost, key, ring, lr, t):
-            # ring rows from the argument, not the enclosing scope: a
-            # runner reused across rounds via _jit_cache retraces on a new
-            # ring shape and must not bake in a stale R
-            R_seg = ring.shape[0]
-
-            def body(carry, _):
-                vp, st, ost, key, ring, t = carry
-                key, sub = jax.random.split(key)
-                value, grad, ost = obj_step(vp, sub, ost)
-                direction, st = sgo.descent_direction(grad, st)
-                vp = update(vp, lr * direction)
-                if wd > 0.0:  # same rule as the plain SGO loop
-                    vp = vp * (1.0 - wd)
-                ring = jax.lax.dynamic_update_slice(
-                    ring, pack_rows(vp)[None], (t % R_seg, 0, 0))
-                outs = ((value, pack_rows(grad), pack_rows(direction))
-                        if diagnostics else (value,))
-                return (vp, st, ost, key, ring, t + 1), outs
-
-            return jax.lax.scan(body, (vp, opt_state, ost, key, ring, t),
-                                None, length=steps)
-
-        return jax.jit(
-            shard_runner(jax.vmap(
-                seg, in_axes=(0, 0, ost_axes, 0, 0, 0, None),
-                out_axes=((0, 0, ost_axes, 0, 0, None), 0))),
-            donate_argnums=(4,))
-
     # ``_jit_cache`` (private): a dict a ROUND-driving caller
     # (multistart_raabbvi) passes to every call so the jitted segment
     # runners and batched statistics are built ONCE — a fresh closure per
@@ -288,42 +393,19 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     # per-round retracing dominated the batched win (measured).  Only
     # valid when every call shares the identical configuration (same
     # objective, sgo, B, D, R, detection knobs).
-    cache = {} if _jit_cache is None else _jit_cache
-    runner_cache = cache.setdefault("runners", {})
-    if "rhat_b" not in cache:
-        # batched statistics: one dispatch covers every restart, but the B
-        # axis runs SEQUENTIALLY (lax.map) per device — a vmapped jnp stat
-        # pass materializes every ring's centered copy at once (measured
-        # 8.97 GB HLO temp -> ResourceExhausted at B=8, d=500, R=1200),
-        # while map peaks at one ring's worth and lets each per-ring call
-        # dispatch the streaming Pallas kernel as usual
-        rhat_fn = partial(split_rhat_ring_windows, group=G,
-                          exceed_threshold=(None if rhat_allowed is None
-                                            else rhat_threshold))
-        mean_fn = partial(ring_window_mean, group=G)
-
-        cache["rhat_b"] = jax.jit(shard_restarts(
-            lambda rings, t, windows: jax.lax.map(
-                lambda ring: rhat_fn(ring, t, windows), rings), 1, 2))
-
-        # batched args lead (rings, ws) so the shard specs line up
-        cache["mean_b"] = jax.jit(shard_restarts(
-            lambda rings, ws, t: jax.lax.map(
-                lambda rw: mean_fn(rw[0], t, rw[1]), (rings, ws)), 2, 1))
-
-        # single-restart (rare: R-hat pass events)
-        cache["mean_one"] = jax.jit(mean_fn)
-
-        # mf_dim is fixed for the whole call, so bind it like the other
-        # per-call statics and share the same shard wrapper as mean_b
-        cache["mcse_b"] = jax.jit(shard_restarts(
-            lambda rings, ws, t: jax.lax.map(
-                lambda rw: _mcse_check(rw[0], t, rw[1], mf_dim), (rings, ws)),
-            2, 1))
-    rhat_b = cache["rhat_b"]
-    mean_b = cache["mean_b"]
-    mean_one = cache["mean_one"]
-    mcse_b = cache["mcse_b"]
+    engine = _BatchedEngine(
+        sgo, objective, init_params, G=G, diagnostics=diagnostics,
+        rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold,
+        mesh=mesh, restart_axis=restart_axis, cache=_jit_cache)
+    stateful = engine.stateful
+    rhat_b = engine.rhat_b
+    mean_b = engine.mean_b
+    mean_one = engine.mean_one
+    mcse_b = engine.mcse_b
+    obj_states = ()
+    if stateful and (resume_state is None or "obj_states" not in resume_state):
+        # the batched init is skipped when a resume snapshot replaces it
+        obj_states = engine.init_obj_states(init_params)
 
     var_params = init_params
     # ``init_opt_states`` / ``keys``: optional batched overrides so a
@@ -485,38 +567,13 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
 
     while k < n_iters and not np.all(k_stopped >= 0):
         steps = min(k_check - (k % k_check), n_iters - k)
-        if steps not in runner_cache:
-            runner_cache[steps] = make_runner(steps)
-        carry, outs = runner_cache[steps](var_params, opt_states, obj_states,
-                                          keys, rings, lr, t)
+        carry, outs = engine.runner(steps)(var_params, opt_states, obj_states,
+                                           keys, rings, lr, t)
         var_params, opt_states, obj_states, keys, rings, _ = carry
         t = t + steps
         k += steps
         if stateful:
-            # host validity hook per restart (DIS raises on degenerate
-            # weights at segment boundaries).  Fetch only the small
-            # (<= 1-D, i.e. per-restart-scalar) leaves to host once, then
-            # check each restart on the copy: B separate blocking scalar
-            # reads would each pay the full host<->device round trip
-            # (~36 ms through a remote tunnel; any per-segment host sync
-            # dominates — CLAUDE.md).  A failure is recorded per restart
-            # instead of raised: one degenerate restart must not destroy
-            # the other B-1 results (single-run FASO's raise kills only
-            # its own run).
-            host_states = jax.tree_util.tree_map(
-                lambda x: np.asarray(x) if getattr(x, "ndim", 2) <= 1 else x,
-                obj_states)
-            for b in range(B):
-                if obj_errors[b] is not None:
-                    continue
-                try:
-                    _obj_check_state(objective,
-                                     _per_restart_state(host_states, b))
-                except Exception as e:
-                    obj_errors[b] = str(e)
-                    print(f"WARNING: restart {b} objective state invalid "
-                          f"at iteration {k} ({e}); its results are "
-                          f"unreliable")
+            engine.check_obj_states(obj_states, obj_errors, k)
         values_hist.append(outs[0])
         if diagnostics:
             # stream to host per segment like FASO (histories cannot

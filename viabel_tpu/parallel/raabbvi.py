@@ -11,9 +11,11 @@ per-restart inefficiency termination rule (reference
 restart) — with every round's inner optimization executed as ONE batched
 XLA program via :func:`viabel_tpu.parallel.multistart_faso`.
 
-Scheduling model (the one documented delta vs B independent single-restart
-RAABBVI runs): rounds advance in LOCKSTEP.  Each outer round runs one
-batched FASO program carrying every restart's own learning rate and MCSE
+Two scheduling models are available via ``schedule=``:
+
+``"lockstep"`` (default): rounds advance in LOCKSTEP.  Each outer round
+runs one batched FASO program carrying every restart's own learning rate
+and MCSE
 threshold; a restart whose detection stops early freezes its iterate
 average and idles (its parameters keep stepping but its round result is
 frozen at its own ``k_stopped``) until the slowest live restart's round
@@ -24,7 +26,16 @@ Restarts that terminate (or exhaust their budget) ride along with
 ``learning_rate = 0`` — their iterates are constant, so their detection
 passes immediately and they never block the batched early exit.
 
-For non-averaged base optimizers the persisted cross-round state is each
+``"async"``: no round barrier at all — one continuous batched program
+with PER-RESTART round clocks.  When a restart's detection stops, its
+round advancement (SKL, regression, termination, decay) happens at that
+segment boundary and it restarts from its round average immediately,
+while the other restarts' rounds continue uninterrupted; early
+converging restarts reclaim the idle time lockstep charges them (see
+:func:`_multistart_raabbvi_async`).
+
+For non-averaged base optimizers the lockstep schedule's persisted
+cross-round state is each
 restart's state at the END of the round program (which may include steps
 taken after its own stop while slower restarts finished) — averaged
 optimizers (``AveragedRMSProp``/``AveragedAdam``, the RAABBVI default
@@ -33,14 +44,23 @@ family) reset state every round like the reference (optimization.py:
 (same key chain, same round budgets) — parity is tested.
 """
 
+from collections import deque
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from ..faso import RAABBVI
+from ..faso import (
+    RAABBVI,
+    _candidate_windows,
+    _largest_divisor_leq,
+    _now,
+    _recheck_scale,
+)
 from ..optimizers import StochasticGradientOptimizer
-from .multistart import multistart_faso
+from ..utils import packed_width, unpack_rows
+from .multistart import _BatchedEngine, multistart_faso
 
 __all__ = ["multistart_raabbvi"]
 
@@ -53,7 +73,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                        rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                        check_pipeline=4, mesh=None, restart_axis="restart",
                        resume_state=None, round_callback=None,
-                       verbose=True):
+                       schedule="lockstep", verbose=True):
     """Run ``B = init_params.shape[0]`` RAABBVI optimizations batched.
 
     Parameters mirror :class:`viabel_tpu.RAABBVI` (rho / iters0 /
@@ -81,18 +101,47 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     MCSE *recheck* schedule is the one nondeterministic input).
     ``results["resume_state"]`` carries the final snapshot.
 
+    ``schedule``: ``"lockstep"`` (default) or ``"async"`` — see the
+    module docstring.  Async removes the per-round barrier (early
+    converging restarts start their next round immediately) but does not
+    yet support ``mesh``, ``resume_state``/``round_callback``, or
+    stateful (DIS) objectives.
+
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
     rule never fired), ``k_total``, ``conv_iters_hist``,
     ``learning_rate_hist``, ``SKL_history``, ``kappa_hist``, ``c_hist``,
-    ``predicted_iters_hist``, ``stopping_crt``, ``n_rounds``, and
-    ``resume_state``.
+    ``predicted_iters_hist``, ``stopping_crt``, ``n_rounds``,
+    ``k_global_steps`` (total batched steps run — the wall-clock proxy
+    the async schedule improves), and ``resume_state`` (lockstep only;
+    async instead adds ``n_rounds_per_restart``).
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
     if not objective.approx.supports_kl:
         raise ValueError("multistart_raabbvi needs a family with closed-form "
                          "KL (approx.supports_kl); use multistart_faso")
+    if schedule not in ("lockstep", "async"):
+        raise ValueError('"schedule" must be "lockstep" or "async"')
+    if schedule == "async":
+        if resume_state is not None or round_callback is not None:
+            raise ValueError(
+                'schedule="async" does not support resume_state/'
+                'round_callback yet; use the lockstep schedule for '
+                'round-granularity elastic recovery')
+        if mesh is not None:
+            raise ValueError('schedule="async" does not support mesh '
+                             'sharding yet; use the lockstep schedule')
+        return _multistart_raabbvi_async(
+            sgo, K_max, objective, jnp.asarray(init_params), key,
+            rho=rho, iters0=iters0, accuracy_threshold=accuracy_threshold,
+            inefficiency_threshold=inefficiency_threshold,
+            learning_rate=learning_rate, mcse_threshold=mcse_threshold,
+            W_min=W_min, ESS_min=ESS_min, k_check=k_check,
+            max_history=max_history, rhat_threshold=rhat_threshold,
+            rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
+            rhat_group=rhat_group, check_pipeline=check_pipeline,
+            verbose=verbose)
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
     K_max = int(K_max)
@@ -132,6 +181,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     pred_hist = [[] for _ in range(B)]
     crt_hist = [[] for _ in range(B)]
     n_rounds = 0
+    k_global_steps = 0  # total batched steps run (wall-clock proxy)
 
     if resume_state is not None:
         rs = resume_state
@@ -149,6 +199,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         mcse = np.asarray(rs["mcse"]).copy()
         key = jnp.asarray(rs["key"])
         n_rounds = int(rs["n_rounds"])
+        k_global_steps = int(rs.get("k_global_steps", 0))
         conv_iters = [[int(v) for v in h] for h in rs["conv_iters_hist"]]
         lr_hist = [[float(v) for v in h] for h in rs["learning_rate_hist"]]
         skl_hist = [[float(v) for v in h] for h in rs["SKL_history"]]
@@ -171,6 +222,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             "opt_states": opt_states if opt_states is not None else (),
             "lr": lr.copy(), "mcse": mcse.copy(), "key": key,
             "n_rounds": n_rounds,
+            "k_global_steps": k_global_steps,
             "conv_iters_hist": [list(h) for h in conv_iters],
             "learning_rate_hist": [list(h) for h in lr_hist],
             "SKL_history": [list(h) for h in skl_hist],
@@ -218,6 +270,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             learning_rate=lr_round, mcse_threshold=mcse,
             init_opt_states=opt_states, **detection_kwargs)
         n_rounds += 1
+        k_global_steps += int(opt["value_history"].shape[1])
         if not averaged:
             # persist non-averaged SGO state across rounds (the reference
             # only resets averaged SGOs, optimization.py:865-866); state
@@ -310,5 +363,467 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         "predicted_iters_hist": pred_hist,
         "stopping_crt": crt_hist,
         "n_rounds": n_rounds,
+        "k_global_steps": k_global_steps,
         "resume_state": snapshot,
+    }
+
+
+def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
+                              rho, iters0, accuracy_threshold,
+                              inefficiency_threshold, learning_rate,
+                              mcse_threshold, W_min, ESS_min, k_check,
+                              max_history, rhat_threshold, rhat_quantile,
+                              rhat_backoff, rhat_group, check_pipeline,
+                              verbose):
+    """Asynchronous per-restart rounds: one continuous batched program.
+
+    The lockstep schedule runs each outer round as its own
+    ``multistart_faso`` program, so a restart whose detection stops early
+    idles (frozen round result, parameters still stepping) until the
+    slowest live restart's round ends.  This driver removes the round
+    barrier: all B restarts advance through ONE sequence of ``k_check``-
+    step batched segments, and when restart ``b``'s MCSE stop fires at a
+    segment boundary the host immediately performs ITS round advancement
+    — SKL against its previous round average, the weighted Bayesian
+    regression, the termination rule, learning-rate/threshold decay — and
+    surgically restarts ``b`` from its round average (new per-restart
+    round key, fresh averaged-SGO state) while the other restarts' rounds
+    continue uninterrupted in the same program.  Early-converging
+    restarts reclaim their idle time by starting their next (harder,
+    lower-lr) round immediately.
+
+    Implementation notes (why this needs no new device code):
+
+    - Restarts never pause — terminated/exhausted ones ride along at
+      ``learning_rate = 0`` — so the ring write clock ``t`` stays a
+      single shared scalar and :class:`_BatchedEngine`'s runner and
+      statistics are reused unchanged.  Restart ``b``'s round-local
+      iteration count is ``k - round_start[b]``; capping its candidate
+      windows at that count means ring rows from its previous round are
+      never read, so rings need no per-restart reset.
+    - R-hat checks stay batched (one dispatch per segment): the window
+      set dispatched is the UNION of each eligible restart's own
+      candidate set (reference linspace(W_min, 0.95 k_b, 5) per restart,
+      optimization.py:553) padded to a power-of-two length to bound
+      retraces, and each restart argmins over exactly its own subset —
+      so the per-restart window search matches a standalone run's.
+    - In-flight pipelined verdicts are tagged with per-restart round
+      counters; a verdict dispatched before ``b``'s round advanced is
+      stale for ``b`` and skipped (the standalone equivalent: pending
+      verdicts die with the round's FASO program).
+
+    Scheduling deltas vs B standalone RAABBVI runs (all bounded, none
+    affecting the per-restart decision quantities): per-restart budgets
+    are enforced at segment (``k_check``) granularity; the
+    ``rhat_backoff`` check cadence is shared and resets to full whenever
+    any restart starts a new round.
+
+    Not yet supported here (use the lockstep schedule): ``mesh``
+    sharding, ``resume_state``/``round_callback`` elastic recovery,
+    stateful (DIS) objectives — a DIS estimator state with SHARED leaves
+    (the resample-cadence counter) cannot be reset for one restart while
+    others continue.
+
+    Returns the lockstep schedule's dict (minus ``resume_state``) plus
+    ``n_rounds_per_restart`` and ``k_global_steps`` (total batched steps
+    the program ran — the wall-clock proxy the async schedule improves).
+    """
+    B, D = init_params.shape
+    K_max = int(K_max)
+    if max_history is None:
+        max_history = K_max  # pin ring sizing (see the lockstep driver)
+
+    helper = RAABBVI(sgo, rho=rho, iters0=iters0,
+                     accuracy_threshold=accuracy_threshold,
+                     inefficiency_threshold=inefficiency_threshold)
+    averaged = helper._averaged_sgo()
+    if not getattr(objective, "scannable", True):
+        raise ValueError("multistart_raabbvi requires a scannable objective")
+
+    # detection geometry: identical derivations to multistart_faso so a
+    # restart's round sees the same windows/groups a standalone run would
+    k_check = int(W_min if k_check is None else k_check)
+    ESS_min = W_min // 8 if ESS_min is None else ESS_min
+    if rhat_group is not None and (int(rhat_group) <= 0
+                                   or k_check % int(rhat_group) != 0):
+        raise ValueError('"rhat_group" must be a positive divisor of '
+                         'k_check (checks happen at k_check multiples)')
+    G = (int(rhat_group) if rhat_group
+         else _largest_divisor_leq(k_check, max(1, min(64, W_min // 4))))
+    R = int(max_history)
+    R = max(R, 2 * W_min)
+    R = -(-R // G) * G
+    C = packed_width(D)
+    if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
+        raise ValueError('"rhat_quantile" must be in (0, 1)')
+    if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
+        raise ValueError('"rhat_backoff" must be greater than one')
+    rhat_allowed = (None if rhat_quantile is None
+                    else int((1.0 - float(rhat_quantile)) * D))
+    gate = rhat_threshold if rhat_allowed is None else rhat_allowed
+
+    engine = _BatchedEngine(
+        sgo, objective, init_params, G=G, diagnostics=False,
+        rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold)
+    if engine.stateful:
+        raise ValueError(
+            'schedule="async" does not support stateful (DIS) objectives '
+            "(shared state leaves cannot be reset per restart); use the "
+            "lockstep schedule")
+
+    # per-restart outer (host) state — the reference's loop variables,
+    # one copy per restart, advancing on independent round clocks
+    lr = np.broadcast_to(np.asarray(
+        sgo._learning_rate if learning_rate is None else learning_rate,
+        dtype=float), (B,)).copy()
+    mcse = np.broadcast_to(np.asarray(mcse_threshold, dtype=float),
+                           (B,)).copy()
+    K_rem = np.full(B, K_max)
+    k_total = np.zeros(B, dtype=int)
+    k_dec = np.zeros(B, dtype=int)
+    active = np.ones(B, dtype=bool)
+    k_stopped_final = [None] * B
+    n_rounds_b = np.zeros(B, dtype=int)
+    round_id = np.zeros(B, dtype=int)
+    round_start = np.zeros(B, dtype=int)   # global k at b's round start
+    avg_prev = [None] * B                  # previous round average (D,)
+    final_avg = [None] * B                 # settled opt_param rows (D,)
+    conv_iters = [[] for _ in range(B)]
+    lr_hist = [[] for _ in range(B)]
+    skl_hist = [[] for _ in range(B)]
+    kappa_hist = [[] for _ in range(B)]
+    c_hist = [[] for _ in range(B)]
+    pred_hist = [[] for _ in range(B)]
+    crt_hist = [[] for _ in range(B)]
+
+    # per-restart key chains: each restart replays the single-run split
+    # discipline (key, key_round, key_reg = split(key, 3) per round,
+    # faso.py RAABBVI.optimize) on its own chain, so B=1 reproduces a
+    # single RAABBVI's draws exactly
+    outer_keys = list(key[None] if B == 1 else jax.random.split(key, B))
+    key_regs = [None] * B
+
+    def _next_round_keys(b):
+        outer_keys[b], key_round, key_regs[b] = jax.random.split(
+            outer_keys[b], 3)
+        return key_round
+
+    var_params = init_params
+    opt_states = jax.vmap(sgo.init_state)(init_params)
+    obj_states = ()
+    keys = jnp.stack([_next_round_keys(b) for b in range(B)])
+    rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
+    t = jnp.asarray(0)
+    k = 0
+
+    # per-restart detection state, in round-local iteration units
+    k_conv = np.full(B, -1)
+    k_stopped = np.full(B, -1)
+    W_check = np.full(B, -1)
+    last_best_W = np.full(B, -1)
+    frozen = [None] * B            # packed (8, C) round average at a stop
+    last_checked_avg = [None] * B
+
+    pending = deque()
+    check_interval = 1
+    next_check_at = 0
+    interval_adjusted_at = -1
+    max_interval = max(1, R // k_check)
+    mcse_time_total = 0.0
+    loop_start = _now()
+
+    def process_check(ck):
+        nonlocal check_interval, next_check_at, interval_adjusted_at
+        r_hats = np.asarray(ck["r_hats"])          # (B, K)
+        windows = ck["windows"]                    # padded union, (K,)
+        best_stats = []
+        for b in range(B):
+            if not active[b] or k_conv[b] >= 0:
+                continue
+            if ck["round_id"][b] != round_id[b]:
+                continue  # stale: b's round advanced since dispatch
+            mask = ck["masks"][b]
+            if not mask.any():
+                continue
+            r = np.where(mask, r_hats[b], np.inf)
+            best = int(np.argmin(r))
+            last_best_W[b] = int(windows[best])
+            best_stats.append(r[best])
+            if r[best] <= gate:
+                ck_kb = int(ck["k"]) - round_start[b]
+                k_conv[b] = ck_kb - int(windows[best])
+                W_check[b] = int(windows[best])
+        if (rhat_backoff is not None and best_stats
+                and int(ck["k"]) > interval_adjusted_at):
+            far_gate = float(rhat_backoff) * (
+                rhat_threshold if rhat_allowed is None
+                else max(rhat_allowed, 1))
+            if min(best_stats) > far_gate:
+                check_interval = min(check_interval * 2, max_interval)
+            else:
+                check_interval = 1
+                next_check_at = 0
+            interval_adjusted_at = k
+
+    def settle(b, avg_packed):
+        """Retire restart ``b`` with ``avg_packed`` as its final row."""
+        active[b] = False
+        lr[b] = 0.0
+        if avg_packed is not None:
+            final_avg[b] = unpack_rows(avg_packed, D)
+
+    def drain_for_restart(b):
+        """Apply restart ``b``'s still-in-flight verdicts before retiring
+        it at budget exhaustion — the standalone equivalent is FASO's
+        final drain (``process_check(..., final=True)``), which keeps the
+        pass-time average extended over the steps run while the verdict
+        was in flight."""
+        for ck in pending:
+            if k_conv[b] >= 0:
+                break
+            if ck["round_id"][b] != round_id[b]:
+                continue
+            mask = ck["masks"][b]
+            if not mask.any():
+                continue
+            r = np.where(mask, np.asarray(ck["r_hats"])[b], np.inf)
+            best = int(np.argmin(r))
+            best_W = int(ck["windows"][best])
+            last_best_W[b] = best_W
+            if r[best] <= gate:
+                ck_kb = int(ck["k"]) - round_start[b]
+                k_conv[b] = ck_kb - best_W
+                W_check[b] = best_W
+                w_eff = min(best_W + (k - int(ck["k"])), R,
+                            k - round_start[b])
+                last_checked_avg[b] = engine.mean_one(
+                    rings[b], t, jnp.asarray(w_eff))
+
+    def advance_restart(b):
+        """Restart ``b``'s MCSE stop fired: do ITS round bookkeeping
+        (reference optimization.py:812-917 semantics, applied to this
+        restart alone) and either retire it or start its next round.
+        Returns the new round init (D,) or None if retired."""
+        k_new_b = int(k_stopped[b])
+        avg_b = frozen[b]
+        if k_new_b > K_rem[b]:
+            # converged only past this restart's own budget: a standalone
+            # run would have hit max-iterations instead
+            settle(b, avg_b)
+            return None
+        K_rem[b] -= k_new_b + 1
+        avg_unpacked = unpack_rows(avg_b, D)
+        if k_dec[b] != 0:
+            conv_iters[b].append(k_new_b)
+        k_total[b] += k_new_b
+        n_rounds_b[b] += 1
+        lr_next = lr[b] * rho
+        mcse[b] *= rho
+        if lr_hist[b]:
+            skl = float(objective.approx.kl(avg_prev[b], avg_unpacked)
+                        + objective.approx.kl(avg_unpacked, avg_prev[b]))
+            skl_hist[b].append(skl)
+            y_wlr = np.log(np.asarray(skl_hist[b]))
+            x_wlr = np.log(np.asarray(lr_hist[b]))
+            fit, kappa, c = helper.weighted_linear_regression(
+                y_wlr, x_wlr, key=key_regs[b])
+            kappa_hist[b].append(kappa)
+            c_hist[b].append(c)
+            # termination rule (reference optimization.py:888-913)
+            if len(lr_hist[b]) > 1 and conv_iters[b]:
+                lrs = np.asarray(lr_hist[b], dtype=float)
+                convs = np.asarray(conv_iters[b], dtype=float)
+                relative_skl = (rho**kappa + accuracy_threshold
+                                / (np.sqrt(c) * lrs[-1] ** kappa))
+                curr_iters = convs[-1]
+                _, slope = RAABBVI.wls(np.log(lrs[-len(convs):]),
+                                       np.log(convs))
+                if RAABBVI.convg_iteration_trend_detection(slope):
+                    y_wls, x_wls = convs, lrs[-len(convs):]
+                else:
+                    y_wls, x_wls = convs[1:], lrs[-len(convs):][1:]
+                if len(y_wls) >= 2:
+                    b0, b1 = RAABBVI.wls(np.log(x_wls), np.log(y_wls))
+                    pred_iters = int(np.exp(b0) * (rho * lrs[-1]) ** b1)
+                    pred_hist[b].append(pred_iters)
+                    relative_iters = pred_iters / (curr_iters + iters0)
+                    crt = relative_skl * relative_iters
+                    crt_hist[b].append(crt)
+                    if crt > inefficiency_threshold:
+                        k_stopped_final[b] = int(k_total[b])
+                        settle(b, avg_b)
+                        if verbose:
+                            print(f"restart {b}: termination rule reached "
+                                  f"at iteration {k_total[b]} "
+                                  f"(inefficiency index {crt:.3g})")
+                        return None
+        if K_rem[b] <= 0:
+            # budget exhausted exactly between rounds (the lockstep
+            # driver's loop-top accounting)
+            settle(b, avg_b)
+            return None
+        lr_hist[b].append(lr_next)
+        lr[b] = lr_next
+        k_dec[b] += 1
+        avg_prev[b] = avg_unpacked
+        # reset b's round clock and detection state; rings need no reset
+        # (windows are capped at the round-local count)
+        round_id[b] += 1
+        round_start[b] = k
+        k_conv[b] = -1
+        k_stopped[b] = -1
+        W_check[b] = -1
+        last_best_W[b] = -1
+        frozen[b] = None
+        last_checked_avg[b] = None
+        return avg_unpacked
+
+    while np.any(active):
+        carry, _ = engine.runner(k_check)(var_params, opt_states, obj_states,
+                                          keys, rings, jnp.asarray(
+                                              lr, dtype=init_params.dtype), t)
+        var_params, opt_states, obj_states, keys, rings, _ = carry
+        t = t + k_check
+        k += k_check
+
+        # batched R-hat dispatch over the union of per-restart candidates
+        kb = k - round_start
+        eligible = []
+        for b in range(B):
+            if not active[b] or k_conv[b] >= 0:
+                continue
+            W_upper_b = min(int(0.95 * kb[b]), R)
+            if W_upper_b > W_min and W_upper_b >= 2 * G:
+                eligible.append((b, W_upper_b))
+        if eligible and k >= next_check_at:
+            next_check_at = k + k_check * check_interval
+            cand_sets = {b: _candidate_windows(W_min, w, G)
+                         for b, w in eligible}
+            union = np.unique(np.concatenate(list(cand_sets.values())))
+            # pad to a power-of-two length (repeating the smallest
+            # window) so the jitted batched R-hat retraces only on
+            # log2 growth of the union, not on every round advancement
+            K_pad = 1 << int(np.ceil(np.log2(max(len(union), 1))))
+            windows = np.concatenate(
+                [union, np.full(K_pad - len(union), union[0])])
+            masks = np.zeros((B, K_pad), dtype=bool)
+            for b, _ in eligible:
+                masks[b, :len(union)] = np.isin(union, cand_sets[b])
+            r_hats = engine.rhat_b(rings, t, jnp.asarray(windows))
+            prefetch = getattr(r_hats, "copy_to_host_async", None)
+            if prefetch is not None:
+                prefetch()
+            pending.append({"k": k, "windows": windows, "masks": masks,
+                            "round_id": round_id.copy(), "r_hats": r_hats})
+        while pending and k - int(pending[0]["k"]) >= (
+                check_pipeline * k_check):
+            process_check(pending.popleft())
+
+        # batched MCSE stop checks (round-local windows per restart)
+        kb = k - round_start
+        due = [b for b in range(B)
+               if active[b] and k_conv[b] >= 0 and k_stopped[b] < 0
+               and kb[b] - k_conv[b] >= W_check[b]]
+        if due:
+            W = np.minimum(np.maximum(kb - k_conv, 1),
+                           np.maximum(np.minimum(R, kb), 1))
+            mcse_start = _now()
+            effs, mcses = engine.mcse_b(rings, jnp.asarray(W), t)
+            effs = np.asarray(effs)
+            mcses = np.asarray(mcses)
+            mcse_interval = _now() - mcse_start
+            mcse_time_total += mcse_interval
+            avgs = engine.mean_b(rings, jnp.asarray(W), t)
+            for b in due:
+                if rhat_allowed is None:
+                    gates_pass = (np.max(mcses[b]) < mcse[b]
+                                  and np.min(effs[b]) > ESS_min)
+                else:
+                    q = float(rhat_quantile)
+                    gates_pass = (
+                        float(np.quantile(mcses[b][:D], q)) < mcse[b]
+                        and float(np.quantile(effs[b][:D], 1.0 - q))
+                        > ESS_min)
+                if gates_pass:
+                    k_stopped[b] = int(kb[b])
+                    frozen[b] = jnp.asarray(avgs[b])
+                else:
+                    last_checked_avg[b] = jnp.asarray(avgs[b])
+                    total_opt = max(_now() - loop_start - mcse_time_total,
+                                    1e-9)
+                    W_check[b] = int(_recheck_scale(
+                        total_opt / k, mcse_interval / int(W[b]))
+                        * W_check[b] + 1)
+
+        # per-restart round advancement + budget enforcement
+        advanced = {}
+        for b in range(B):
+            if not active[b]:
+                continue
+            if k_stopped[b] >= 0:
+                new_init = advance_restart(b)
+                if new_init is not None:
+                    advanced[b] = new_init
+            elif k - round_start[b] >= K_rem[b]:
+                # round ran b's whole remaining budget without stopping:
+                # maximum iterations for this restart (final parameter =
+                # the standalone fallback chain: last checked average,
+                # else the converged/best-window mean, else round init)
+                drain_for_restart(b)
+                if last_checked_avg[b] is not None:
+                    settle(b, last_checked_avg[b])
+                elif k_conv[b] >= 0 or last_best_W[b] > 0:
+                    W_f = (max(k - round_start[b] - k_conv[b], 1)
+                           if k_conv[b] >= 0 else max(int(last_best_W[b]), 1))
+                    W_f = min(W_f, R, k - round_start[b])
+                    settle(b, engine.mean_one(rings[b], t, jnp.asarray(W_f)))
+                else:
+                    active[b] = False
+                    lr[b] = 0.0
+                    final_avg[b] = (avg_prev[b] if avg_prev[b] is not None
+                                    else init_params[b])
+        if advanced:
+            idx = jnp.asarray(list(advanced.keys()))
+            new_inits = jnp.stack(list(advanced.values()))
+            var_params = var_params.at[idx].set(new_inits)
+            keys = keys.at[idx].set(jnp.stack(
+                [_next_round_keys(b) for b in advanced]))
+            if averaged:
+                # averaged SGOs restart each round with fresh state
+                # (reference optimization.py:865-866); non-averaged state
+                # persists — at b's OWN stop, which is closer to the
+                # standalone semantics than the lockstep driver's
+                # round-program-end state
+                fresh = jax.vmap(sgo.init_state)(new_inits)
+                opt_states = jax.tree_util.tree_map(
+                    lambda full, f: full.at[idx].set(f), opt_states, fresh)
+            if rhat_backoff is not None:
+                # a fresh round needs full-cadence checks again
+                check_interval = 1
+                next_check_at = 0
+                interval_adjusted_at = k
+
+    if verbose:
+        unfinished = [b for b in range(B) if k_stopped_final[b] is None]
+        if unfinished:
+            print("WARNING: restarts", unfinished, "reached the iteration "
+                  "budget before their stopping rule was triggered")
+
+    opt_param = jnp.stack([
+        final_avg[b] if final_avg[b] is not None else init_params[b]
+        for b in range(B)])
+    return {
+        "opt_param": opt_param,
+        "k_stopped_final": k_stopped_final,
+        "k_total": [int(v) for v in k_total],
+        "conv_iters_hist": conv_iters,
+        "learning_rate_hist": lr_hist,
+        "SKL_history": skl_hist,
+        "kappa_hist": kappa_hist,
+        "c_hist": c_hist,
+        "predicted_iters_hist": pred_hist,
+        "stopping_crt": crt_hist,
+        "n_rounds": int(n_rounds_b.max()) if B else 0,
+        "n_rounds_per_restart": [int(v) for v in n_rounds_b],
+        "k_global_steps": k,
     }

@@ -699,11 +699,63 @@ def test_multistart_raabbvi_async_validation():
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0),
                            schedule="bogus")
-    with pytest.raises(ValueError, match="resume_state"):
-        multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
-                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
-                           schedule="async", resume_state={})
     with pytest.raises(ValueError, match="mesh"):
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0),
                            schedule="async", mesh=object())
+
+
+def test_multistart_raabbvi_async_resume_matches_uninterrupted(
+        monkeypatch, tmp_path):
+    """Async elastic recovery at SEGMENT granularity: resume from a
+    mid-run round_callback snapshot (serialized via
+    viabel_tpu.checkpoint, so every device leaf — iterates, rings,
+    in-flight verdicts — round-trips through .npz) and reproduce the
+    uninterrupted async run exactly: per-restart round counts,
+    termination points, SKL/regression histories, and final
+    parameters."""
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 4
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    # heterogeneous lrs so restarts sit mid-round at the snapshot point
+    kwargs = dict(learning_rate=np.asarray([0.04, 0.02, 0.01, 0.005]),
+                  rho=0.5, mcse_threshold=0.05, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, ESS_min=10,
+                  verbose=False, schedule="async")
+    snaps = {}
+    full = multistart_raabbvi(
+        AveragedRMSProp(0.01), 20000, objective, inits, jax.random.PRNGKey(2),
+        round_callback=lambda r, s: snaps.setdefault(r, s), **kwargs)
+    assert len(snaps) >= 3
+    r_mid = sorted(snaps)[len(snaps) // 2]
+    snap = snaps[r_mid]
+    # mid-run: some restarts still active, on their own round clocks
+    assert np.asarray(snap["active"]).any()
+
+    path = str(tmp_path / "masync.npz")
+    save_pytree(path, snap)
+    restored = load_pytree(path, like=snap)
+    resumed = multistart_raabbvi(
+        AveragedRMSProp(0.01), 20000, objective, inits, jax.random.PRNGKey(2),
+        resume_state=restored,
+        round_callback=lambda r, s: None, **kwargs)
+
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+    assert resumed["conv_iters_hist"] == full["conv_iters_hist"]
+    for a, b in zip(resumed["SKL_history"], full["SKL_history"]):
+        np.testing.assert_allclose(a, b, rtol=1e-8)
+    for a, b in zip(resumed["learning_rate_hist"],
+                    full["learning_rate_hist"]):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert (resumed["n_rounds_per_restart"]
+            == full["n_rounds_per_restart"])
+    # k is global: the resumed run reports the cumulative step count
+    assert resumed["k_global_steps"] == full["k_global_steps"]

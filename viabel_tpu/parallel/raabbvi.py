@@ -103,9 +103,12 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
 
     ``schedule``: ``"lockstep"`` (default) or ``"async"`` — see the
     module docstring.  Async removes the per-round barrier (early
-    converging restarts start their next round immediately) but does not
-    yet support ``mesh``, ``resume_state``/``round_callback``, or
-    stateful (DIS) objectives.
+    converging restarts start their next round immediately); its
+    elastic recovery is at SEGMENT granularity — ``round_callback``
+    fires (with cumulative completed-round count and snapshot) at every
+    segment boundary where any restart advanced a round or settled, and
+    ``resume_state`` continues mid-round, replaying in-flight verdicts.
+    Async does not yet support ``mesh`` or stateful (DIS) objectives.
 
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
@@ -113,8 +116,8 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     ``learning_rate_hist``, ``SKL_history``, ``kappa_hist``, ``c_hist``,
     ``predicted_iters_hist``, ``stopping_crt``, ``n_rounds``,
     ``k_global_steps`` (total batched steps run — the wall-clock proxy
-    the async schedule improves), and ``resume_state`` (lockstep only;
-    async instead adds ``n_rounds_per_restart``).
+    the async schedule improves), and ``resume_state`` (async also adds
+    ``n_rounds_per_restart``).
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
@@ -124,11 +127,6 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
     if schedule == "async":
-        if resume_state is not None or round_callback is not None:
-            raise ValueError(
-                'schedule="async" does not support resume_state/'
-                'round_callback yet; use the lockstep schedule for '
-                'round-granularity elastic recovery')
         if mesh is not None:
             raise ValueError('schedule="async" does not support mesh '
                              'sharding yet; use the lockstep schedule')
@@ -141,6 +139,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             max_history=max_history, rhat_threshold=rhat_threshold,
             rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
             rhat_group=rhat_group, check_pipeline=check_pipeline,
+            resume_state=resume_state, round_callback=round_callback,
             verbose=verbose)
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
@@ -368,13 +367,30 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     }
 
 
+def _pack_optional_rows(rows, shape, dtype):
+    """Encode a list of None-or-array rows as a fixed-structure pytree
+    (``values`` stacked with zeros where unset + a ``set`` mask) so the
+    async driver's snapshot serializes through viabel_tpu.checkpoint."""
+    set_mask = np.asarray([r is not None for r in rows])
+    vals = jnp.stack([jnp.zeros(shape, dtype) if r is None
+                      else jnp.asarray(r, dtype=dtype) for r in rows])
+    return {"values": vals, "set": set_mask}
+
+
+def _unpack_optional_rows(d):
+    set_mask = np.asarray(d["set"]).astype(bool)
+    vals = jnp.asarray(d["values"])
+    return [vals[i] if set_mask[i] else None for i in range(len(set_mask))]
+
+
 def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               rho, iters0, accuracy_threshold,
                               inefficiency_threshold, learning_rate,
                               mcse_threshold, W_min, ESS_min, k_check,
                               max_history, rhat_threshold, rhat_quantile,
                               rhat_backoff, rhat_group, check_pipeline,
-                              verbose):
+                              resume_state=None, round_callback=None,
+                              verbose=True):
     """Asynchronous per-restart rounds: one continuous batched program.
 
     The lockstep schedule runs each outer round as its own
@@ -418,15 +434,29 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     ``rhat_backoff`` check cadence is shared and resets to full whenever
     any restart starts a new round.
 
-    Not yet supported here (use the lockstep schedule): ``mesh``
-    sharding, ``resume_state``/``round_callback`` elastic recovery,
-    stateful (DIS) objectives — a DIS estimator state with SHARED leaves
-    (the resample-cadence counter) cannot be reset for one restart while
-    others continue.
+    Elastic recovery at SEGMENT granularity: ``round_callback(total_rounds,
+    snapshot)`` fires after every segment where any restart advanced a
+    round or settled (``total_rounds`` = cumulative completed rounds
+    across restarts).  The snapshot captures the whole continuous
+    program — device state (iterates, optimizer states, rings, ring
+    clock), every per-restart round clock and history, the per-restart
+    key chains, the check-cadence state, and the in-flight pipelined
+    verdicts (stored as device references; serializing via
+    :mod:`viabel_tpu.checkpoint` forces the transfer at save time) —
+    so ``resume_state=`` continues MID-ROUND, replaying pending
+    verdicts, unlike the lockstep schedule's round-boundary snapshots.
+    As everywhere, the wall-clock MCSE *recheck* schedule is the one
+    nondeterministic input (elapsed optimization time is carried across
+    the resume so the recheck scale stays continuous).
 
-    Returns the lockstep schedule's dict (minus ``resume_state``) plus
-    ``n_rounds_per_restart`` and ``k_global_steps`` (total batched steps
-    the program ran — the wall-clock proxy the async schedule improves).
+    Not yet supported here (use the lockstep schedule): ``mesh``
+    sharding, and stateful (DIS) objectives — a DIS estimator state with
+    SHARED leaves (the resample-cadence counter) cannot be reset for one
+    restart while others continue.
+
+    Returns the lockstep schedule's dict plus ``n_rounds_per_restart``
+    and ``k_global_steps`` (total batched steps the program ran — the
+    wall-clock proxy the async schedule improves).
     """
     B, D = init_params.shape
     K_max = int(K_max)
@@ -531,6 +561,106 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     max_interval = max(1, R // k_check)
     mcse_time_total = 0.0
     loop_start = _now()
+
+    if resume_state is not None:
+        rs = resume_state
+        var_params = jnp.asarray(rs["var_params"])
+        opt_states = jax.tree_util.tree_map(jnp.asarray, rs["opt_states"])
+        keys = jnp.asarray(rs["keys"])
+        # copy: the segment runner donates the ring buffer, and resuming
+        # directly from an in-memory snapshot must not invalidate the
+        # caller's copy of it
+        rings = jnp.array(rs["rings"], copy=True)
+        t = jnp.asarray(rs["t"])
+        k = int(rs["k"])
+        lr = np.asarray(rs["lr"]).copy()
+        mcse = np.asarray(rs["mcse"]).copy()
+        K_rem = np.asarray(rs["K_rem"]).copy()
+        k_total = np.asarray(rs["k_total"]).copy()
+        k_dec = np.asarray(rs["k_dec"]).copy()
+        active = np.asarray(rs["active"]).astype(bool).copy()
+        k_stopped_final = [None if int(v) < 0 else int(v)
+                           for v in np.asarray(rs["k_stopped_final"])]
+        n_rounds_b = np.asarray(rs["n_rounds_b"]).copy()
+        round_id = np.asarray(rs["round_id"]).copy()
+        round_start = np.asarray(rs["round_start"]).copy()
+        outer_keys = list(jnp.asarray(rs["outer_keys"]))
+        key_regs = list(jnp.asarray(rs["key_regs"]))
+        avg_prev = _unpack_optional_rows(rs["avg_prev"])
+        final_avg = _unpack_optional_rows(rs["final_avg"])
+        frozen = _unpack_optional_rows(rs["frozen"])
+        last_checked_avg = _unpack_optional_rows(rs["last_checked_avg"])
+        k_conv = np.asarray(rs["k_conv"]).copy()
+        k_stopped = np.asarray(rs["k_stopped"]).copy()
+        W_check = np.asarray(rs["W_check"]).copy()
+        last_best_W = np.asarray(rs["last_best_W"]).copy()
+        check_interval = int(rs["check_interval"])
+        next_check_at = int(rs["next_check_at"])
+        interval_adjusted_at = int(rs["interval_adjusted_at"])
+        mcse_time_total = float(rs["mcse_time_total"])
+        # carry elapsed optimization time across the resume so the
+        # MCSE recheck cost model stays continuous (total_opt below)
+        loop_start = _now() - float(rs["opt_elapsed"])
+        pending.extend(dict(ck) for ck in rs["pending_checks"])
+        conv_iters = [[int(v) for v in h] for h in rs["conv_iters_hist"]]
+        lr_hist = [[float(v) for v in h] for h in rs["learning_rate_hist"]]
+        skl_hist = [[float(v) for v in h] for h in rs["SKL_history"]]
+        kappa_hist = [[float(v) for v in h] for h in rs["kappa_hist"]]
+        c_hist = [[float(v) for v in h] for h in rs["c_hist"]]
+        pred_hist = [[int(v) for v in h] for h in rs["predicted_iters_hist"]]
+        crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
+
+    def outer_snapshot():
+        """Segment-boundary state of the continuous program: a
+        fixed-structure pytree (per the config's B/D/R geometry; only
+        the pending-verdict count and the ragged per-restart histories
+        vary).  Device arrays (iterates, rings, in-flight ``r_hats``)
+        are stored by REFERENCE — building the snapshot costs no
+        transfer; serializing it through viabel_tpu.checkpoint forces
+        them (including any still-in-flight verdict transfers) at save
+        time."""
+        return {
+            "var_params": var_params, "opt_states": opt_states,
+            # device-side ring copy: the next segment DONATES the live
+            # ring buffer, which would leave the snapshot holding a
+            # deleted array (everything else in the carry is undonated)
+            "keys": keys, "rings": jnp.array(rings, copy=True),
+            "t": t, "k": k,
+            "lr": lr.copy(), "mcse": mcse.copy(),
+            "K_rem": K_rem.copy(), "k_total": k_total.copy(),
+            "k_dec": k_dec.copy(), "active": active.copy(),
+            "k_stopped_final": np.asarray(
+                [-1 if v is None else v for v in k_stopped_final]),
+            "n_rounds_b": n_rounds_b.copy(),
+            "round_id": round_id.copy(),
+            "round_start": round_start.copy(),
+            "outer_keys": jnp.stack(outer_keys),
+            "key_regs": jnp.stack(key_regs),
+            "avg_prev": _pack_optional_rows(avg_prev, (D,),
+                                            init_params.dtype),
+            "final_avg": _pack_optional_rows(final_avg, (D,),
+                                             init_params.dtype),
+            "frozen": _pack_optional_rows(frozen, (8, C),
+                                          init_params.dtype),
+            "last_checked_avg": _pack_optional_rows(
+                last_checked_avg, (8, C), init_params.dtype),
+            "k_conv": k_conv.copy(), "k_stopped": k_stopped.copy(),
+            "W_check": W_check.copy(),
+            "last_best_W": last_best_W.copy(),
+            "check_interval": check_interval,
+            "next_check_at": next_check_at,
+            "interval_adjusted_at": interval_adjusted_at,
+            "mcse_time_total": mcse_time_total,
+            "opt_elapsed": _now() - loop_start,
+            "pending_checks": [dict(ck) for ck in pending],
+            "conv_iters_hist": [list(h) for h in conv_iters],
+            "learning_rate_hist": [list(h) for h in lr_hist],
+            "SKL_history": [list(h) for h in skl_hist],
+            "kappa_hist": [list(h) for h in kappa_hist],
+            "c_hist": [list(h) for h in c_hist],
+            "predicted_iters_hist": [list(h) for h in pred_hist],
+            "stopping_crt": [list(h) for h in crt_hist],
+        }
 
     def process_check(ck):
         nonlocal check_interval, next_check_at, interval_adjusted_at
@@ -757,6 +887,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
 
         # per-restart round advancement + budget enforcement
         advanced = {}
+        settled_any = False
         for b in range(B):
             if not active[b]:
                 continue
@@ -764,7 +895,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 new_init = advance_restart(b)
                 if new_init is not None:
                     advanced[b] = new_init
+                else:
+                    settled_any = True
             elif k - round_start[b] >= K_rem[b]:
+                settled_any = True
                 # round ran b's whole remaining budget without stopping:
                 # maximum iterations for this restart (final parameter =
                 # the standalone fallback chain: last checked average,
@@ -802,6 +936,8 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 check_interval = 1
                 next_check_at = 0
                 interval_adjusted_at = k
+        if round_callback is not None and (advanced or settled_any):
+            round_callback(int(n_rounds_b.sum()), outer_snapshot())
 
     if verbose:
         unfinished = [b for b in range(B) if k_stopped_final[b] is None]
@@ -826,4 +962,5 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         "n_rounds": int(n_rounds_b.max()) if B else 0,
         "n_rounds_per_restart": [int(v) for v in n_rounds_b],
         "k_global_steps": k,
+        "resume_state": outer_snapshot(),
     }

@@ -699,10 +699,44 @@ def test_multistart_raabbvi_async_validation():
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0),
                            schedule="bogus")
-    with pytest.raises(ValueError, match="mesh"):
+    with pytest.raises(ValueError, match="divisible"):
+        from viabel_tpu.parallel import make_mesh
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
-                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
-                           schedule="async", mesh=object())
+                           jnp.zeros((3, 2)), jax.random.PRNGKey(0),
+                           schedule="async",
+                           mesh=make_mesh((8,), ("restart",)))
+
+
+def test_multistart_raabbvi_async_sharded_matches_unsharded(monkeypatch):
+    """Async restart-axis sharding is placement-only: the continuous
+    batched program runs under shard_map on the virtual 8-device CPU
+    mesh with identical per-restart round decisions and results."""
+    from viabel_tpu.parallel import make_mesh, multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 8
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    kwargs = dict(learning_rate=np.geomspace(0.04, 0.005, B), rho=0.5,
+                  mcse_threshold=0.05, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, ESS_min=10,
+                  verbose=False, schedule="async")
+    plain = multistart_raabbvi(AveragedRMSProp(0.01), 12000, objective,
+                               inits, jax.random.PRNGKey(2), **kwargs)
+    mesh = make_mesh((8,), ("restart",))
+    shard = multistart_raabbvi(AveragedRMSProp(0.01), 12000, objective,
+                               inits, jax.random.PRNGKey(2), mesh=mesh,
+                               **kwargs)
+    np.testing.assert_allclose(np.asarray(shard["opt_param"]),
+                               np.asarray(plain["opt_param"]),
+                               rtol=1e-6, atol=1e-9)
+    assert shard["k_stopped_final"] == plain["k_stopped_final"]
+    assert shard["n_rounds_per_restart"] == plain["n_rounds_per_restart"]
+    assert shard["conv_iters_hist"] == plain["conv_iters_hist"]
+    for a, b in zip(shard["SKL_history"], plain["SKL_history"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
 def test_multistart_raabbvi_async_resume_matches_uninterrupted(

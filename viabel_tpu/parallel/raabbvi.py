@@ -108,7 +108,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     fires (with cumulative completed-round count and snapshot) at every
     segment boundary where any restart advanced a round or settled, and
     ``resume_state`` continues mid-round, replaying in-flight verdicts.
-    Async does not yet support ``mesh`` or stateful (DIS) objectives.
+    Async does not yet support stateful (DIS) objectives.
 
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
@@ -127,9 +127,6 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
     if schedule == "async":
-        if mesh is not None:
-            raise ValueError('schedule="async" does not support mesh '
-                             'sharding yet; use the lockstep schedule')
         return _multistart_raabbvi_async(
             sgo, K_max, objective, jnp.asarray(init_params), key,
             rho=rho, iters0=iters0, accuracy_threshold=accuracy_threshold,
@@ -139,6 +136,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             max_history=max_history, rhat_threshold=rhat_threshold,
             rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
             rhat_group=rhat_group, check_pipeline=check_pipeline,
+            mesh=mesh, restart_axis=restart_axis,
             resume_state=resume_state, round_callback=round_callback,
             verbose=verbose)
     init_params = jnp.asarray(init_params)
@@ -389,6 +387,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               mcse_threshold, W_min, ESS_min, k_check,
                               max_history, rhat_threshold, rhat_quantile,
                               rhat_backoff, rhat_group, check_pipeline,
+                              mesh=None, restart_axis="restart",
                               resume_state=None, round_callback=None,
                               verbose=True):
     """Asynchronous per-restart rounds: one continuous batched program.
@@ -449,10 +448,17 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     nondeterministic input (elapsed optimization time is carried across
     the resume so the recheck scale stays continuous).
 
-    Not yet supported here (use the lockstep schedule): ``mesh``
-    sharding, and stateful (DIS) objectives — a DIS estimator state with
-    SHARED leaves (the resample-cadence counter) cannot be reset for one
-    restart while others continue.
+    ``mesh`` / ``restart_axis`` shard the continuous program's restarts
+    (states, rings, batched statistics) exactly like
+    ``multistart_faso(mesh=...)`` — the per-restart round bookkeeping
+    stays on host, and the surgical per-restart resets go through the
+    same host-side ``.at[idx].set`` path (resharded automatically on
+    the next segment dispatch).
+
+    Not yet supported here (use the lockstep schedule): stateful (DIS)
+    objectives — a DIS estimator state with SHARED leaves (the
+    resample-cadence counter) cannot be reset for one restart while
+    others continue.
 
     Returns the lockstep schedule's dict plus ``n_rounds_per_restart``
     and ``k_global_steps`` (total batched steps the program ran — the
@@ -494,7 +500,8 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
 
     engine = _BatchedEngine(
         sgo, objective, init_params, G=G, diagnostics=False,
-        rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold)
+        rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold,
+        mesh=mesh, restart_axis=restart_axis)
     if engine.stateful:
         raise ValueError(
             'schedule="async" does not support stateful (DIS) objectives '

@@ -739,6 +739,50 @@ def test_multistart_raabbvi_async_sharded_matches_unsharded(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
+def test_multistart_raabbvi_async_stateful_dis(monkeypatch):
+    """Async + stateful DIS (no-resampling): the per-restart round reset
+    restores the estimator's eps/ok rows exactly (the one SHARED state
+    leaf, the step counter, is inert without the resample cadence), so
+    B=1 reproduces the single-RAABBVI chain; resampling DIS raises up
+    front with a pointer to the lockstep schedule."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+
+    def make_dis(use_resampling):
+        return DISInclusiveKL(
+            approx, model, 50, ess_target=25,
+            use_resampling=use_resampling, temper_prior=MFGaussian(dim),
+            temper_prior_params=np.zeros(2 * dim))
+
+    init = jnp.asarray(approx.init_param() + 0.4)
+    kwargs = dict(rho=0.5, mcse_threshold=0.05, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, ESS_min=10)
+    K = 3002
+    dis = make_dis(False)
+    single = RAABBVI(AveragedRMSProp(0.05), **kwargs).optimize(
+        K, dis, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(AveragedRMSProp(0.05), K, dis, init[None],
+                                 jax.random.PRNGKey(3), schedule="async",
+                                 verbose=False, **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    assert batched["obj_state_errors"] == [None]
+
+    with pytest.raises(ValueError, match="use_resampling=False"):
+        multistart_raabbvi(AveragedRMSProp(0.05), 100, make_dis(True),
+                           init[None], jax.random.PRNGKey(3),
+                           schedule="async", verbose=False, **kwargs)
+
+
 def test_multistart_raabbvi_async_resume_matches_uninterrupted(
         monkeypatch, tmp_path):
     """Async elastic recovery at SEGMENT granularity: resume from a

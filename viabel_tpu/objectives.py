@@ -628,6 +628,36 @@ class DISInclusiveKL(StochasticVariationalObjective):
             raise ValueError("Non-finite importance weights! "
                              "Suggests overflow in importance density.")
 
+    def reset_obj_state_rows(self, obj_state, idx):
+        """Reset restarts ``idx`` of a BATCHED estimator state to fresh
+        ``init_obj_state`` values, leaving the other restarts running
+        (the async ``multistart_raabbvi`` per-restart round reset; a
+        standalone run re-initializes the whole state between rounds).
+
+        Only the no-resampling estimator supports this: its one SHARED
+        leaf — the step counter (``obj_state_batch_axes``) — is
+        semantically inert there (the refresh runs every step and
+        nothing reads the count), so resetting the per-restart
+        ``eps``/``ok`` rows reproduces a fresh state exactly.  The
+        resampling estimator's per-restart sample cache would
+        additionally need an immediate refresh off the SHARED cadence
+        clock — unsupported (raises).
+        """
+        if self._use_resampling:
+            raise ValueError(
+                "per-restart state reset supports DIS with "
+                "use_resampling=False only (the resampling cache rides "
+                "the shared refresh cadence and cannot be re-refreshed "
+                "for one restart while others continue); use the "
+                "lockstep schedule")
+        dtype = obj_state["eps"].dtype
+        return {
+            **obj_state,
+            "eps": obj_state["eps"].at[idx].set(
+                jnp.asarray(self._max_eps, dtype)),
+            "ok": obj_state["ok"].at[idx].set(True),
+        }
+
     def mc_sharded_step_with_state(self, axis_name, n_shards):
         """Per-shard stateful step for MC-sample-axis data parallelism.
 

@@ -108,7 +108,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     fires (with cumulative completed-round count and snapshot) at every
     segment boundary where any restart advanced a round or settled, and
     ``resume_state`` continues mid-round, replaying in-flight verdicts.
-    Async does not yet support stateful (DIS) objectives.
+    Stateful objectives need a per-restart reset hook
+    (``reset_obj_state_rows``): no-resampling DIS qualifies, resampling
+    DIS raises (use lockstep).
 
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
@@ -455,10 +457,16 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     same host-side ``.at[idx].set`` path (resharded automatically on
     the next segment dispatch).
 
-    Not yet supported here (use the lockstep schedule): stateful (DIS)
-    objectives — a DIS estimator state with SHARED leaves (the
-    resample-cadence counter) cannot be reset for one restart while
-    others continue.
+    Stateful objectives run when they expose a per-restart round reset
+    (``objective.reset_obj_state_rows``): DIS with
+    ``use_resampling=False`` qualifies — its one SHARED state leaf, the
+    step counter, is semantically inert without the resample cadence,
+    so resetting the advanced restarts' ``eps``/``ok`` rows reproduces
+    a standalone run's fresh per-round state exactly.  Resampling DIS
+    raises (its sample cache rides the shared cadence clock and cannot
+    be re-refreshed for one restart); use the lockstep schedule.
+    Degenerate estimator states are recorded per restart in
+    ``results["obj_state_errors"]``, never aborting the batch.
 
     Returns the lockstep schedule's dict plus ``n_rounds_per_restart``
     and ``k_global_steps`` (total batched steps the program ran — the
@@ -502,11 +510,11 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         sgo, objective, init_params, G=G, diagnostics=False,
         rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold,
         mesh=mesh, restart_axis=restart_axis)
-    if engine.stateful:
+    if engine.stateful and not hasattr(objective, "reset_obj_state_rows"):
         raise ValueError(
-            'schedule="async" does not support stateful (DIS) objectives '
-            "(shared state leaves cannot be reset per restart); use the "
-            "lockstep schedule")
+            'schedule="async" with a stateful objective requires a '
+            "per-restart round reset (objective.reset_obj_state_rows); "
+            "use the lockstep schedule")
 
     # per-restart outer (host) state — the reference's loop variables,
     # one copy per restart, advancing on independent round clocks
@@ -547,7 +555,13 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
 
     var_params = init_params
     opt_states = jax.vmap(sgo.init_state)(init_params)
-    obj_states = ()
+    obj_states = engine.init_obj_states(init_params)
+    obj_errors = [None] * B
+    if engine.stateful:
+        # capability probe: DIS(use_resampling=True) raises HERE, not at
+        # the first mid-run round advancement
+        obj_states = objective.reset_obj_state_rows(
+            obj_states, jnp.arange(B))
     keys = jnp.stack([_next_round_keys(b) for b in range(B)])
     rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
     t = jnp.asarray(0)
@@ -573,6 +587,13 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         rs = resume_state
         var_params = jnp.asarray(rs["var_params"])
         opt_states = jax.tree_util.tree_map(jnp.asarray, rs["opt_states"])
+        obj_states = jax.tree_util.tree_map(jnp.asarray, rs["obj_states"])
+        # error MESSAGES don't round-trip through the array checkpoint;
+        # the flags do (a flagged restart stays flagged, with a generic
+        # message)
+        obj_errors = [("objective state flagged invalid before the "
+                       "checkpoint") if bool(f) else None
+                      for f in np.asarray(rs["obj_error_flags"])]
         keys = jnp.asarray(rs["keys"])
         # copy: the segment runner donates the ring buffer, and resuming
         # directly from an in-memory snapshot must not invalidate the
@@ -628,6 +649,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         time."""
         return {
             "var_params": var_params, "opt_states": opt_states,
+            "obj_states": obj_states,
+            "obj_error_flags": np.asarray(
+                [e is not None for e in obj_errors]),
             # device-side ring copy: the next segment DONATES the live
             # ring buffer, which would leave the snapshot holding a
             # deleted array (everything else in the carry is undonated)
@@ -822,6 +846,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         var_params, opt_states, obj_states, keys, rings, _ = carry
         t = t + k_check
         k += k_check
+        if engine.stateful:
+            # segment-boundary degeneracy check (DIS non-finite weights):
+            # recorded per restart, never aborts the batch
+            engine.check_obj_states(obj_states, obj_errors, k)
 
         # batched R-hat dispatch over the union of per-restart candidates
         kb = k - round_start
@@ -938,6 +966,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 fresh = jax.vmap(sgo.init_state)(new_inits)
                 opt_states = jax.tree_util.tree_map(
                     lambda full, f: full.at[idx].set(f), opt_states, fresh)
+            if engine.stateful:
+                # a standalone run re-inits the estimator state between
+                # rounds; reset exactly the advanced restarts' rows
+                obj_states = objective.reset_obj_state_rows(obj_states, idx)
             if rhat_backoff is not None:
                 # a fresh round needs full-cadence checks again
                 check_interval = 1
@@ -969,5 +1001,6 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         "n_rounds": int(n_rounds_b.max()) if B else 0,
         "n_rounds_per_restart": [int(v) for v in n_rounds_b],
         "k_global_steps": k,
+        "obj_state_errors": list(obj_errors),
         "resume_state": outer_snapshot(),
     }

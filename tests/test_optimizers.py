@@ -739,12 +739,21 @@ def test_multistart_raabbvi_async_sharded_matches_unsharded(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
-def test_multistart_raabbvi_async_stateful_dis(monkeypatch):
-    """Async + stateful DIS (no-resampling): the per-restart round reset
-    restores the estimator's eps/ok rows exactly (the one SHARED state
-    leaf, the step counter, is inert without the resample cadence), so
-    B=1 reproduces the single-RAABBVI chain; resampling DIS raises up
-    front with a pointer to the lockstep schedule."""
+@pytest.mark.parametrize("use_resampling", [False, True])
+def test_multistart_raabbvi_async_stateful_dis(monkeypatch, use_resampling):
+    """Async + stateful DIS, BOTH estimator modes: the per-restart round
+    reset restores the estimator's eps/ok rows (no-resampling: the shared
+    step counter is inert; resampling: the reset zeroes the shared refresh
+    clock, so the next batched step re-refreshes every cache in-scan —
+    exactly a standalone fresh round's first step), so B=1 reproduces the
+    single-RAABBVI chain bit-exactly.
+
+    Config chosen (like every parity test here) so each round stops at its
+    FIRST MCSE check: a failed check schedules a wall-clock-driven recheck
+    — the one nondeterministic input, which diverges between the two
+    drivers even under the stub clock (they call _now() different numbers
+    of times).  At these settings both runs complete three rounds and fire
+    the termination rule at iteration 2400/1900 (resampling/not)."""
     from viabel_tpu import DISInclusiveKL, MFGaussian
     from viabel_tpu.models import zoo
     from viabel_tpu.parallel import multistart_raabbvi
@@ -753,34 +762,66 @@ def test_multistart_raabbvi_async_stateful_dis(monkeypatch):
     dim = 2
     model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
     approx = MFGaussian(dim)
-
-    def make_dis(use_resampling):
-        return DISInclusiveKL(
-            approx, model, 50, ess_target=25,
-            use_resampling=use_resampling, temper_prior=MFGaussian(dim),
-            temper_prior_params=np.zeros(2 * dim))
+    dis = DISInclusiveKL(
+        approx, model, 50, ess_target=25, num_resampling_batches=3,
+        use_resampling=use_resampling, temper_prior=MFGaussian(dim),
+        temper_prior_params=np.zeros(2 * dim))
 
     init = jnp.asarray(approx.init_param() + 0.4)
-    kwargs = dict(rho=0.5, mcse_threshold=0.05, inefficiency_threshold=1.0,
-                  accuracy_threshold=0.1, max_history=2000, ESS_min=10)
-    K = 3002
-    dis = make_dis(False)
+    kwargs = dict(rho=0.5, mcse_threshold=5.0, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.1, max_history=2000, W_min=100,
+                  ESS_min=2)
+    K = 8000
     single = RAABBVI(AveragedRMSProp(0.05), **kwargs).optimize(
         K, dis, init, key=jax.random.PRNGKey(3))
     batched = multistart_raabbvi(AveragedRMSProp(0.05), K, dis, init[None],
                                  jax.random.PRNGKey(3), schedule="async",
                                  verbose=False, **kwargs)
+    assert single["k_stopped_final"] is not None  # termination rule fired
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
     np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
-                               np.asarray(single["opt_param"]), rtol=1e-10)
-    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+                               np.asarray(single["opt_param"]), rtol=1e-10,
+                               atol=1e-14)
+    assert batched["conv_iters_hist"][0] == list(single["conv_iters_hist"])
     np.testing.assert_allclose(batched["SKL_history"][0],
                                single["SKL_history"], rtol=1e-8)
     assert batched["obj_state_errors"] == [None]
 
-    with pytest.raises(ValueError, match="use_resampling=False"):
-        multistart_raabbvi(AveragedRMSProp(0.05), 100, make_dis(True),
-                           init[None], jax.random.PRNGKey(3),
-                           schedule="async", verbose=False, **kwargs)
+
+def test_multistart_raabbvi_async_resampling_dis_multi_restart(monkeypatch):
+    """Resampling DIS at B>1 under async: heterogeneous lrs force
+    mid-cycle round advances (the shared-refresh-clock resets); every
+    restart still recovers the target and no estimator degenerates."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    dim = 2
+    mean = np.array([0.8, -0.3])
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(dim))
+    approx = MFGaussian(dim)
+    dis = DISInclusiveKL(
+        approx, model, 50, ess_target=25, num_resampling_batches=4,
+        use_resampling=True, temper_prior=MFGaussian(dim),
+        temper_prior_params=np.zeros(2 * dim))
+    B = 3
+    rng = np.random.RandomState(1)
+    inits = jnp.asarray(approx.init_param()[None]
+                        + 0.3 * rng.randn(B, 2 * dim))
+    res = multistart_raabbvi(
+        AveragedRMSProp(0.05), 4000, dis, inits, jax.random.PRNGKey(5),
+        learning_rate=np.array([0.08, 0.04, 0.02]), rho=0.5,
+        mcse_threshold=0.05, inefficiency_threshold=1.0,
+        accuracy_threshold=0.1, max_history=2000, ESS_min=10,
+        schedule="async", verbose=False)
+    assert res["obj_state_errors"] == [None] * B
+    # at least one restart advanced past its first round (exercising the
+    # shared-clock reset mid-run)
+    assert max(res["n_rounds_per_restart"]) >= 2
+    opt = np.asarray(res["opt_param"])
+    assert np.all(np.isfinite(opt))
+    np.testing.assert_allclose(opt[:, :dim], np.tile(mean, (B, 1)), atol=0.3)
 
 
 def test_multistart_raabbvi_async_resume_matches_uninterrupted(

@@ -634,29 +634,40 @@ class DISInclusiveKL(StochasticVariationalObjective):
         (the async ``multistart_raabbvi`` per-restart round reset; a
         standalone run re-initializes the whole state between rounds).
 
-        Only the no-resampling estimator supports this: its one SHARED
-        leaf — the step counter (``obj_state_batch_axes``) — is
-        semantically inert there (the refresh runs every step and
-        nothing reads the count), so resetting the per-restart
-        ``eps``/``ok`` rows reproduces a fresh state exactly.  The
-        resampling estimator's per-restart sample cache would
-        additionally need an immediate refresh off the SHARED cadence
-        clock — unsupported (raises).
+        No-resampling mode: the one SHARED leaf — the step counter
+        (``obj_state_batch_axes``) — is semantically inert there (the
+        refresh runs every step and nothing reads the count), so
+        resetting the per-restart ``eps``/``ok`` rows reproduces a fresh
+        state exactly.
+
+        Resampling mode: the per-restart sample cache must also be
+        re-refreshed, but the refresh rides the SHARED cadence clock (a
+        per-restart clock would lower the refresh ``lax.cond`` to
+        ``select`` under vmap and forfeit the amortization, the round-2
+        finding behind ``obj_state_batch_axes``).  So instead of
+        refreshing one row, ZERO the shared clock: the next batched step
+        takes the refresh branch for EVERY restart, inside the scan with
+        the scan's own keys.  For the reset restart that is exactly a
+        standalone fresh round's first step (fresh ``init_obj_state``
+        has ``step == 0`` too, and the stale cache rows are overwritten
+        before anything reads them), so ``B = 1`` reproduces a single
+        RAABBVI round chain bit-exactly; the other restarts just get one
+        early cache refresh at their current parameters — always a valid
+        (fresher) estimator state — and the cadence then continues from
+        zero.  Amortization cost: one extra full refresh per
+        round-advance event, negligible against rounds thousands of
+        steps long.
         """
-        if self._use_resampling:
-            raise ValueError(
-                "per-restart state reset supports DIS with "
-                "use_resampling=False only (the resampling cache rides "
-                "the shared refresh cadence and cannot be re-refreshed "
-                "for one restart while others continue); use the "
-                "lockstep schedule")
         dtype = obj_state["eps"].dtype
-        return {
+        new_state = {
             **obj_state,
             "eps": obj_state["eps"].at[idx].set(
                 jnp.asarray(self._max_eps, dtype)),
             "ok": obj_state["ok"].at[idx].set(True),
         }
+        if self._use_resampling:
+            new_state["step"] = jnp.zeros_like(obj_state["step"])
+        return new_state
 
     def mc_sharded_step_with_state(self, axis_name, n_shards):
         """Per-shard stateful step for MC-sample-axis data parallelism.

@@ -109,8 +109,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     segment boundary where any restart advanced a round or settled, and
     ``resume_state`` continues mid-round, replaying in-flight verdicts.
     Stateful objectives need a per-restart reset hook
-    (``reset_obj_state_rows``): no-resampling DIS qualifies, resampling
-    DIS raises (use lockstep).
+    (``reset_obj_state_rows``): both DIS modes qualify (the resampling
+    mode's reset zeroes the shared refresh clock so the next batched
+    step re-refreshes every cache in-scan — see the hook's docstring).
 
     Returns a dict with ``opt_param`` (B, D) final round averages,
     per-restart lists ``k_stopped_final`` (None where the termination
@@ -458,13 +459,17 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     the next segment dispatch).
 
     Stateful objectives run when they expose a per-restart round reset
-    (``objective.reset_obj_state_rows``): DIS with
-    ``use_resampling=False`` qualifies — its one SHARED state leaf, the
-    step counter, is semantically inert without the resample cadence,
-    so resetting the advanced restarts' ``eps``/``ok`` rows reproduces
-    a standalone run's fresh per-round state exactly.  Resampling DIS
-    raises (its sample cache rides the shared cadence clock and cannot
-    be re-refreshed for one restart); use the lockstep schedule.
+    (``objective.reset_obj_state_rows``).  DIS with
+    ``use_resampling=False``: its one SHARED state leaf, the step
+    counter, is semantically inert without the resample cadence, so
+    resetting the advanced restarts' ``eps``/``ok`` rows reproduces a
+    standalone run's fresh per-round state exactly.  DIS with
+    ``use_resampling=True``: the reset additionally ZEROES the shared
+    refresh clock, so the next batched step re-refreshes every
+    restart's sample cache inside the scan with the scan's own keys —
+    the reset restart sees exactly a standalone fresh round's first
+    step (B=1 stays bit-exact), the others one early (harmless) cache
+    refresh; costs one extra full refresh per round-advance event.
     Degenerate estimator states are recorded per restart in
     ``results["obj_state_errors"]``, never aborting the batch.
 
@@ -558,8 +563,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     obj_states = engine.init_obj_states(init_params)
     obj_errors = [None] * B
     if engine.stateful:
-        # capability probe: DIS(use_resampling=True) raises HERE, not at
-        # the first mid-run round advancement
+        # capability probe: an objective whose hook cannot reset rows
+        # raises HERE, not at the first mid-run round advancement (the
+        # call itself is a no-op on a fresh state)
         obj_states = objective.reset_obj_state_rows(
             obj_states, jnp.arange(B))
     keys = jnp.stack([_next_round_keys(b) for b in range(B)])

@@ -87,6 +87,114 @@ def test_bbvi_arg_validation():
         convenience.bbvi(2, fit=object())
 
 
+def test_select_best_restart():
+    """The shared-key ELBO selector prefers a param at the target over a
+    displaced one, and non-finite scores lose to finite ones."""
+    import jax.numpy as jnp
+    from viabel_tpu import MFGaussian
+    mean = np.array([1.0, -2.0])
+    stdev = np.array([0.5, 1.5])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    good = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    bad = good + jnp.asarray([5.0, -5.0, 0.0, 0.0])
+    nan = good.at[0].set(jnp.nan)
+    best, scores = convenience.select_best_restart(
+        jnp.stack([bad, good, nan]), model=model, approx=approx,
+        key=jax.random.PRNGKey(0))
+    assert best == 1
+    assert scores.shape == (3,)
+    assert float(scores[1]) > float(scores[0])
+    assert not np.isfinite(float(scores[2]))
+    with pytest.raises(ValueError):
+        convenience.select_best_restart(jnp.stack([nan, nan]),
+                                        model=model, approx=approx)
+    with pytest.raises(ValueError):
+        convenience.elbo_estimates(good, model=model, approx=approx)  # 1-D
+    with pytest.raises(ValueError):
+        convenience.elbo_estimates(jnp.stack([good]))  # no model/approx
+
+
+@pytest.mark.parametrize("adaptive,fixed_lr", [
+    (True, False),   # multistart_raabbvi
+    (True, True),    # multistart_faso
+    (False, True),   # multistart_optimize (plain SGO)
+])
+def test_bbvi_multistart(adaptive, fixed_lr):
+    """``bbvi(num_restarts=B)`` runs B batched restarts on every optimizer
+    path and returns the best restart's optimum as ``opt_param``."""
+    mean = np.array([1.5, -0.5])
+    stdev = np.array([1.2, 0.8])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    B = 3
+    results = convenience.bbvi(
+        2, log_density=model, num_mc_samples=40, n_iters=1500,
+        adaptive=adaptive, fixed_lr=fixed_lr, num_restarts=B,
+        FASO_kwargs=dict(W_min=100),
+        RAABBVI_kwargs=dict(W_min=100, mcse_threshold=0.05),
+        multistart_kwargs=dict(verbose=False) if (adaptive and not fixed_lr)
+        else None,
+        key=jax.random.PRNGKey(11))
+    assert results["opt_params"].shape == (B, 4)
+    assert results["restart_elbos"].shape == (B,)
+    b = results["best_restart"]
+    assert 0 <= b < B
+    np.testing.assert_array_equal(np.asarray(results["opt_param"]),
+                                  np.asarray(results["opt_params"][b]))
+    assert float(results["restart_elbos"][b]) == float(
+        np.max(np.asarray(results["restart_elbos"])))
+    approx = results["objective"].approx
+    est_mean, est_cov = approx.mean_and_cov(results["opt_param"])
+    np.testing.assert_allclose(np.asarray(est_mean), mean, atol=0.25)
+    np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(est_cov))),
+                               stdev, atol=0.3)
+
+
+def test_bbvi_multistart_lr_grid_and_inits():
+    """Per-restart learning-rate grids and explicit (B, D) inits flow
+    through; the displaced init loses the ELBO selection."""
+    import jax.numpy as jnp
+    mean = np.array([1.0, -1.0])
+    model, _ = zoo.diagonal_gaussian(mean, np.ones(2))
+    good = jnp.asarray([1.0, -1.0, 0.0, 0.0])
+    far = jnp.asarray([40.0, -40.0, 0.0, 0.0])
+    results = convenience.bbvi(
+        2, log_density=model, num_mc_samples=40, n_iters=400,
+        adaptive=True, fixed_lr=True,
+        init_var_params=jnp.stack([good, far]),
+        learning_rate=np.array([0.05, 1e-6]),  # far restart barely moves
+        FASO_kwargs=dict(W_min=100), key=jax.random.PRNGKey(7))
+    assert results["best_restart"] == 0
+    assert results["opt_params"].shape == (2, 4)
+
+
+def test_bbvi_multistart_arg_validation():
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    with pytest.raises(ValueError):  # progress_callback unsupported batched
+        convenience.bbvi(2, log_density=model, num_restarts=2,
+                         progress_callback=lambda k, v: None)
+    with pytest.raises(ValueError):  # B disagreement
+        convenience.bbvi(2, log_density=model, num_restarts=3,
+                         init_var_params=np.zeros((2, 4)))
+    with pytest.raises(ValueError):  # 1-D init_var_params
+        convenience.bbvi(2, log_density=model, init_var_params=np.zeros(4))
+    with pytest.raises(ValueError):  # lr array without multistart
+        convenience.bbvi(2, log_density=model,
+                         learning_rate=np.array([0.1, 0.2]))
+    with pytest.raises(ValueError):  # lr array on the plain path
+        convenience.bbvi(2, log_density=model, num_restarts=2,
+                         adaptive=False, fixed_lr=True,
+                         learning_rate=np.array([0.1, 0.2]))
+    with pytest.raises(ValueError):  # lr array of the wrong length
+        convenience.bbvi(2, log_density=model, num_restarts=3,
+                         learning_rate=np.array([0.1, 0.2]))
+    with pytest.raises(ValueError):  # batched init_rmsprop unsupported
+        convenience.bbvi(2, log_density=model, num_restarts=2,
+                         RAABBVI_kwargs=dict(init_rmsprop=True))
+    with pytest.raises(ValueError):  # num_restarts must be positive
+        convenience.bbvi(2, log_density=model, num_restarts=0)
+
+
 def test_vi_diagnostics():
     model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
     results = convenience.bbvi(2, log_density=model, num_mc_samples=100,

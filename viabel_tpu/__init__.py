@@ -49,7 +49,8 @@ from .diagnostics import (
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
-from .convenience import bbvi, vi_diagnostics
+from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
+                          select_best_restart)
 from . import checkpoint, hmc, ops, parallel
 
 __version__ = "0.1.0"
@@ -71,5 +72,5 @@ __all__ = [
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
     "multivariate_t_logpdf",
     # convenience
-    "bbvi", "vi_diagnostics",
+    "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
 ]

@@ -9,6 +9,8 @@ JAX-traceable function; there is no Stan FFI in this framework).
 """
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from .families import MFGaussian
 from .faso import FASO, RAABBVI
@@ -18,13 +20,14 @@ from .optimizers import RMSProp
 from .diagnostics import all_diagnostics
 from .psis import psislw
 
-__all__ = ["bbvi", "vi_diagnostics"]
+__all__ = ["bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart"]
 
 
 def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
          approx=None, objective=None, fit=None, adaptive=True, fixed_lr=False,
          init_var_param=None, learning_rate=0.01, key=None,
-         progress_callback=None,
+         progress_callback=None, num_restarts=None, init_var_params=None,
+         multistart_kwargs=None,
          RMS_kwargs=None, FASO_kwargs=None, RAABBVI_kwargs=None):
     """Fit a model using black-box variational inference
     (reference convenience.py:14-94).
@@ -37,6 +40,20 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     optimizer path (the counterpart of the reference's tqdm bars,
     optimization.py:91, 534; the loop here is a fused device scan, so
     progress reports per ~200-step segment instead of per iteration).
+
+    Multistart (no reference counterpart): ``num_restarts=B`` (or a 2-D
+    ``init_var_params`` of shape ``(B, D)``) runs B restarts batched in one
+    XLA program on the same adaptive/``fixed_lr`` matrix —
+    ``parallel.multistart_raabbvi`` (adaptive), ``parallel.multistart_faso``
+    (adaptive + fixed_lr), or ``parallel.multistart_optimize`` (plain SGO).
+    ``learning_rate`` may be a shape-``(B,)`` array on the two adaptive
+    paths (a learning-rate-grid multistart).  Extra engine kwargs (e.g.
+    ``mesh=``, ``schedule="async"``, ``rho=``) go in ``multistart_kwargs``.
+    The returned ``opt_param`` is the BEST restart's optimum — selected by
+    a fresh shared-key MC ELBO estimate (see :func:`select_best_restart`)
+    so downstream ``vi_diagnostics`` works unchanged — alongside
+    ``opt_params`` (B, D), ``best_restart``, ``restart_elbos``, and the
+    engine's per-restart histories.
 
     Large-``dimension`` guidance (measured, docs/benchmarks.md): with a
     full-rank family at d >= ~2000 the default ``num_mc_samples=10`` is
@@ -79,6 +96,15 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
         if approx is None:
             approx = MFGaussian(dimension)
         objective = ExclusiveKL(approx, model, num_mc_samples)
+    if num_restarts is not None or init_var_params is not None:
+        return _bbvi_multistart(
+            objective, approx, n_iters, num_restarts, init_var_params,
+            init_var_param, learning_rate, key, adaptive, fixed_lr,
+            progress_callback, multistart_kwargs, RMS_kwargs, FASO_kwargs,
+            RAABBVI_kwargs)
+    if jnp.ndim(learning_rate) != 0:
+        raise ValueError("a per-restart learning_rate array needs a "
+                         "multistart run: pass num_restarts")
     if init_var_param is None:
         init_var_param = approx.init_param()
     # diagnostics (full per-step histories) on by default like the
@@ -100,6 +126,137 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
                                progress_callback=progress_callback)
     opt_results["objective"] = objective
     return opt_results
+
+
+def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
+                     init_var_param, learning_rate, key, adaptive, fixed_lr,
+                     progress_callback, multistart_kwargs, RMS_kwargs,
+                     FASO_kwargs, RAABBVI_kwargs):
+    """Batched-multistart leg of :func:`bbvi` — see its docstring."""
+    # the batched engines report progress through their own hooks
+    # (multistart_raabbvi's round_callback, passed via multistart_kwargs)
+    if progress_callback is not None:
+        raise ValueError(
+            "progress_callback is not supported with num_restarts; for the "
+            "adaptive path pass multistart_kwargs=dict(round_callback=...)")
+    from .parallel import (multistart_faso, multistart_optimize,
+                           multistart_raabbvi)
+    multistart_kwargs = dict(multistart_kwargs or {})
+
+    if init_var_params is None:
+        base = approx.init_param() if init_var_param is None else init_var_param
+        if num_restarts is None or int(num_restarts) < 1:
+            raise ValueError("num_restarts must be a positive integer")
+        init_var_params = jnp.tile(jnp.asarray(base)[None], (int(num_restarts), 1))
+    else:
+        init_var_params = jnp.asarray(init_var_params)
+        if init_var_params.ndim != 2:
+            raise ValueError("init_var_params must have shape (num_restarts, "
+                             f"var_param_dim); got {init_var_params.shape}")
+        if num_restarts is not None and int(num_restarts) != init_var_params.shape[0]:
+            raise ValueError(
+                f"num_restarts={num_restarts} disagrees with "
+                f"init_var_params.shape[0]={init_var_params.shape[0]}")
+    B = init_var_params.shape[0]
+
+    lr = np.asarray(learning_rate, dtype=float)
+    if lr.ndim not in (0, 1) or (lr.ndim == 1 and lr.shape[0] != B):
+        raise ValueError("learning_rate must be a scalar or a shape-"
+                         f"({B},) per-restart array; got shape {lr.shape}")
+    # the engines override per restart from the array; the sgo object still
+    # needs SOME scalar rate (used only as the array's stand-in)
+    sgo = RMSProp(float(lr.mean()), **RMS_kwargs)
+    lr_kwarg = lr if lr.ndim == 1 else None
+
+    key, run_key, select_key = jax.random.split(key, 3)
+    if adaptive and not fixed_lr:
+        kwargs = {**RAABBVI_kwargs, **multistart_kwargs}
+        if kwargs.pop("init_rmsprop", False):
+            raise ValueError("init_rmsprop warm-start rounds are a single-run "
+                             "RAABBVI option; not available batched")
+        results = multistart_raabbvi(sgo, n_iters, objective, init_var_params,
+                                     run_key, learning_rate=lr_kwarg, **kwargs)
+    elif adaptive and fixed_lr:
+        kwargs = {**FASO_kwargs, **multistart_kwargs}
+        kwargs.pop("shard_axis", None)
+        results = multistart_faso(sgo, n_iters, objective, init_var_params,
+                                  run_key, learning_rate=lr_kwarg, **kwargs)
+    elif not adaptive and fixed_lr:
+        if lr_kwarg is not None:
+            raise ValueError("a per-restart learning_rate grid needs the "
+                             "adaptive paths (convergence detection); the "
+                             "plain multistart uses one shared rate")
+        results = multistart_optimize(sgo, n_iters, objective, init_var_params,
+                                      run_key, **multistart_kwargs)
+    else:
+        raise ValueError("a decaying learning rate needs the adaptive "
+                         "optimizer: set adaptive=True or fixed_lr=True")
+
+    opt_params = results["opt_param"]
+    best, scores = select_best_restart(opt_params, objective=objective,
+                                       key=select_key)
+    results["opt_params"] = opt_params
+    results["opt_param"] = opt_params[best]
+    results["best_restart"] = best
+    results["restart_elbos"] = scores
+    results["objective"] = objective
+    return results
+
+
+def elbo_estimates(var_params, *, objective=None, model=None, approx=None,
+                   num_mc_samples=1000, key=None):
+    """Fresh MC ELBO estimate for each row of ``var_params`` (B, D).
+
+    Every restart is scored with the SAME PRNG key (common random numbers),
+    so the comparison is paired rather than noised independently.  Uses the
+    closed-form entropy when the family supports it (``E_q[log p] + H(q)``
+    — exact up to the family's documented dropped constants, which cancel
+    across restarts of the same family), otherwise the sampled
+    ``E_q[log p - log q]``.  No reference counterpart (the reference has no
+    multistart; model scoring there is manual).
+    """
+    if objective is not None:
+        if model is not None or approx is not None:
+            raise ValueError("an objective already carries its model and "
+                             "family; drop the model/approx arguments")
+        model = objective.model
+        approx = objective.approx
+    elif model is None or approx is None:
+        raise ValueError("supply an objective, or a model together with an approx")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    var_params = jnp.asarray(var_params)
+    if var_params.ndim != 2:
+        raise ValueError("var_params must have shape (n_restarts, "
+                         f"var_param_dim); got {var_params.shape}")
+
+    def one(vp):
+        samples = approx.sample(vp, int(num_mc_samples), key)
+        expected_log_p = jnp.mean(model(samples))
+        if approx.supports_entropy:
+            return expected_log_p + approx.entropy(vp)
+        return expected_log_p - jnp.mean(approx.log_density(vp, samples))
+
+    return jax.jit(jax.vmap(one))(var_params)
+
+
+def select_best_restart(var_params, *, objective=None, model=None, approx=None,
+                        num_mc_samples=1000, key=None):
+    """Pick the highest-ELBO row of ``var_params`` (B, D).
+
+    Returns ``(best_index, elbo_scores)`` — the index is also where
+    non-finite scores (e.g. a diverged restart) lose to any finite one.
+    See :func:`elbo_estimates` for the scoring rule.
+    """
+    scores = elbo_estimates(var_params, objective=objective, model=model,
+                            approx=approx, num_mc_samples=num_mc_samples,
+                            key=key)
+    finite = jnp.isfinite(scores)
+    if not bool(jnp.any(finite)):
+        raise ValueError("every restart's ELBO estimate is non-finite; "
+                         "nothing to select")
+    masked = jnp.where(finite, scores, -jnp.inf)
+    return int(jnp.argmax(masked)), scores
 
 
 def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,

@@ -26,8 +26,9 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
-# Fast tier: `make test-fast` runs `-m "not slow"` (< ~2 min) so the
-# ~20-minute full suite isn't the only loop.  Slow tests (statistical
+# Fast tier: `make test-fast` runs `-m "not slow"` (~3-4 min on the 1-core
+# dev host; compile time dominates, so it cannot go much lower) so the
+# 20-30-minute full suite isn't the only loop.  Slow tests (statistical
 # 1e6-sample family checks, end-to-end convergence runs, bit-exact resume
 # comparisons) are curated here centrally instead of decorating each file;
 # durations measured on the 1-core dev host (pytest --durations).
@@ -47,6 +48,15 @@ SLOW_TESTS = {
     "test_raabbvi_whole_run_resume_matches_uninterrupted",
     "test_multistart_raabbvi_b1_matches_single",
     "test_multistart_raabbvi_per_restart_termination",
+    "test_multistart_raabbvi_round_resume_matches_uninterrupted",
+    "test_multistart_raabbvi_async_b1_matches_single",
+    "test_multistart_raabbvi_async_per_restart_termination",
+    "test_multistart_raabbvi_async_sharded_matches_unsharded",
+    "test_multistart_raabbvi_async_stateful_dis",
+    "test_multistart_raabbvi_async_resampling_dis_multi_restart",
+    "test_multistart_raabbvi_async_resume_matches_uninterrupted",
+    # test_convenience — batched multistart end-to-end runs
+    "test_bbvi_multistart",
     # test_convenience — full bbvi matrix + diagnostics pipelines
     "test_bbvi",
     "test_vi_diagnostics",
@@ -100,6 +110,10 @@ SLOW_TESTS = {
     "test_mc_diagnostics_golden_vs_reference",
     "test_ess_windowed_matches_direct",
     "test_split_rhat_ring_windows_matches_windowed",
+    # test_ops — blocked-solve sweeps (9-19 s each on the 1-core host)
+    "test_vjp_matches",
+    "test_matches_solve_triangular",
+    "test_stl_transpose_solve_matches_factor_solve",
     # second tier (3-14 s each on the 1-core host)
     "test_NVPFlow",
     "test_NeuralNet",

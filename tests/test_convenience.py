@@ -115,6 +115,26 @@ def test_select_best_restart():
         convenience.elbo_estimates(jnp.stack([good]))  # no model/approx
 
 
+def test_elbo_estimates_entropy_free_families():
+    """Families without closed-form entropy score via their sampled log
+    density — square NeuralNet pushforwards through the fused
+    sample_and_log_density hook; non-square ones raise with guidance."""
+    import jax.numpy as jnp
+    from viabel_tpu import NeuralNet
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    square = NeuralNet([(2, 2), (2, 2)], last=lambda x: x)
+    rng = np.random.RandomState(0)
+    vps = jnp.asarray(rng.randn(2, square.var_param_dim) / 10)
+    scores = convenience.elbo_estimates(vps, model=model, approx=square,
+                                        key=jax.random.PRNGKey(1))
+    assert scores.shape == (2,) and np.all(np.isfinite(np.asarray(scores)))
+    wide = NeuralNet([(2, 5), (5, 2)], last=lambda x: x)
+    vps_w = jnp.asarray(rng.randn(2, wide.var_param_dim) / 10)
+    with pytest.raises(ValueError, match="ELBO-scored"):
+        convenience.elbo_estimates(vps_w, model=model, approx=wide,
+                                   key=jax.random.PRNGKey(1))
+
+
 @pytest.mark.parametrize("adaptive,fixed_lr", [
     (True, False),   # multistart_raabbvi
     (True, True),    # multistart_faso

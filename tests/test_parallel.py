@@ -191,14 +191,19 @@ def test_multistart_mc_axis_objective_generic():
     assert res["opt_param"].shape == (4, 6)
     assert np.all(np.isfinite(np.asarray(res["opt_param"])))
     assert np.all(np.isfinite(np.asarray(res["value_history"])))
-    # stateful objectives have no stateless per-shard recipe
+    # stateful objectives cannot ride the plain scan (their host-side
+    # state mirror would leak tracers under vmap) — clear raise, with
+    # and without a mesh, pointing at multistart_faso
     dis = DISInclusiveKL(approx, model, 32, ess_target=16,
                          temper_prior=MFGaussian(3),
                          temper_prior_params=np.zeros(6),
                          use_resampling=False)
-    with pytest.raises(ValueError, match="mc_sharded_step"):
+    with pytest.raises(ValueError, match="estimator state"):
         multistart_optimize(RMSProp(0.05), 10, dis, init,
                             jax.random.PRNGKey(0), mesh=mesh, mc_axis="mc")
+    with pytest.raises(ValueError, match="estimator state"):
+        multistart_optimize(RMSProp(0.05), 10, dis, init,
+                            jax.random.PRNGKey(0))
 
 
 def test_multistart_vmapped():

@@ -230,14 +230,32 @@ def elbo_estimates(var_params, *, objective=None, model=None, approx=None,
         raise ValueError("var_params must have shape (n_restarts, "
                          f"var_param_dim); got {var_params.shape}")
 
-    def one(vp):
-        samples = approx.sample(vp, int(num_mc_samples), key)
-        expected_log_p = jnp.mean(model(samples))
-        if approx.supports_entropy:
-            return expected_log_p + approx.entropy(vp)
-        return expected_log_p - jnp.mean(approx.log_density(vp, samples))
+    fused = getattr(approx, "sample_and_log_density", None)
 
-    return jax.jit(jax.vmap(one))(var_params)
+    def one(vp):
+        if approx.supports_entropy:
+            samples = approx.sample(vp, int(num_mc_samples), key)
+            return jnp.mean(model(samples)) + approx.entropy(vp)
+        if fused is not None:
+            # e.g. square NeuralNet pushforwards: exact density only
+            # jointly with the sample (families.py sample_and_log_density)
+            samples, log_q = fused(vp, int(num_mc_samples), key)
+        else:
+            samples = approx.sample(vp, int(num_mc_samples), key)
+            log_q = approx.log_density(vp, samples)
+        return jnp.mean(model(samples) - log_q)
+
+    try:
+        return jax.jit(jax.vmap(one))(var_params)
+    except (NotImplementedError, ValueError) as exc:
+        # families with no usable density raise at trace time (NeuralNet
+        # log_density NotImplementedError; non-square pushforward density
+        # ValueError) — re-raise with guidance, original cause chained
+        raise ValueError(
+            f"{type(approx).__name__} supports neither closed-form entropy "
+            "nor a sample log density, so restarts cannot be ELBO-scored; "
+            "select a restart yourself (e.g. by a fresh objective loss)"
+        ) from exc
 
 
 def select_best_restart(var_params, *, objective=None, model=None, approx=None,

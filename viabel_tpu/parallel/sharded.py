@@ -182,8 +182,11 @@ def multistart_optimize(sgo, n_iters, objective, init_params, key,
     sgo : StochasticGradientOptimizer
         Supplies the pure ``init_state`` / ``descent_direction`` rule.
     objective : VariationalObjective
-        Must be scannable.  With ``mc_axis`` it must be an ``ExclusiveKL``
-        (the per-device loss is rebuilt from its ``_loss``).
+        Must be scannable and stateless (no estimator-state pytree —
+        stateful objectives like DIS need ``multistart_faso``, which
+        threads per-restart state; a clear ValueError points there).
+        With ``mc_axis`` it must expose the stateless per-shard recipe
+        ``mc_sharded_step`` (ExclusiveKL, AlphaDivergence).
     init_params : array (n_restarts, var_param_dim)
     key : PRNG key (split per restart)
     mesh : Mesh, optional
@@ -199,6 +202,14 @@ def multistart_optimize(sgo, n_iters, objective, init_params, key,
     """
     init_params = jnp.asarray(init_params)
     n_restarts, D = init_params.shape
+    if jax.tree_util.tree_leaves(objective.init_obj_state(init_params[0])):
+        # the plain scan calls objective.value_and_grad, whose host-side
+        # state mirror would leak tracers under vmap — fail clearly
+        raise ValueError(
+            f"{type(objective).__name__} carries per-step estimator state; "
+            "the plain multistart scan cannot thread it — use "
+            "multistart_faso / multistart_raabbvi (or bbvi(num_restarts=..., "
+            "adaptive=True))")
     keys = jax.random.split(key, n_restarts)
     lr = sgo._learning_rate
     iap = sgo._iterate_avg_prop

@@ -1,4 +1,4 @@
-"""Batched RAABBVI: 8 adaptive optimizations in lockstep rounds.
+"""Batched RAABBVI: 8 adaptive optimizations in one program.
 
 Runs ``multistart_raabbvi`` — B full RAABBVI machines (per-restart
 learning-rate-decay rounds, symmetrized-KL tracking, Bayesian weighted
@@ -7,7 +7,19 @@ regression, inefficiency termination; reference
 round's inner optimization executed as ONE batched XLA program.  Each
 restart starts from its own perturbed initialization and its own
 learning rate, decays independently, and stops at its own termination
-point.
+point.  ``schedule="async"`` (used here) removes the round barrier:
+early-converging restarts start their next (lower-lr) round immediately
+instead of idling until the slowest live restart's round ends — under a
+heterogeneous lr grid this measured 2.9x fewer batched device steps
+than lockstep (docs/benchmarks.md).
+
+The one-liner version of all of this is the top-level API:
+
+    results = bbvi(dim, log_density=model, num_restarts=8,
+                   learning_rate=np.geomspace(0.1, 0.4, 8), ...)
+
+which also picks the winner by a shared-key MC ELBO estimate
+(``results["best_restart"]``, ``results["opt_param"]``).
 
 Run: ``python examples/multistart_raabbvi.py`` (a few minutes on CPU;
 seconds on a TPU chip).
@@ -38,13 +50,15 @@ def main():
 
     results = multistart_raabbvi(
         AveragedRMSProp(0.2), 20000, objective, inits, jax.random.PRNGKey(0),
-        learning_rate=lr_grid, mcse_threshold=0.1, max_history=2000)
+        learning_rate=lr_grid, mcse_threshold=0.1, max_history=2000,
+        schedule="async")
 
-    print("\nper-restart outcomes:")
+    print("\nper-restart outcomes "
+          f"({results['k_global_steps']} batched device steps):")
     for b in range(B):
         lrs = [f"{v:.3g}" for v in results["learning_rate_hist"][b]]
         print(f"  restart {b}: stopped at {results['k_stopped_final'][b]} "
-              f"({len(results['conv_iters_hist'][b]) + 1} rounds, "
+              f"({results['n_rounds_per_restart'][b]} rounds, "
               f"decayed lr {lrs})")
     errs = np.abs(np.asarray(results["opt_param"][:, :d]))
     print(f"\nmax |posterior-mean error| across restarts: "

@@ -12,6 +12,17 @@ Combined with ``FASO.optimize(..., resume_state=...)`` this gives the
 elastic-recovery story the reference lacks: a killed run restarts from the
 last segment boundary with identical statistics (the history ring *is* the
 convergence-detection state).
+
+Two backends:
+
+- ``save_pytree`` / ``load_pytree`` — a flat path-keyed ``.npz`` archive.
+  Zero dependencies, one file, gathers every leaf to the host.
+- ``save_pytree_orbax`` / ``load_pytree_orbax`` — an Orbax checkpoint
+  directory.  Use this at scale: Orbax writes sharded ``jax.Array`` leaves
+  per-shard (no host gather of a mesh-sharded history ring), restores them
+  back onto the saved sharding when the template leaf is a device array,
+  and coordinates multi-host saves — the TPU-pod story ``.npz`` cannot
+  give.  Same pytrees, interchangeable call sites.
 """
 
 import json
@@ -22,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["save_pytree", "load_pytree"]
+__all__ = ["save_pytree", "load_pytree",
+           "save_pytree_orbax", "load_pytree_orbax"]
 
 _META_KEY = "__viabel_tpu_treedef__"
 
@@ -56,6 +68,57 @@ def save_pytree(path, tree):
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)
+
+
+def _orbax_target(tree):
+    """Normalize a template for Orbax restore: NumPy scalar leaves
+    (``np.int64(7)``) are not accepted as targets — lift them to 0-d
+    arrays (value-identical; callers already ``int(...)``/``float(...)``
+    scalar fields on resume)."""
+    def norm(x):
+        if hasattr(x, "dtype") and not isinstance(x, (np.ndarray, jax.Array)):
+            return np.asarray(x)
+        return x
+
+    return jax.tree_util.tree_map(norm, tree)
+
+
+def save_pytree_orbax(path, tree):
+    """Serialize a pytree to an Orbax checkpoint directory at ``path``.
+
+    Overwrites an existing checkpoint (matching :func:`save_pytree`'s
+    semantics) and blocks until the write is durable.  Sharded device
+    arrays are written per-shard by each host — no host gather.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+
+
+def load_pytree_orbax(path, like=None):
+    """Load a pytree saved with :func:`save_pytree_orbax`.
+
+    With ``like`` (a pytree of the same structure, e.g. a freshly built
+    initial state), leaves restore with the template's dtypes — and, for
+    device-array template leaves, onto their sharding.  Without it the
+    checkpoint's own stored structure is returned (Orbax warns: only safe
+    under the same process topology).
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if like is None:
+            return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(os.path.abspath(path),
+                             target=_orbax_target(like))
+    finally:
+        ckptr.close()
 
 
 def load_pytree(path, like=None):

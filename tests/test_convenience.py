@@ -188,6 +188,29 @@ def test_bbvi_multistart_lr_grid_and_inits():
     assert results["opt_params"].shape == (2, 4)
 
 
+def test_bbvi_multistart_init_jitter():
+    """``init_jitter`` spreads tiled restarts around the base init (restart
+    0 keeps it exactly); without it all tiled rows are identical.  Outside
+    a multistart run (or with explicit inits) it is rejected."""
+    import jax.numpy as jnp
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    results = convenience.bbvi(
+        2, log_density=model, num_mc_samples=40, n_iters=400,
+        adaptive=False, fixed_lr=True, num_restarts=3, init_jitter=0.5,
+        key=jax.random.PRNGKey(3))
+    from viabel_tpu import MFGaussian
+    inits = np.asarray(results["init_var_params"])
+    base = np.asarray(MFGaussian(2).init_param())
+    np.testing.assert_array_equal(inits[0], base)
+    assert not np.allclose(inits[1], base)
+    assert not np.allclose(inits[2], inits[1])
+    with pytest.raises(ValueError, match="multistart"):
+        convenience.bbvi(2, log_density=model, init_jitter=0.5)
+    with pytest.raises(ValueError, match="perturb"):
+        convenience.bbvi(2, log_density=model, init_jitter=0.5,
+                         init_var_params=jnp.zeros((2, 4)))
+
+
 def test_bbvi_multistart_arg_validation():
     model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
     with pytest.raises(ValueError):  # progress_callback unsupported batched

@@ -27,7 +27,7 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
          approx=None, objective=None, fit=None, adaptive=True, fixed_lr=False,
          init_var_param=None, learning_rate=0.01, key=None,
          progress_callback=None, num_restarts=None, init_var_params=None,
-         multistart_kwargs=None,
+         init_jitter=0.0, multistart_kwargs=None,
          RMS_kwargs=None, FASO_kwargs=None, RAABBVI_kwargs=None):
     """Fit a model using black-box variational inference
     (reference convenience.py:14-94).
@@ -47,7 +47,11 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     ``parallel.multistart_raabbvi`` (adaptive), ``parallel.multistart_faso``
     (adaptive + fixed_lr), or ``parallel.multistart_optimize`` (plain SGO).
     ``learning_rate`` may be a shape-``(B,)`` array on the two adaptive
-    paths (a learning-rate-grid multistart).  Extra engine kwargs (e.g.
+    paths (a learning-rate-grid multistart).  With ``num_restarts`` alone
+    the B restarts share one initialization and differ only in MC noise
+    (and any lr grid); ``init_jitter=sigma`` perturbs restarts 1..B-1 with
+    ``sigma * N(0, I)`` around the base (restart 0 keeps it exactly) so
+    the batch explores distinct basins.  Extra engine kwargs (e.g.
     ``mesh=``, ``schedule="async"``, ``rho=``) go in ``multistart_kwargs``.
     The returned ``opt_param`` is the BEST restart's optimum — selected by
     a fresh shared-key MC ELBO estimate (see :func:`select_best_restart`)
@@ -99,9 +103,12 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     if num_restarts is not None or init_var_params is not None:
         return _bbvi_multistart(
             objective, approx, n_iters, num_restarts, init_var_params,
-            init_var_param, learning_rate, key, adaptive, fixed_lr,
-            progress_callback, multistart_kwargs, RMS_kwargs, FASO_kwargs,
-            RAABBVI_kwargs)
+            init_var_param, init_jitter, learning_rate, key, adaptive,
+            fixed_lr, progress_callback, multistart_kwargs, RMS_kwargs,
+            FASO_kwargs, RAABBVI_kwargs)
+    if init_jitter:
+        raise ValueError("init_jitter only applies to a multistart run: "
+                         "pass num_restarts")
     if jnp.ndim(learning_rate) != 0:
         raise ValueError("a per-restart learning_rate array needs a "
                          "multistart run: pass num_restarts")
@@ -129,9 +136,9 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
 
 
 def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
-                     init_var_param, learning_rate, key, adaptive, fixed_lr,
-                     progress_callback, multistart_kwargs, RMS_kwargs,
-                     FASO_kwargs, RAABBVI_kwargs):
+                     init_var_param, init_jitter, learning_rate, key, adaptive,
+                     fixed_lr, progress_callback, multistart_kwargs,
+                     RMS_kwargs, FASO_kwargs, RAABBVI_kwargs):
     """Batched-multistart leg of :func:`bbvi` — see its docstring."""
     # the batched engines report progress through their own hooks
     # (multistart_raabbvi's round_callback, passed via multistart_kwargs)
@@ -148,6 +155,17 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
         if num_restarts is None or int(num_restarts) < 1:
             raise ValueError("num_restarts must be a positive integer")
         init_var_params = jnp.tile(jnp.asarray(base)[None], (int(num_restarts), 1))
+        if init_jitter:
+            key, jit_key = jax.random.split(key)
+            noise = float(init_jitter) * jax.random.normal(
+                jit_key, init_var_params.shape, init_var_params.dtype)
+            # restart 0 keeps the user's base init exactly
+            noise = noise.at[0].set(0.0)
+            init_var_params = init_var_params + noise
+    elif init_jitter:
+        raise ValueError("init_jitter only applies when restarts are tiled "
+                         "from one base init; with explicit init_var_params "
+                         "perturb them yourself")
     else:
         init_var_params = jnp.asarray(init_var_params)
         if init_var_params.ndim != 2:
@@ -195,6 +213,7 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
     opt_params = results["opt_param"]
     best, scores = select_best_restart(opt_params, objective=objective,
                                        key=select_key)
+    results["init_var_params"] = init_var_params
     results["opt_params"] = opt_params
     results["opt_param"] = opt_params[best]
     results["best_restart"] = best

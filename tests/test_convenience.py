@@ -231,9 +231,10 @@ def test_bbvi_multistart_arg_validation():
     with pytest.raises(ValueError):  # lr array of the wrong length
         convenience.bbvi(2, log_density=model, num_restarts=3,
                          learning_rate=np.array([0.1, 0.2]))
-    with pytest.raises(ValueError):  # batched init_rmsprop unsupported
+    with pytest.raises(ValueError):  # batched init_rmsprop needs lockstep
         convenience.bbvi(2, log_density=model, num_restarts=2,
-                         RAABBVI_kwargs=dict(init_rmsprop=True))
+                         RAABBVI_kwargs=dict(init_rmsprop=True),
+                         multistart_kwargs=dict(schedule="async"))
     with pytest.raises(ValueError):  # num_restarts must be positive
         convenience.bbvi(2, log_density=model, num_restarts=0)
 

@@ -19,6 +19,7 @@ from viabel_tpu.models import Model, TemperedModel, zoo
 @pytest.mark.parametrize("factory", [
     lambda: zoo.funnel()[:2],
     lambda: zoo.correlated_gaussian(4)[:2],
+    lambda: zoo.gaussian_mixture()[:2],
     lambda: zoo.robust_regression()[:2],
     lambda: zoo.eight_schools()[:2],
     lambda: zoo.logistic_regression(dim=7, n_data=20)[:2],
@@ -53,6 +54,24 @@ def test_correlated_gaussian_normalized():
                                           cov=np.asarray(info["cov"]))
     np.testing.assert_allclose(float(model(jnp.asarray(x))[0]), expected,
                                rtol=1e-10)
+
+
+def test_gaussian_mixture_density_value():
+    """Mixture log-density equals logsumexp of weighted component normals,
+    and weights normalize."""
+    from scipy.stats import multivariate_normal
+    model, dim, info = zoo.gaussian_mixture(
+        means=((2.0, 0.0), (-1.0, 1.0)), stdev=0.7, weights=(3.0, 1.0))
+    assert dim == 2
+    np.testing.assert_allclose(np.asarray(info["weights"]), [0.75, 0.25])
+    x = np.array([[0.4, -0.3]])
+    comps = [multivariate_normal.logpdf(x[0], mean=m, cov=0.49 * np.eye(2))
+             for m in np.asarray(info["means"])]
+    expected = np.logaddexp(np.log(0.75) + comps[0], np.log(0.25) + comps[1])
+    np.testing.assert_allclose(float(model(jnp.asarray(x))[0]), expected,
+                               rtol=1e-6)
+    with pytest.raises(ValueError, match="n_modes"):
+        zoo.gaussian_mixture(means=(1.0, 2.0))
 
 
 def test_model_capability_flags():

@@ -574,6 +574,48 @@ def test_multistart_raabbvi_validation():
     with pytest.raises(ValueError, match="supports_kl"):
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="lockstep"):
+        multistart_raabbvi(AveragedRMSProp(0.01), 100,
+                           DummyObjective(np.zeros(2), noise=0.1),
+                           jnp.zeros((2, 2)), jax.random.PRNGKey(0),
+                           init_rmsprop=True, schedule="async")
+
+
+def test_multistart_raabbvi_init_rmsprop_b1_matches_single(monkeypatch):
+    """init_rmsprop at B=1 reproduces single RAABBVI's warm start exactly:
+    the first round runs a default-constructed FASO on a plain RMSProp
+    rule at the starting lr (reference optimization.py:815-818), the real
+    averaged sgo takes over from round two, and every outer decision
+    (SKL, regression, termination) matches."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10,
+                  init_rmsprop=True)
+    K = 3002
+    single = RAABBVI(AveragedRMSProp(0.01), **kwargs).optimize(
+        K, objective, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(AveragedRMSProp(0.01), K, objective,
+                                 init[None], jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["learning_rate_hist"][0],
+                               single["learning_rate_hist"], rtol=1e-12)
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+    # the warm round genuinely changes the trajectory vs no warm start
+    plain = multistart_raabbvi(
+        AveragedRMSProp(0.01), K, objective, init[None],
+        jax.random.PRNGKey(3), **{**kwargs, "init_rmsprop": False})
+    assert (plain["conv_iters_hist"][0] != batched["conv_iters_hist"][0]
+            or not np.allclose(np.asarray(plain["opt_param"]),
+                               np.asarray(batched["opt_param"])))
 
 
 def test_multistart_raabbvi_round_resume_matches_uninterrupted(

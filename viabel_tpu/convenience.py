@@ -189,9 +189,6 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
     key, run_key, select_key = jax.random.split(key, 3)
     if adaptive and not fixed_lr:
         kwargs = {**RAABBVI_kwargs, **multistart_kwargs}
-        if kwargs.pop("init_rmsprop", False):
-            raise ValueError("init_rmsprop warm-start rounds are a single-run "
-                             "RAABBVI option; not available batched")
         results = multistart_raabbvi(sgo, n_iters, objective, init_var_params,
                                      run_key, learning_rate=lr_kwarg, **kwargs)
     elif adaptive and fixed_lr:

@@ -21,6 +21,7 @@ __all__ = [
     "funnel",
     "correlated_gaussian",
     "diagonal_gaussian",
+    "gaussian_mixture",
     "robust_regression",
     "eight_schools",
     "logistic_regression",
@@ -87,6 +88,39 @@ def diagonal_gaussian(mean, stdev):
         return jnp.sum(_norm_logpdf(x, mean, stdev), axis=-1)
 
     return Model(log_density), int(mean.shape[0])
+
+
+def gaussian_mixture(means=((-3.0, -3.0), (3.0, 3.0)), stdev=1.0,
+                     weights=None):
+    """Isotropic Gaussian mixture — a multimodal multistart target.
+
+    ``log p(x) = logsumexp_k [log w_k + log N(x; m_k, stdev^2 I)]``.  No
+    reference counterpart (the reference has no multistart, so its zoo has
+    no multimodal posterior); this is the demonstration target for
+    ``bbvi(num_restarts=..., init_jitter=...)``: a unimodal variational
+    family locks onto whichever mode its initialization falls into, and
+    the shared-key ELBO restart selection prefers the heaviest mode.
+
+    ``weights`` default uniform.  Returns ``(model, dim, info)`` with
+    ``info["means"]``/``info["weights"]`` for checking which mode a fit
+    found.
+    """
+    means = jnp.asarray(means, dtype=jnp.result_type(float))
+    if means.ndim != 2:
+        raise ValueError("means must have shape (n_modes, dim)")
+    n_modes, dim = means.shape
+    w = (np.full(n_modes, 1.0 / n_modes) if weights is None
+         else np.asarray(weights, dtype=float) / np.sum(weights))
+    log_w = jnp.asarray(np.log(w))
+
+    def log_density(x):
+        # x: (n, d) -> per-mode log N(x; m_k, stdev^2 I), (n, n_modes)
+        comp = jnp.sum(_norm_logpdf(x[:, None, :], means[None], stdev),
+                       axis=-1)
+        return jax.scipy.special.logsumexp(comp + log_w[None, :], axis=-1)
+
+    info = {"means": means, "weights": jnp.asarray(w), "stdev": float(stdev)}
+    return Model(log_density), int(dim), info
 
 
 def robust_regression(n_data=25, df=40.0, beta_gen=(-2.0, 1.0), seed=5039):

@@ -67,7 +67,8 @@ __all__ = ["multistart_raabbvi"]
 
 def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                        rho=0.5, iters0=1000, accuracy_threshold=0.1,
-                       inefficiency_threshold=1.0, learning_rate=None,
+                       inefficiency_threshold=1.0, init_rmsprop=False,
+                       learning_rate=None,
                        mcse_threshold=0.1, W_min=200, ESS_min=None,
                        k_check=None, max_history=None, rhat_threshold=1.1,
                        rhat_quantile=None, rhat_backoff=None, rhat_group=None,
@@ -82,6 +83,16 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     knobs.  ``learning_rate`` / ``mcse_threshold`` may be scalars or
     shape-``(B,)`` arrays for per-restart starting grids (each restart
     then decays its own value by ``rho`` per round).
+
+    ``init_rmsprop`` runs the FIRST round with a plain :class:`RMSProp`
+    rule at each restart's starting learning rate and DEFAULT detection
+    settings, exactly like single-run RAABBVI's warm start (reference
+    optimization.py:815-818: ``FASO(sgo=RMSProp(lr))`` with constructor
+    defaults); the real ``sgo`` takes over from round two with fresh
+    state.  Lockstep only — the async schedule runs one continuous
+    batched program, and restarts cross their round-one boundary at
+    different segments, so a per-restart update-RULE switch would need
+    both rules computed and selected every step.
 
     ``objective.approx`` must support closed-form KL (``supports_kl``)
     like single RAABBVI; diagnostics histories are not recorded (use a
@@ -129,6 +140,10 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                          "KL (approx.supports_kl); use multistart_faso")
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
+    if init_rmsprop and schedule == "async":
+        raise ValueError('init_rmsprop warm-start rounds need the lockstep '
+                         'schedule (the async continuous program cannot '
+                         'switch a restart\'s update rule mid-flight)')
     if schedule == "async":
         return _multistart_raabbvi_async(
             sgo, K_max, objective, jnp.asarray(init_params), key,
@@ -242,6 +257,20 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         # batched statistics (a fresh closure per round would retrace)
         _jit_cache={})
 
+    if init_rmsprop:
+        from ..optimizers import RMSProp
+        # the warm round mirrors single-run RAABBVI's exactly (faso.py
+        # k == 0 branch): a plain RMSProp rule and a DEFAULT-constructed
+        # FASO — constructor-default mcse_threshold/W_min/gates, only
+        # max_history carried — so its detection ignores the user's knobs
+        # like the reference's ``FASO(sgo=rmsprop)`` does; mesh sharding
+        # is infrastructure and stays on.  Its own jit cache: the RMSProp
+        # rule compiles separate segment runners (used for one round).
+        warm_sgo = RMSProp(float(lr.mean()))
+        warm_kwargs = dict(max_history=max_history, diagnostics=False,
+                           mesh=mesh, restart_axis=restart_axis,
+                           _jit_cache={})
+
     # snapshots are valid only at round boundaries (the loop-top budget
     # accounting must run exactly once per round on resume)
     snapshot = outer_snapshot()
@@ -265,13 +294,23 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         # detection gates immediately and never block the early exit
         lr_round = jnp.asarray(np.where(active, lr, 0.0),
                                dtype=init_params.dtype)
-        opt = multistart_faso(
-            sgo, n_iters_round, objective, avg_curr, None, keys=round_keys,
-            learning_rate=lr_round, mcse_threshold=mcse,
-            init_opt_states=opt_states, **detection_kwargs)
+        warm_round = init_rmsprop and n_rounds == 0
+        if warm_round:
+            # first round on the plain RMSProp rule at each restart's
+            # starting lr (reference optimization.py:815-818); the real
+            # sgo starts round two with fresh state
+            opt = multistart_faso(
+                warm_sgo, n_iters_round, objective, avg_curr, None,
+                keys=round_keys, learning_rate=lr_round, **warm_kwargs)
+        else:
+            opt = multistart_faso(
+                sgo, n_iters_round, objective, avg_curr, None,
+                keys=round_keys, learning_rate=lr_round,
+                mcse_threshold=mcse,
+                init_opt_states=opt_states, **detection_kwargs)
         n_rounds += 1
         k_global_steps += int(opt["value_history"].shape[1])
-        if not averaged:
+        if not averaged and not warm_round:
             # persist non-averaged SGO state across rounds (the reference
             # only resets averaged SGOs, optimization.py:865-866); state
             # is each restart's at round-program end (see module docstring)

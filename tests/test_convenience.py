@@ -135,6 +135,32 @@ def test_elbo_estimates_entropy_free_families():
                                    key=jax.random.PRNGKey(1))
 
 
+def test_elbo_estimates_shape_error_not_masked():
+    """A malformed var_params matrix surfaces the family's own error, not
+    the 'cannot be ELBO-scored' capability message (regression: the
+    capability rewrap once swallowed every trace-time ValueError)."""
+    from viabel_tpu import MFGaussian
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    with pytest.raises(Exception) as excinfo:
+        convenience.elbo_estimates(jnp.zeros((3, 2)), model=model,
+                                   approx=MFGaussian(2))
+    assert "ELBO-scored" not in str(excinfo.value)
+
+
+def test_bbvi_multistart_adaptive_ignores_shard_axis():
+    """Single-run RAABBVI kwargs carrying the coordinate-sharding knob
+    (shard_axis) don't break the batched adaptive path (regression: the
+    RAABBVI branch once forwarded it as an unknown kwarg)."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    results = convenience.bbvi(
+        2, log_density=model, num_mc_samples=20, n_iters=600,
+        num_restarts=2,
+        RAABBVI_kwargs=dict(W_min=100, mcse_threshold=0.05,
+                            shard_axis="mc"),
+        multistart_kwargs=dict(verbose=False), key=jax.random.PRNGKey(5))
+    assert results["opt_params"].shape == (2, 4)
+
+
 @pytest.mark.parametrize("adaptive,fixed_lr", [
     (True, False),   # multistart_raabbvi
     (True, True),    # multistart_faso

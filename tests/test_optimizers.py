@@ -394,6 +394,29 @@ def test_faso_with_host_loop_objective():
             res_nodecay = res["DummyObjective"]["opt_param"]
 
 
+def test_progress_partial_segment_matches_across_paths():
+    """Both SGO optimize paths report each segment's loss over ONLY that
+    segment: a final partial segment averages just the remainder steps
+    (regression: the host loop once re-averaged the full trailing
+    progress_every window, overlapping the previous report)."""
+    true_value = np.arange(2, dtype=float)
+
+    class HostLoopObjective(DummyObjective):
+        scannable = False
+
+    init = jnp.asarray(true_value + 0.3)
+    for cls in (DummyObjective, HostLoopObjective):
+        seen = []
+        res = RMSProp(0.01).optimize(
+            250, cls(true_value, noise=0.1), init,
+            key=jax.random.PRNGKey(5),
+            progress_callback=lambda k, loss: seen.append((k, loss)))
+        vh = np.asarray(res["value_history"])
+        assert [k for k, _ in seen] == [200, 250], cls.__name__
+        np.testing.assert_allclose(seen[0][1], vh[:200].mean(), rtol=1e-5)
+        np.testing.assert_allclose(seen[1][1], vh[200:].mean(), rtol=1e-5)
+
+
 def _stub_clock(monkeypatch):
     """Deterministic stand-ins for the wall-clock-driven MCSE recheck
     schedule (the pattern of test_raabbvi_is_reusable)."""
@@ -458,8 +481,15 @@ def test_raabbvi_whole_run_resume_matches_uninterrupted(monkeypatch, tmp_path):
     path = str(tmp_path / "raabbvi.npz")
     save_pytree(path, rs)
     restored = load_pytree(path, like=rs)
-    resumed = make_opt().optimize(K, objective, init, key=key,
-                                  resume_state=restored)
+    prog_ks = []
+    resumed = make_opt().optimize(
+        K, objective, init, key=key, resume_state=restored,
+        progress_callback=lambda kk, loss: prog_ks.append(kk))
+    # cumulative progress stays strictly monotone across the resumed
+    # in-flight round and every later round (regression: the offset once
+    # dropped the flight's pre-interruption steps)
+    assert prog_ks == sorted(prog_ks) and len(set(prog_ks)) == len(prog_ks)
+    assert prog_ks[0] > 1400  # resumes inside round 2, after round 1's steps
 
     np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
                                np.asarray(full["opt_param"]), rtol=1e-10)
@@ -486,10 +516,19 @@ def test_raabbvi_whole_run_resume_matches_uninterrupted(monkeypatch, tmp_path):
     np.testing.assert_allclose(resumed2["SKL_history"], full["SKL_history"],
                                rtol=1e-8)
 
-    # a spent budget refuses to run backwards
+    # a spent budget refuses to run backwards — and still returns the
+    # standard history keys plus a usable resume_state (regression: this
+    # path once returned a truncated three-key dict)
     spent = make_opt().optimize(1000, objective, init, key=key,
                                 resume_state=rs)
     assert spent["k_stopped_final"] is None
+    for name in ("conv_iters_hist", "learning_rate_hist", "SKL_history",
+                 "k_mcse", "k_conv", "k_Rhat", "iterate_average_curr_hist"):
+        assert name in spent, name
+    spent_resumed = make_opt().optimize(K, objective, init, key=key,
+                                        resume_state=spent["resume_state"])
+    np.testing.assert_allclose(np.asarray(spent_resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
 
 
 def _stub_clock_everywhere(monkeypatch):

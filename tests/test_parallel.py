@@ -246,6 +246,43 @@ def test_multistart_divisibility_check():
                             jax.random.PRNGKey(0), mesh=mesh)
 
 
+def test_multistart_mesh_needs_restart_axis():
+    """A coordinate-/mc-sharding mesh without a restart axis is rejected
+    with guidance by both engines (regression: a KeyError from
+    mesh.shape[restart_axis] leaked instead)."""
+    from viabel_tpu.parallel import multistart_faso
+    approx, model = _setup()
+    obj = ExclusiveKL(approx, model, 32)
+    mesh = make_mesh((8,), ("mc",))
+    init = jnp.tile(approx.init_param(), (8, 1))
+    with pytest.raises(ValueError, match="no 'restart' axis"):
+        multistart_optimize(RMSProp(0.05), 10, obj, init,
+                            jax.random.PRNGKey(0), mesh=mesh)
+    with pytest.raises(ValueError, match="no 'restart' axis"):
+        multistart_faso(RMSProp(0.05), 400, obj, init,
+                        jax.random.PRNGKey(0), mesh=mesh)
+
+
+def test_multistart_duck_typed_objective():
+    """Objectives implementing only value_and_grad/update (no estimator-
+    state protocol) run through the plain multistart scan (regression:
+    the statefulness probe once required an init_obj_state method)."""
+    target = jnp.arange(3.0)
+
+    class MinimalObjective:
+        def value_and_grad(self, vp, key):
+            g = (vp - target) + 0.01 * jax.random.normal(key, vp.shape)
+            return 0.5 * jnp.sum((vp - target) ** 2), g
+
+        def update(self, param, direction):
+            return param - direction
+
+    res = multistart_optimize(RMSProp(0.1), 800, MinimalObjective(),
+                              jnp.zeros((2, 3)), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.tile(np.arange(3.0), (2, 1)), atol=0.05)
+
+
 def test_fsdp_fullrank_trainer():
     """Parameter-sharded full-rank ELBO: theta row-sharded over 'fsdp',
     MC samples over 'mc'; converges toward the target posterior."""

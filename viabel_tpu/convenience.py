@@ -189,6 +189,9 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
     key, run_key, select_key = jax.random.split(key, 3)
     if adaptive and not fixed_lr:
         kwargs = {**RAABBVI_kwargs, **multistart_kwargs}
+        # single-run FASO/RAABBVI kwargs may carry the coordinate-sharding
+        # knob; the multistart engines shard the RESTART axis instead
+        kwargs.pop("shard_axis", None)
         results = multistart_raabbvi(sgo, n_iters, objective, init_var_params,
                                      run_key, learning_rate=lr_kwarg, **kwargs)
     elif adaptive and fixed_lr:
@@ -261,17 +264,26 @@ def elbo_estimates(var_params, *, objective=None, model=None, approx=None,
             log_q = approx.log_density(vp, samples)
         return jnp.mean(model(samples) - log_q)
 
-    try:
-        return jax.jit(jax.vmap(one))(var_params)
-    except (NotImplementedError, ValueError) as exc:
-        # families with no usable density raise at trace time (NeuralNet
-        # log_density NotImplementedError; non-square pushforward density
-        # ValueError) — re-raise with guidance, original cause chained
-        raise ValueError(
-            f"{type(approx).__name__} supports neither closed-form entropy "
-            "nor a sample log density, so restarts cannot be ELBO-scored; "
-            "select a restart yourself (e.g. by a fresh objective loss)"
-        ) from exc
+    if not approx.supports_entropy:
+        # probe density support on a KNOWN-good parameter, so a capability
+        # gap (NeuralNet log_density NotImplementedError; non-square
+        # pushforward density ValueError) is diagnosed as such while
+        # errors from the user's var_params (e.g. a wrong trailing
+        # dimension) propagate raw from the real run below
+        def _probe(vp):
+            if fused is not None:
+                return fused(vp, 2, key)
+            return approx.log_density(vp, approx.sample(vp, 2, key))
+
+        try:
+            jax.eval_shape(_probe, approx.init_param())
+        except (NotImplementedError, ValueError) as exc:
+            raise ValueError(
+                f"{type(approx).__name__} supports neither closed-form "
+                "entropy nor a sample log density, so restarts cannot be "
+                "ELBO-scored; select a restart yourself (e.g. by a fresh "
+                "objective loss)") from exc
+    return jax.jit(jax.vmap(one))(var_params)
 
 
 def select_best_restart(var_params, *, objective=None, model=None, approx=None,

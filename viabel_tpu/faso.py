@@ -903,6 +903,7 @@ class RAABBVI(FASO):
         history["iterate_average_curr_hist"].append(iterate_average_curr)
         history["k_mcse"].append(0)
         stopped = False
+        budget_spent_on_resume = False
         relative_skl = relative_iters = None
         flight = None          # in-flight FASO round state being resumed
         resume_payload = None  # what results["resume_state"] will carry
@@ -938,10 +939,12 @@ class RAABBVI(FASO):
             K_max -= budget_spent
             if K_max <= 0:
                 print("WARNING: resume budget already spent; increase K_max")
-                results = {"opt_param": iterate_average_curr,
-                           "k_stopped_final": None,
-                           "resume_state": resume_state}
-                return results
+                # skip the loop but fall through to the standard results
+                # assembly, so the restored histories come back under the
+                # same keys as every other return path; the run stays
+                # resumable with a larger K_max
+                budget_spent_on_resume = True
+                resume_payload = resume_state
 
         def outer_snapshot():
             """Outer state as of the start of the current round."""
@@ -969,7 +972,7 @@ class RAABBVI(FASO):
                 "hists": hists,
             }
 
-        while not stopped:
+        while not stopped and not budget_spent_on_resume:
             if flight is None:
                 budget_spent += k_new + 1
                 K_max -= (k_new + 1)
@@ -980,6 +983,11 @@ class RAABBVI(FASO):
                     break
             round_snapshot = outer_snapshot()
             iterate_average_prev = iterate_average_curr
+            # a resumed in-flight round already ran this many steps before
+            # the interruption; its FASO reports cumulative k but returns
+            # only post-resume value_history, so count the difference here
+            # to keep the cross-round progress offset monotone
+            flight_presteps = int(flight["k"]) if flight is not None else 0
             key, key_round, key_reg = jax.random.split(key, 3)
             round_cb = None
             if progress_callback is not None:
@@ -1008,7 +1016,8 @@ class RAABBVI(FASO):
                     opt_state = opt["opt_state"]
             flight = None
             if "value_history" in opt:
-                steps_run_total += int(opt["value_history"].shape[0])
+                steps_run_total += flight_presteps + int(
+                    opt["value_history"].shape[0])
             if opt["k_stopped"] is not None and k != 0:
                 history["conv_iters_hist"].append(opt["k_stopped"])
             iterate_average_curr = opt["opt_param"]
@@ -1110,7 +1119,7 @@ class RAABBVI(FASO):
         if stopped:
             print("Termination rule reached at iteration", k_total)
             print("Inefficiency Index:", relative_skl * relative_iters)
-        else:
+        elif not budget_spent_on_resume:
             print("WARNING: maximum number of iterations reached before "
                   "stopping rule was triggered")
 

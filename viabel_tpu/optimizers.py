@@ -232,7 +232,10 @@ class StochasticGradientOptimizer(Optimizer):
             value_history.append(value)
             if progress_callback is not None and (
                     (i + 1) % self.progress_every == 0 or i + 1 == n_iters):
-                seg = value_history[-self.progress_every:]
+                # a final partial segment averages only its remainder (the
+                # scan path emits per-segment means; keep the paths equal)
+                seg_len = (i + 1) % self.progress_every or self.progress_every
+                seg = value_history[-seg_len:]
                 progress_callback(
                     i + 1, float(jnp.mean(jnp.asarray(seg))))
             if iap is not None:

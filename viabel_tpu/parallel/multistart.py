@@ -119,6 +119,13 @@ class _BatchedEngine:
         if mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
+            if restart_axis not in mesh.shape:
+                raise ValueError(
+                    f"mesh has no '{restart_axis}' axis (axes: "
+                    f"{tuple(mesh.shape)}); multistart shards RESTARTS — a "
+                    "coordinate-/mc-sharding mesh from single-run kwargs "
+                    "does not transfer (name a restart axis or pass "
+                    "restart_axis=)")
             n_shards = mesh.shape[restart_axis]
             if B % n_shards != 0:
                 raise ValueError(

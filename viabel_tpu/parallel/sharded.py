@@ -202,7 +202,12 @@ def multistart_optimize(sgo, n_iters, objective, init_params, key,
     """
     init_params = jnp.asarray(init_params)
     n_restarts, D = init_params.shape
-    if jax.tree_util.tree_leaves(objective.init_obj_state(init_params[0])):
+    # duck-typed statefulness probe (objectives without the protocol pass);
+    # eval_shape avoids materializing a throwaway state (e.g. DIS's full
+    # sample cache) just to inspect its pytree
+    state_shape = jax.eval_shape(
+        lambda vp: _obj_init_state(objective, vp), init_params[0])
+    if jax.tree_util.tree_leaves(state_shape):
         # the plain scan calls objective.value_and_grad, whose host-side
         # state mirror would leak tracers under vmap — fail clearly
         raise ValueError(
@@ -223,6 +228,12 @@ def multistart_optimize(sgo, n_iters, objective, init_params, key,
         return {"opt_param": opt_params, "final_param": final_params,
                 "value_history": values}
 
+    if restart_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh has no '{restart_axis}' axis (axes: "
+            f"{tuple(mesh.shape)}); multistart shards RESTARTS — a "
+            "coordinate-/mc-sharding mesh from single-run kwargs does not "
+            "transfer (name a restart axis or pass restart_axis=)")
     n_restart_shards = mesh.shape[restart_axis]
     if n_restarts % n_restart_shards != 0:
         raise ValueError(

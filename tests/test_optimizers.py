@@ -571,6 +571,8 @@ def test_multistart_raabbvi_b1_matches_single(monkeypatch):
     np.testing.assert_allclose(batched["kappa_hist"][0],
                                single["kappa_hist"], rtol=1e-8)
     assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+    # B=1 rounds are sized to the restart's own budget: never an overrun
+    assert batched["budget_overrun"] == [0]
 
 
 def test_multistart_raabbvi_per_restart_termination(monkeypatch):

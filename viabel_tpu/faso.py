@@ -840,6 +840,52 @@ class RAABBVI(FASO):
         """Negative lr-vs-iterations trend? (reference optimization.py:757-776)."""
         return slope < 0
 
+    def skl_round_update(self, approx, avg_prev, avg_curr, *, skl_hist,
+                         lr_hist, conv_iters, kappa_hist, c_hist, pred_hist,
+                         crt_hist, key):
+        """One round's SKL bookkeeping + inefficiency termination rule
+        (reference optimization.py:868-913), shared by the single-run
+        optimize loop and both batched drivers (parallel.raabbvi lockstep
+        and async) so the rule lives in exactly one place — the B=1 parity
+        between all three is tested.
+
+        Appends SKL / kappa / c (and, when the rule evaluates, predicted
+        iterations + stopping criterion) to the caller's history lists IN
+        PLACE.  Returns ``(fit, terminated, relative_skl, relative_iters)``
+        — ``fit`` is the regression posterior (for diagnostics sample
+        trails), the ratios are ``None`` until the rule evaluates.
+        """
+        skl = float(approx.kl(avg_prev, avg_curr)
+                    + approx.kl(avg_curr, avg_prev))
+        skl_hist.append(skl)
+        fit, kappa, c = self.weighted_linear_regression(
+            np.log(np.asarray(skl_hist)), np.log(np.asarray(lr_hist)),
+            key=key)
+        kappa_hist.append(kappa)
+        c_hist.append(c)
+        terminated = False
+        relative_skl = relative_iters = None
+        if len(lr_hist) > 1 and conv_iters:
+            lrs = np.asarray(lr_hist, dtype=float)
+            convs = np.asarray(conv_iters, dtype=float)
+            relative_skl = (self._rho**kappa + self._accuracy_threshold
+                            / (np.sqrt(c) * lrs[-1] ** kappa))
+            curr_iters = convs[-1]
+            _, slope = self.wls(np.log(lrs[-len(convs):]), np.log(convs))
+            if self.convg_iteration_trend_detection(slope):
+                y_wls, x_wls = convs, lrs[-len(convs):]
+            else:
+                y_wls, x_wls = convs[1:], lrs[-len(convs):][1:]
+            if len(y_wls) >= 2:
+                b0, b1 = self.wls(np.log(x_wls), np.log(y_wls))
+                pred_iters = int(np.exp(b0) * (self._rho * lrs[-1]) ** b1)
+                pred_hist.append(pred_iters)
+                relative_iters = pred_iters / (curr_iters + self._iters0)
+                crt_hist.append(relative_skl * relative_iters)
+                terminated = (relative_skl * relative_iters
+                              > self._inefficiency_threshold)
+        return fit, terminated, relative_skl, relative_iters
+
     # outer-loop scalar histories carried through whole-run resume; the
     # *_NONE lists may contain None entries (encoded as -1), the *_INT
     # lists restore as Python ints, the rest as floats
@@ -1067,15 +1113,17 @@ class RAABBVI(FASO):
             mcse_round *= self._rho
 
             if len(history["learning_rate_hist"]) > 0:
-                SKL = float(
-                    objective.approx.kl(iterate_average_prev, iterate_average_curr)
-                    + objective.approx.kl(iterate_average_curr, iterate_average_prev))
-                history["SKL_history"].append(SKL)
-
-                y_wlr = np.log(np.asarray(history["SKL_history"]))
-                x_wlr = np.log(np.asarray(history["learning_rate_hist"]))
-                fit, kappa, c = self.weighted_linear_regression(
-                    y_wlr, x_wlr, key=key_reg)
+                fit, terminated, relative_skl, relative_iters = \
+                    self.skl_round_update(
+                        objective.approx, iterate_average_prev,
+                        iterate_average_curr,
+                        skl_hist=history["SKL_history"],
+                        lr_hist=history["learning_rate_hist"],
+                        conv_iters=history["conv_iters_hist"],
+                        kappa_hist=history["kappa_hist"],
+                        c_hist=history["c_hist"],
+                        pred_hist=history["predicted_iters_hist"],
+                        crt_hist=history["stopping_crt"], key=key_reg)
                 if diagnostics:
                     history["c_sample_hist"].append(np.exp(np.asarray(fit["log_c"])))
                     if averaged:
@@ -1083,35 +1131,11 @@ class RAABBVI(FASO):
                     else:
                         history["kappa_sample_hist"].append(
                             np.asarray(fit["kappa"]))
-                history["kappa_hist"].append(kappa)
-                history["c_hist"].append(c)
-
-                # termination rule (reference optimization.py:888-913)
-                if len(history["learning_rate_hist"]) > 1 and history["conv_iters_hist"]:
-                    lr_hist = np.asarray(history["learning_rate_hist"], dtype=float)
-                    conv_hist = np.asarray(history["conv_iters_hist"], dtype=float)
-                    relative_skl = (self._rho**kappa
-                                    + self._accuracy_threshold
-                                    / (np.sqrt(c) * lr_hist[-1] ** kappa))
-                    curr_iters = conv_hist[-1]
-                    _, slope = self.wls(np.log(lr_hist[-len(conv_hist):]),
-                                        np.log(conv_hist))
-                    if self.convg_iteration_trend_detection(slope):
-                        y_wls, x_wls = conv_hist, lr_hist[-len(conv_hist):]
-                    else:
-                        y_wls, x_wls = conv_hist[1:], lr_hist[-len(conv_hist):][1:]
-                    if len(y_wls) >= 2:
-                        b0, b1 = self.wls(np.log(x_wls), np.log(y_wls))
-                        pred_iters = int(np.exp(b0)
-                                         * (self._rho * lr_hist[-1]) ** b1)
-                        history["predicted_iters_hist"].append(pred_iters)
-                        relative_iters = pred_iters / (curr_iters + self._iters0)
-                        history["stopping_crt"].append(relative_skl * relative_iters)
-                        if relative_skl * relative_iters > self._inefficiency_threshold:
-                            stopped = True
-                            k_stopped_final = k_total
-                            history["k_stopped_final_hist"].append(k_total)
-                            break
+                if terminated:
+                    stopped = True
+                    k_stopped_final = k_total
+                    history["k_stopped_final_hist"].append(k_total)
+                    break
 
             history["learning_rate_hist"].append(lr_round)
             k += 1

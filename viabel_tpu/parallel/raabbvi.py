@@ -132,6 +132,16 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     ``k_global_steps`` (total batched steps run — the wall-clock proxy
     the async schedule improves), and ``resume_state`` (async also adds
     ``n_rounds_per_restart``).
+
+    Budget semantics: per-restart budgets diverge across rounds (each
+    restart consumes its own ``k_stopped + 1``).  A restart whose MCSE
+    stop fires PAST its own remaining budget — inside a round sized for
+    a longer-budget sibling (lockstep), or inside the budget-crossing
+    segment (async, so at most one segment late) — is reported
+    budget-exhausted (``k_stopped_final`` None) like a standalone
+    max-iterations run, but its returned average is the detection-time
+    one, which absorbed the extra steps; ``results["budget_overrun"]``
+    (B,) records those extra step counts (0 = exact-budget semantics).
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
@@ -186,6 +196,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     k_total = np.zeros(B, dtype=int)
     active = np.ones(B, dtype=bool)
     k_stopped_final = [None] * B
+    # steps past a restart's own budget baked into its returned average
+    # when detection fired late in a longer-budget round (see docstring)
+    budget_overrun = np.zeros(B, dtype=int)
     avg_curr = init_params
     opt_states = None  # persisted across rounds for non-averaged SGOs
     conv_iters = [[] for _ in range(B)]
@@ -222,6 +235,8 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         c_hist = [[float(v) for v in h] for h in rs["c_hist"]]
         pred_hist = [[int(v) for v in h] for h in rs["predicted_iters_hist"]]
         crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
+        budget_overrun = np.asarray(
+            rs.get("budget_overrun", np.zeros(B, dtype=int))).copy()
 
     def outer_snapshot():
         """Round-boundary state: fixed-structure pytree (ragged per-
@@ -233,6 +248,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             "active": active.copy(),
             "k_stopped_final": np.asarray(
                 [-1 if v is None else v for v in k_stopped_final]),
+            "budget_overrun": budget_overrun.copy(),
             "avg_curr": avg_curr,
             "opt_states": opt_states if opt_states is not None else (),
             "lr": lr.copy(), "mcse": mcse.copy(), "key": key,
@@ -309,7 +325,8 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                 mcse_threshold=mcse,
                 init_opt_states=opt_states, **detection_kwargs)
         n_rounds += 1
-        k_global_steps += int(opt["value_history"].shape[1])
+        round_len = int(opt["value_history"].shape[1])
+        k_global_steps += round_len
         if not averaged and not warm_round:
             # persist non-averaged SGO state across rounds (the reference
             # only resets averaged SGOs, optimization.py:865-866); state
@@ -321,8 +338,16 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             k_stopped_b = opt["k_stopped"][b]
             if k_stopped_b is not None and k_stopped_b > K_rem[b]:
                 # converged only past this restart's own budget: the
-                # reference run would have hit max-iterations instead
+                # reference run would have hit max-iterations instead.
+                # The adopted round average is still the detection-time
+                # one — report the extra steps it absorbed.
+                budget_overrun[b] = int(k_stopped_b - K_rem[b])
                 k_stopped_b = None
+            elif k_stopped_b is None and round_len > K_rem[b]:
+                # never converged, and the round (sized for a longer-
+                # budget sibling) ran past b's budget: the adopted
+                # endgame average absorbed the extra steps too
+                budget_overrun[b] = int(round_len - K_rem[b])
             avg_prev_b = avg_curr[b]
             avg_curr_b = opt["opt_param"][b]
             new_avgs[b] = np.asarray(avg_curr_b)
@@ -337,45 +362,24 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             lr_next = lr[b] * rho
             mcse[b] *= rho
             if lr_hist[b]:
-                skl = float(
-                    objective.approx.kl(avg_prev_b, jnp.asarray(avg_curr_b))
-                    + objective.approx.kl(jnp.asarray(avg_curr_b), avg_prev_b))
-                skl_hist[b].append(skl)
-                y_wlr = np.log(np.asarray(skl_hist[b]))
-                x_wlr = np.log(np.asarray(lr_hist[b]))
+                # shared per-round SKL regression + termination rule
+                # (RAABBVI.skl_round_update — one implementation for the
+                # single-run loop and both batched drivers)
                 reg_key = key_reg if B == 1 else jax.random.fold_in(key_reg, b)
-                fit, kappa, c = helper.weighted_linear_regression(
-                    y_wlr, x_wlr, key=reg_key)
-                kappa_hist[b].append(kappa)
-                c_hist[b].append(c)
-                # termination rule (reference optimization.py:888-913)
-                if len(lr_hist[b]) > 1 and conv_iters[b]:
-                    lrs = np.asarray(lr_hist[b], dtype=float)
-                    convs = np.asarray(conv_iters[b], dtype=float)
-                    relative_skl = (rho**kappa + accuracy_threshold
-                                    / (np.sqrt(c) * lrs[-1] ** kappa))
-                    curr_iters = convs[-1]
-                    _, slope = RAABBVI.wls(np.log(lrs[-len(convs):]),
-                                           np.log(convs))
-                    if RAABBVI.convg_iteration_trend_detection(slope):
-                        y_wls, x_wls = convs, lrs[-len(convs):]
-                    else:
-                        y_wls, x_wls = convs[1:], lrs[-len(convs):][1:]
-                    if len(y_wls) >= 2:
-                        b0, b1 = RAABBVI.wls(np.log(x_wls), np.log(y_wls))
-                        pred_iters = int(np.exp(b0) * (rho * lrs[-1]) ** b1)
-                        pred_hist[b].append(pred_iters)
-                        relative_iters = pred_iters / (curr_iters + iters0)
-                        crt = relative_skl * relative_iters
-                        crt_hist[b].append(crt)
-                        if crt > inefficiency_threshold:
-                            active[b] = False
-                            k_stopped_final[b] = int(k_total[b])
-                            if verbose:
-                                print(f"restart {b}: termination rule "
-                                      f"reached at iteration {k_total[b]} "
-                                      f"(inefficiency index {crt:.3g})")
-                            continue
+                _fit, terminated, _rskl, _rit = helper.skl_round_update(
+                    objective.approx, avg_prev_b, jnp.asarray(avg_curr_b),
+                    skl_hist=skl_hist[b], lr_hist=lr_hist[b],
+                    conv_iters=conv_iters[b], kappa_hist=kappa_hist[b],
+                    c_hist=c_hist[b], pred_hist=pred_hist[b],
+                    crt_hist=crt_hist[b], key=reg_key)
+                if terminated:
+                    active[b] = False
+                    k_stopped_final[b] = int(k_total[b])
+                    if verbose:
+                        print(f"restart {b}: termination rule "
+                              f"reached at iteration {k_total[b]} "
+                              f"(inefficiency index {crt_hist[b][-1]:.3g})")
+                    continue
             lr_hist[b].append(lr_next)
             lr[b] = lr_next
             k_dec[b] += 1
@@ -393,6 +397,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     return {
         "opt_param": avg_curr,
         "k_stopped_final": k_stopped_final,
+        "budget_overrun": [int(v) for v in budget_overrun],
         "k_total": [int(v) for v in k_total],
         "conv_iters_hist": conv_iters,
         "learning_rate_hist": lr_hist,
@@ -572,6 +577,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     k_dec = np.zeros(B, dtype=int)
     active = np.ones(B, dtype=bool)
     k_stopped_final = [None] * B
+    # steps past a restart's own budget baked into its settled average
+    # when its MCSE stop fired inside the budget-crossing segment
+    budget_overrun = np.zeros(B, dtype=int)
     n_rounds_b = np.zeros(B, dtype=int)
     round_id = np.zeros(B, dtype=int)
     round_start = np.zeros(B, dtype=int)   # global k at b's round start
@@ -682,6 +690,8 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         c_hist = [[float(v) for v in h] for h in rs["c_hist"]]
         pred_hist = [[int(v) for v in h] for h in rs["predicted_iters_hist"]]
         crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
+        budget_overrun = np.asarray(
+            rs.get("budget_overrun", np.zeros(B, dtype=int))).copy()
 
     def outer_snapshot():
         """Segment-boundary state of the continuous program: a
@@ -707,6 +717,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
             "k_dec": k_dec.copy(), "active": active.copy(),
             "k_stopped_final": np.asarray(
                 [-1 if v is None else v for v in k_stopped_final]),
+            "budget_overrun": budget_overrun.copy(),
             "n_rounds_b": n_rounds_b.copy(),
             "round_id": round_id.copy(),
             "round_start": round_start.copy(),
@@ -814,7 +825,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         avg_b = frozen[b]
         if k_new_b > K_rem[b]:
             # converged only past this restart's own budget: a standalone
-            # run would have hit max-iterations instead
+            # run would have hit max-iterations instead.  The settled
+            # average is the detection-time one; the overrun is bounded
+            # by one segment (budget expiry settles at the next boundary)
+            budget_overrun[b] = int(k_new_b - K_rem[b])
             settle(b, avg_b)
             return None
         K_rem[b] -= k_new_b + 1
@@ -826,43 +840,23 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         lr_next = lr[b] * rho
         mcse[b] *= rho
         if lr_hist[b]:
-            skl = float(objective.approx.kl(avg_prev[b], avg_unpacked)
-                        + objective.approx.kl(avg_unpacked, avg_prev[b]))
-            skl_hist[b].append(skl)
-            y_wlr = np.log(np.asarray(skl_hist[b]))
-            x_wlr = np.log(np.asarray(lr_hist[b]))
-            fit, kappa, c = helper.weighted_linear_regression(
-                y_wlr, x_wlr, key=key_regs[b])
-            kappa_hist[b].append(kappa)
-            c_hist[b].append(c)
-            # termination rule (reference optimization.py:888-913)
-            if len(lr_hist[b]) > 1 and conv_iters[b]:
-                lrs = np.asarray(lr_hist[b], dtype=float)
-                convs = np.asarray(conv_iters[b], dtype=float)
-                relative_skl = (rho**kappa + accuracy_threshold
-                                / (np.sqrt(c) * lrs[-1] ** kappa))
-                curr_iters = convs[-1]
-                _, slope = RAABBVI.wls(np.log(lrs[-len(convs):]),
-                                       np.log(convs))
-                if RAABBVI.convg_iteration_trend_detection(slope):
-                    y_wls, x_wls = convs, lrs[-len(convs):]
-                else:
-                    y_wls, x_wls = convs[1:], lrs[-len(convs):][1:]
-                if len(y_wls) >= 2:
-                    b0, b1 = RAABBVI.wls(np.log(x_wls), np.log(y_wls))
-                    pred_iters = int(np.exp(b0) * (rho * lrs[-1]) ** b1)
-                    pred_hist[b].append(pred_iters)
-                    relative_iters = pred_iters / (curr_iters + iters0)
-                    crt = relative_skl * relative_iters
-                    crt_hist[b].append(crt)
-                    if crt > inefficiency_threshold:
-                        k_stopped_final[b] = int(k_total[b])
-                        settle(b, avg_b)
-                        if verbose:
-                            print(f"restart {b}: termination rule reached "
-                                  f"at iteration {k_total[b]} "
-                                  f"(inefficiency index {crt:.3g})")
-                        return None
+            # shared per-round SKL regression + termination rule
+            # (RAABBVI.skl_round_update — one implementation for the
+            # single-run loop and both batched drivers)
+            _fit, terminated, _rskl, _rit = helper.skl_round_update(
+                objective.approx, avg_prev[b], avg_unpacked,
+                skl_hist=skl_hist[b], lr_hist=lr_hist[b],
+                conv_iters=conv_iters[b], kappa_hist=kappa_hist[b],
+                c_hist=c_hist[b], pred_hist=pred_hist[b],
+                crt_hist=crt_hist[b], key=key_regs[b])
+            if terminated:
+                k_stopped_final[b] = int(k_total[b])
+                settle(b, avg_b)
+                if verbose:
+                    print(f"restart {b}: termination rule reached "
+                          f"at iteration {k_total[b]} "
+                          f"(inefficiency index {crt_hist[b][-1]:.3g})")
+                return None
         if K_rem[b] <= 0:
             # budget exhausted exactly between rounds (the lockstep
             # driver's loop-top accounting)
@@ -982,7 +976,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 # round ran b's whole remaining budget without stopping:
                 # maximum iterations for this restart (final parameter =
                 # the standalone fallback chain: last checked average,
-                # else the converged/best-window mean, else round init)
+                # else the converged/best-window mean, else round init);
+                # expiry is enforced at segment boundaries, so the
+                # settled average may absorb up to one segment extra
+                budget_overrun[b] = int(k - round_start[b] - K_rem[b])
                 drain_for_restart(b)
                 if last_checked_avg[b] is not None:
                     settle(b, last_checked_avg[b])
@@ -1035,6 +1032,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     return {
         "opt_param": opt_param,
         "k_stopped_final": k_stopped_final,
+        "budget_overrun": [int(v) for v in budget_overrun],
         "k_total": [int(v) for v in k_total],
         "conv_iters_hist": conv_iters,
         "learning_rate_hist": lr_hist,

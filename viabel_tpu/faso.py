@@ -196,12 +196,22 @@ class FASO(Optimizer):
         ``k_check`` at most ``min(64, W_min // 4)``.  Smaller values track
         the reference candidates more closely; larger values make the
         convergence check cheaper.
+    max_time : float or None
+        Wall-clock budget in seconds for each ``optimize`` call (NEW —
+        no reference counterpart; the reference budgets iterations only).
+        Checked at segment boundaries: when elapsed time crosses the
+        budget the run returns partial results exactly like an iteration
+        budget exhaustion — ``k_stopped`` None, ``timed_out`` True, and a
+        ``resume_state`` that continues the run (each resumed call gets a
+        fresh allotment).  Complements checkpoint/resume for preemptible
+        (elastic) capacity and fixed serving-latency budgets.
     """
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
                  k_check=None, max_history=None, rhat_threshold=1.1,
                  rhat_quantile=None, rhat_backoff=None, rhat_group=None,
-                 check_pipeline=4, mesh=None, shard_axis="mc"):
+                 check_pipeline=4, mesh=None, shard_axis="mc",
+                 max_time=None):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -217,6 +227,9 @@ class FASO(Optimizer):
         self._check_pipeline = int(check_pipeline)
         self._mesh = mesh
         self._shard_axis = shard_axis
+        self._max_time = None if max_time is None else float(max_time)
+        if self._max_time is not None and self._max_time < 0:
+            raise ValueError('"max_time" must be non-negative')
         if self._check_pipeline < 0:
             raise ValueError('"check_pipeline" must be non-negative')
         if mcse_threshold <= 0:
@@ -312,7 +325,7 @@ class FASO(Optimizer):
     def optimize(self, n_iters, objective, init_param, key=None,
                  init_opt_state=None, resume_state=None,
                  progress_callback=None, learning_rate=None,
-                 mcse_threshold=None):
+                 mcse_threshold=None, max_time=None):
         """Run FASO.
 
         ``resume_state``: the ``results["resume_state"]`` pytree of a prior
@@ -323,15 +336,17 @@ class FASO(Optimizer):
         is invoked at each segment boundary (the host-side counterpart of
         the reference's tqdm descriptions, optimization.py:606-610).
 
-        ``learning_rate`` / ``mcse_threshold`` override the constructor
-        values for this run only — RAABBVI threads its per-round decayed
-        values through these instead of mutating shared optimizer state
+        ``learning_rate`` / ``mcse_threshold`` / ``max_time`` override the
+        constructor values for this run only — RAABBVI threads its
+        per-round decayed values (and remaining wall-clock budget)
+        through these instead of mutating shared optimizer state
         (the reference mutates ``self`` at optimization.py:863-864, making
         its optimizer objects single-use; see SURVEY.md §7 hard-part 6).
         """
         if key is None:
             key = jax.random.PRNGKey(0)
         n_iters = int(n_iters)
+        max_time = (self._max_time if max_time is None else float(max_time))
         mcse_threshold = (self._mcse_threshold if mcse_threshold is None
                           else float(mcse_threshold))
         diagnostics = self._sgo._diagnostics
@@ -468,6 +483,7 @@ class FASO(Optimizer):
         pending = deque(resume_state.get("pending_checks", [])
                         if resume_state is not None else [])
         interrupted = False
+        timed_out = False
         resumed_opt_time = total_opt_time
         mcse_time_total = 0.0
         loop_start = _now()
@@ -524,6 +540,14 @@ class FASO(Optimizer):
             return passed
 
         while k < n_iters:
+            # wall-clock budget: enforced at segment boundaries, so a
+            # timed-out run stops exactly where a resume can continue it
+            if max_time is not None and _now() - loop_start >= max_time:
+                timed_out = True
+                print("WARNING: wall-clock budget ({:g} s) reached at "
+                      "iteration {}; returning partial results "
+                      "(resumable)".format(max_time, k))
+                break
             # segments stay aligned to the k_check grid (a resumed run's
             # first segment may be shorter to realign)
             to_boundary = self._k_check - (k % self._k_check)
@@ -667,7 +691,9 @@ class FASO(Optimizer):
                            use_pallas=use_pallas,
                            pallas_shards=pallas_shards), D)
 
-        if k_stopped is None and not interrupted:
+        if k_stopped is not None:
+            print("Convergence reached at iteration", k_stopped)
+        elif not interrupted and not timed_out:
             if k_conv is None:
                 print("WARNING: stationarity not reached after maximum number "
                       "of iterations")
@@ -679,8 +705,6 @@ class FASO(Optimizer):
                 if mcse is not None:
                     print("WARNING: maximum MCSE = {:.3g}".format(np.max(mcse)))
                     print("WARNING: minimum ESS = {:.1f}".format(np.min(eff)))
-        else:
-            print("Convergence reached at iteration", k_stopped)
 
         # grad/descent-dir histories were streamed to HOST numpy per segment
         # (8 MB/step at the flagship) — concatenate them there; a
@@ -694,6 +718,7 @@ class FASO(Optimizer):
         results["k_conv"] = k_conv
         results["k_Rhat"] = k_Rhat
         results["k_stopped"] = k_stopped
+        results["timed_out"] = timed_out
         results["opt_param"] = iterate_average
         results["opt_state"] = opt_state
         results["resume_state"] = {
@@ -897,11 +922,18 @@ class RAABBVI(FASO):
     _RESUME_HISTS = _RESUME_HISTS_NONE + _RESUME_HISTS_INT + _RESUME_HISTS_FLOAT
 
     def optimize(self, K_max, objective, init_param, key=None,
-                 progress_callback=None, resume_state=None):
+                 progress_callback=None, resume_state=None, max_time=None):
         """Run RAABBVI.  ``progress_callback(k, avg_loss)`` fires at every
         inner-FASO segment boundary with ``k`` counted cumulatively across
         learning-rate rounds (the reference's tqdm shows a single
         continuing bar across rounds, optimization.py:534, 812).
+
+        ``max_time`` (seconds; default the constructor's) budgets the
+        WHOLE run's wall clock: each inner round receives the remaining
+        allotment, a round interrupted by it stops at a segment boundary,
+        and the run returns partial results with ``timed_out`` True and a
+        ``resume_state`` that continues it (mid-round, replaying
+        in-flight verdicts) — same contract as the iteration budget.
 
         ``resume_state``: the ``results["resume_state"]`` pytree of a
         prior run that exhausted its iteration budget (``K_max``) — the
@@ -920,11 +952,21 @@ class RAABBVI(FASO):
         """
         if key is None:
             key = jax.random.PRNGKey(0)
+        max_time = self._max_time if max_time is None else float(max_time)
         if not objective.approx.supports_kl:
             print("WARNING: approximation family does not support KL. "
                   "Using FASO.", flush=True)
             return super().optimize(K_max, objective, init_param, key=key,
-                                    progress_callback=progress_callback)
+                                    progress_callback=progress_callback,
+                                    max_time=max_time)
+
+        # whole-run clock (only consulted when a budget is set, so the
+        # deterministic-clock tests' recheck schedules are unperturbed)
+        run_start = _now() if max_time is not None else None
+
+        def _time_left():
+            return (None if max_time is None
+                    else max(max_time - (_now() - run_start), 0.0))
 
         K_max = int(K_max)
         k_new = -1        # iterations used at the current learning rate
@@ -950,6 +992,7 @@ class RAABBVI(FASO):
         history["k_mcse"].append(0)
         stopped = False
         budget_spent_on_resume = False
+        timed_out = False
         relative_skl = relative_iters = None
         flight = None          # in-flight FASO round state being resumed
         resume_payload = None  # what results["resume_state"] will carry
@@ -1022,9 +1065,11 @@ class RAABBVI(FASO):
             if flight is None:
                 budget_spent += k_new + 1
                 K_max -= (k_new + 1)
-                if K_max <= 0:
-                    # budget exhausted exactly between rounds: resumable
-                    # at the next round
+                out_of_time = max_time is not None and _time_left() <= 0
+                if K_max <= 0 or out_of_time:
+                    # iteration or wall-clock budget exhausted exactly
+                    # between rounds: resumable at the next round
+                    timed_out = out_of_time and K_max > 0
                     resume_payload = {**outer_snapshot(), "flight": ()}
                     break
             round_snapshot = outer_snapshot()
@@ -1040,6 +1085,7 @@ class RAABBVI(FASO):
                 # report cumulative iterations across rounds
                 round_cb = (lambda kk, loss, _off=steps_run_total:
                             progress_callback(_off + kk, loss))
+            round_max_time = _time_left()  # None when no budget is set
             if k == 0 and self._init_rmsprop:
                 # warm-start round with plain RMSProp (reference 815-818)
                 rmsprop = RMSProp(learning_rate=lr_round,
@@ -1048,18 +1094,21 @@ class RAABBVI(FASO):
                 opt = faso.optimize(K_max, objective, iterate_average_curr,
                                     key=key_round,
                                     resume_state=flight,
-                                    progress_callback=round_cb)
+                                    progress_callback=round_cb,
+                                    max_time=round_max_time)
             else:
                 opt = super().optimize(K_max, objective, iterate_average_curr,
                                        key=key_round, init_opt_state=opt_state,
                                        learning_rate=lr_round,
                                        mcse_threshold=mcse_round,
                                        resume_state=flight,
-                                       progress_callback=round_cb)
+                                       progress_callback=round_cb,
+                                       max_time=round_max_time)
                 if not averaged:
                     # persist non-averaged SGO state across rounds
                     # (the reference only resets averaged SGOs, 865-866)
                     opt_state = opt["opt_state"]
+            timed_out = bool(opt.get("timed_out", False))
             flight = None
             if "value_history" in opt:
                 steps_run_total += flight_presteps + int(
@@ -1143,7 +1192,7 @@ class RAABBVI(FASO):
         if stopped:
             print("Termination rule reached at iteration", k_total)
             print("Inefficiency Index:", relative_skl * relative_iters)
-        elif not budget_spent_on_resume:
+        elif not budget_spent_on_resume and not timed_out:
             print("WARNING: maximum number of iterations reached before "
                   "stopping rule was triggered")
 
@@ -1167,6 +1216,7 @@ class RAABBVI(FASO):
                     results[d] = h
         results["opt_param"] = iterate_average_curr
         results["k_stopped_final"] = k_stopped_final
+        results["timed_out"] = timed_out
         results["k_Rhat"] = history["k_Rhat"]
         results["k_mcse"] = history["k_mcse"]
         results["k_conv"] = history["k_conv"]

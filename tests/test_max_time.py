@@ -21,7 +21,7 @@ from viabel_tpu import FASO, RAABBVI, AveragedRMSProp, RMSProp, ExclusiveKL
 from viabel_tpu import MFGaussian
 from viabel_tpu.models import zoo
 
-from test_optimizers import DummyObjective, _stub_clock
+from test_optimizers import DummyObjective, _stub_clock, _stub_clock_everywhere
 
 
 def test_faso_max_time_zero_resumes_to_full_run():
@@ -112,6 +112,71 @@ def test_raabbvi_max_time_whole_run_budget(monkeypatch):
     assert not full["timed_out"]
     resumed = make_opt().optimize(K, objective, init, key=key,
                                   resume_state=rs)
+    assert not resumed["timed_out"]
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+    assert resumed["conv_iters_hist"] == full["conv_iters_hist"]
+
+
+def test_multistart_faso_max_time_zero_resumes_to_full_run():
+    """The batched engine honors max_time with the same contract:
+    zero-budget timeout before the first segment, then resume without a
+    budget reproduces the full run (config of
+    test_multistart_faso_resume_matches_uninterrupted)."""
+    from viabel_tpu.models import zoo as _zoo
+    from viabel_tpu.parallel import multistart_faso
+
+    d = 2
+    model, _ = _zoo.diagonal_gaussian(np.zeros(d), np.ones(d))
+    approx = MFGaussian(d)
+    obj = ExclusiveKL(approx, model, 20)
+    B = 2
+    rng = np.random.RandomState(3)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(B, approx.var_param_dim))
+    key = jax.random.PRNGKey(11)
+    kwargs = dict(W_min=200, mcse_threshold=0.5, ESS_min=10,
+                  max_history=600)
+    stopped = multistart_faso(RMSProp(0.05), 3000, obj, inits, key,
+                              max_time=0.0, **kwargs)
+    assert stopped["timed_out"]
+    assert stopped["k_stopped"] == [None] * B
+    full = multistart_faso(RMSProp(0.05), 3000, obj, inits, key, **kwargs)
+    assert not full["timed_out"]
+    resumed = multistart_faso(RMSProp(0.05), 3000, obj, inits, key,
+                              resume_state=stopped["resume_state"], **kwargs)
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-6)
+    assert resumed["k_stopped"] == full["k_stopped"]
+
+
+@pytest.mark.parametrize("schedule", ["lockstep", "async"])
+def test_multistart_raabbvi_max_time(monkeypatch, schedule):
+    """Both batched RAABBVI schedules honor the whole-run wall-clock
+    budget: under the unit-step clock stub any sub-second budget expires
+    at the first boundary check, and the resumed run (no budget)
+    reproduces the unbudgeted run exactly."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    inits = jnp.asarray(true_value + 0.5)[None]
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10,
+                  schedule=schedule, verbose=False)
+    K = 3002
+    part = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                              jax.random.PRNGKey(3), max_time=0.05, **kwargs)
+    assert part["timed_out"]
+    assert part["k_stopped_final"] == [None]
+    full = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                              jax.random.PRNGKey(3), **kwargs)
+    assert not full["timed_out"]
+    resumed = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                                 jax.random.PRNGKey(3),
+                                 resume_state=part["resume_state"], **kwargs)
     assert not resumed["timed_out"]
     np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
                                np.asarray(full["opt_param"]), rtol=1e-10)

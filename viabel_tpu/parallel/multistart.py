@@ -292,7 +292,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                     check_pipeline=4, diagnostics=None, resume_state=None,
                     mesh=None, restart_axis="restart", keys=None,
-                    init_opt_states=None, _jit_cache=None):
+                    init_opt_states=None, max_time=None, _jit_cache=None):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
     Semantics per restart match ``FASO.optimize``
@@ -341,6 +341,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     including in-flight pipelined verdicts (the fixed-structure pytree
     serializes with :mod:`viabel_tpu.checkpoint`).  ``value_history``
     covers only the resumed run's own steps.
+
+    ``max_time`` (seconds): wall-clock budget for this call, the
+    :class:`FASO` contract batched — checked at segment boundaries; on
+    expiry the run returns partial results with ``timed_out`` True and
+    a ``resume_state`` that continues every restart (each call gets a
+    fresh allotment).
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
@@ -572,7 +578,17 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 next_check_at = 0
             interval_adjusted_at = k
 
+    timed_out = False
     while k < n_iters and not np.all(k_stopped >= 0):
+        # wall-clock budget at segment boundaries (FASO's max_time
+        # contract, batched); _now() is only consulted when set, so the
+        # deterministic-clock tests' schedules are unperturbed
+        if max_time is not None and _now() - loop_start >= float(max_time):
+            timed_out = True
+            print("WARNING: wall-clock budget ({:g} s) reached at "
+                  "iteration {}; returning partial results "
+                  "(resumable)".format(float(max_time), k))
+            break
         steps = min(k_check - (k % k_check), n_iters - k)
         carry, outs = engine.runner(steps)(var_params, opt_states, obj_states,
                                            keys, rings, lr, t)
@@ -732,6 +748,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "k_conv": [None if v < 0 else int(v) for v in k_conv],
         "k_Rhat": [None if v < 0 else int(v) for v in k_Rhat],
         "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
+        "timed_out": timed_out,
         "resume_state": resume_snapshot,
     }
     if stateful:

@@ -74,7 +74,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                        rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                        check_pipeline=4, mesh=None, restart_axis="restart",
                        resume_state=None, round_callback=None,
-                       schedule="lockstep", verbose=True):
+                       schedule="lockstep", verbose=True, max_time=None):
     """Run ``B = init_params.shape[0]`` RAABBVI optimizations batched.
 
     Parameters mirror :class:`viabel_tpu.RAABBVI` (rho / iters0 /
@@ -142,6 +142,13 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     max-iterations run, but its returned average is the detection-time
     one, which absorbed the extra steps; ``results["budget_overrun"]``
     (B,) records those extra step counts (0 = exact-budget semantics).
+
+    ``max_time`` (seconds) budgets the WHOLE batched run's wall clock
+    (the :class:`RAABBVI` contract): expiry stops at a round boundary
+    (lockstep — the in-flight round receives the remaining allotment
+    and stops at a segment boundary inside it) or a segment boundary
+    (async), returning ``timed_out`` True and the usual resumable
+    snapshot.
     """
     if not isinstance(sgo, StochasticGradientOptimizer):
         raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
@@ -166,10 +173,17 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             rhat_group=rhat_group, check_pipeline=check_pipeline,
             mesh=mesh, restart_axis=restart_axis,
             resume_state=resume_state, round_callback=round_callback,
-            verbose=verbose)
+            verbose=verbose, max_time=max_time)
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
     K_max = int(K_max)
+    # whole-run wall clock (consulted only when a budget is set, so the
+    # deterministic-clock tests' recheck schedules are unperturbed)
+    run_start = _now() if max_time is not None else None
+
+    def _time_left():
+        return (None if max_time is None
+                else max(float(max_time) - (_now() - run_start), 0.0))
     if max_history is None:
         # pin ring sizing across rounds (None would size each round's
         # rings to its own shrinking budget — different window caps per
@@ -291,7 +305,17 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     # accounting must run exactly once per round on resume)
     snapshot = outer_snapshot()
 
+    timed_out = False
     while True:
+        # wall-clock budget, checked BEFORE the once-per-round budget
+        # accounting so the round-boundary snapshot resumes cleanly
+        if max_time is not None and _time_left() <= 0:
+            timed_out = True
+            if verbose:
+                print("WARNING: wall-clock budget ({:g} s) reached at a "
+                      "round boundary; returning partial results "
+                      "(resumable)".format(float(max_time)))
+            break
         # per-restart budget accounting (reference: K_max -= k_new + 1)
         for b in np.flatnonzero(active):
             K_rem[b] -= k_new[b] + 1
@@ -311,19 +335,30 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         lr_round = jnp.asarray(np.where(active, lr, 0.0),
                                dtype=init_params.dtype)
         warm_round = init_rmsprop and n_rounds == 0
+        round_max_time = _time_left()  # None when no budget is set
         if warm_round:
             # first round on the plain RMSProp rule at each restart's
             # starting lr (reference optimization.py:815-818); the real
             # sgo starts round two with fresh state
             opt = multistart_faso(
                 warm_sgo, n_iters_round, objective, avg_curr, None,
-                keys=round_keys, learning_rate=lr_round, **warm_kwargs)
+                keys=round_keys, learning_rate=lr_round,
+                max_time=round_max_time, **warm_kwargs)
         else:
             opt = multistart_faso(
                 sgo, n_iters_round, objective, avg_curr, None,
                 keys=round_keys, learning_rate=lr_round,
                 mcse_threshold=mcse,
-                init_opt_states=opt_states, **detection_kwargs)
+                init_opt_states=opt_states, max_time=round_max_time,
+                **detection_kwargs)
+        if opt.get("timed_out"):
+            # lockstep recovery is round-granular: roll the interrupted
+            # round back (its steps are lost on resume; the async
+            # schedule resumes mid-round instead) — no outer state has
+            # been touched beyond the loop-top accounting, which the
+            # round-boundary snapshot re-applies on resume
+            timed_out = True
+            break
         n_rounds += 1
         round_len = int(opt["value_history"].shape[1])
         k_global_steps += round_len
@@ -388,7 +423,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         if round_callback is not None:
             round_callback(n_rounds, snapshot)
 
-    if verbose:
+    if verbose and not timed_out:
         unfinished = [b for b in range(B) if k_stopped_final[b] is None]
         if unfinished:
             print("WARNING: restarts", unfinished, "reached the iteration "
@@ -397,6 +432,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     return {
         "opt_param": avg_curr,
         "k_stopped_final": k_stopped_final,
+        "timed_out": timed_out,
         "budget_overrun": [int(v) for v in budget_overrun],
         "k_total": [int(v) for v in k_total],
         "conv_iters_hist": conv_iters,
@@ -436,7 +472,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               rhat_backoff, rhat_group, check_pipeline,
                               mesh=None, restart_axis="restart",
                               resume_state=None, round_callback=None,
-                              verbose=True):
+                              verbose=True, max_time=None):
     """Asynchronous per-restart rounds: one continuous batched program.
 
     The lockstep schedule runs each outer round as its own
@@ -878,7 +914,19 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         last_checked_avg[b] = None
         return avg_unpacked
 
+    # wall-clock budget: a fresh per-call allotment (unlike loop_start,
+    # which continues the recheck cost model across resumes); consulted
+    # only when set, so deterministic-clock tests are unperturbed
+    run_start = _now() if max_time is not None else None
+    timed_out = False
     while np.any(active):
+        if max_time is not None and _now() - run_start >= float(max_time):
+            timed_out = True
+            if verbose:
+                print("WARNING: wall-clock budget ({:g} s) reached at "
+                      "iteration {}; returning partial results "
+                      "(resumable)".format(float(max_time), k))
+            break
         carry, _ = engine.runner(k_check)(var_params, opt_states, obj_states,
                                           keys, rings, jnp.asarray(
                                               lr, dtype=init_params.dtype), t)
@@ -1020,18 +1068,42 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         if round_callback is not None and (advanced or settled_any):
             round_callback(int(n_rounds_b.sum()), outer_snapshot())
 
-    if verbose:
+    if verbose and not timed_out:
         unfinished = [b for b in range(B) if k_stopped_final[b] is None]
         if unfinished:
             print("WARNING: restarts", unfinished, "reached the iteration "
                   "budget before their stopping rule was triggered")
 
+    # snapshot BEFORE the timeout display pass below: host arrays are
+    # copied into it, so the display drains don't disturb the resume
+    resume_snap = outer_snapshot()
+    display = {}
+    if timed_out:
+        # best current estimate for still-running restarts (the budget-
+        # expiry fallback chain, display-only — resume continues them)
+        for b in range(B):
+            if not active[b] or final_avg[b] is not None:
+                continue
+            drain_for_restart(b)
+            if last_checked_avg[b] is not None:
+                display[b] = unpack_rows(last_checked_avg[b], D)
+            elif (k_conv[b] >= 0 or last_best_W[b] > 0) and k > round_start[b]:
+                W_f = (max(k - round_start[b] - k_conv[b], 1)
+                       if k_conv[b] >= 0 else max(int(last_best_W[b]), 1))
+                W_f = min(W_f, R, k - round_start[b])
+                display[b] = unpack_rows(
+                    engine.mean_one(rings[b], t, jnp.asarray(W_f)), D)
+            elif avg_prev[b] is not None:
+                display[b] = avg_prev[b]
+
     opt_param = jnp.stack([
-        final_avg[b] if final_avg[b] is not None else init_params[b]
+        final_avg[b] if final_avg[b] is not None
+        else display.get(b, init_params[b])
         for b in range(B)])
     return {
         "opt_param": opt_param,
         "k_stopped_final": k_stopped_final,
+        "timed_out": timed_out,
         "budget_overrun": [int(v) for v in budget_overrun],
         "k_total": [int(v) for v in k_total],
         "conv_iters_hist": conv_iters,
@@ -1045,5 +1117,5 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         "n_rounds_per_restart": [int(v) for v in n_rounds_b],
         "k_global_steps": k,
         "obj_state_errors": list(obj_errors),
-        "resume_state": outer_snapshot(),
+        "resume_state": resume_snap,
     }

@@ -55,6 +55,12 @@ SLOW_TESTS = {
     "test_multistart_raabbvi_async_stateful_dis",
     "test_multistart_raabbvi_async_resampling_dis_multi_restart",
     "test_multistart_raabbvi_async_resume_matches_uninterrupted",
+    "test_multistart_raabbvi_init_rmsprop_b1_matches_single",
+    # test_max_time — straight-vs-resumed double runs
+    "test_faso_max_time_zero_resumes_to_full_run",
+    "test_raabbvi_max_time_whole_run_budget",
+    "test_multistart_faso_max_time_zero_resumes_to_full_run",
+    "test_multistart_raabbvi_max_time",
     # test_convenience — batched multistart end-to-end runs
     "test_bbvi_multistart",
     # test_convenience — full bbvi matrix + diagnostics pipelines

@@ -78,6 +78,54 @@ def _largest_divisor_leq(n, cap):
     return 1
 
 
+def _detection_geometry(D, W_min, k_check, ESS_min, rhat_group,
+                        rhat_quantile, rhat_backoff, R_base):
+    """Validate the detection knobs and derive the geometry every driver
+    must agree on (FASO, ``multistart_faso``, async ``multistart_raabbvi``)
+    so a batched restart's round sees the same windows/groups a standalone
+    run would: check cadence ``k_check`` (defaults to ``W_min``), the ESS
+    floor, the R-hat group granularity ``G`` (candidate-window boundaries
+    quantize to this grid; it must divide ``k_check`` so checks land
+    group-aligned, capped so candidates stay well below ``W_min``), the
+    group-quantized ring length ``R`` grown from ``R_base``, and the
+    quantile gate's allowed exceedance count ("q-quantile of R-hat <=
+    threshold" == "at most (1-q)*D coordinates exceed threshold", checked
+    sort-free).  Returns ``(k_check, ESS_min, G, R, rhat_allowed)``."""
+    k_check = int(W_min if k_check is None else k_check)
+    ESS_min = W_min // 8 if ESS_min is None else ESS_min
+    if rhat_group is not None and (int(rhat_group) <= 0
+                                   or k_check % int(rhat_group) != 0):
+        raise ValueError('"rhat_group" must be a positive divisor of '
+                         'k_check (checks happen at k_check multiples)')
+    G = (int(rhat_group) if rhat_group
+         else _largest_divisor_leq(k_check, max(1, min(64, W_min // 4))))
+    if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
+        raise ValueError('"rhat_quantile" must be in (0, 1)')
+    if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
+        raise ValueError('"rhat_backoff" must be greater than one')
+    R = max(int(R_base), 2 * int(W_min))
+    R = -(-R // G) * G  # round up to whole groups
+    rhat_allowed = (None if rhat_quantile is None
+                    else int((1.0 - float(rhat_quantile)) * D))
+    return k_check, ESS_min, G, R, rhat_allowed
+
+
+def _backoff_adjust(best_stat, check_interval, max_interval,
+                    rhat_backoff, rhat_threshold, rhat_allowed):
+    """The one R-hat backoff cadence rule (shared by FASO and both batched
+    drivers): verdict far from the gate (best statistic above
+    ``rhat_backoff`` times the gate) -> double the check interval, capped
+    at one ring length; within the margin -> full cadence for the approach
+    to the gate.  Returns ``(check_interval, pull_next_check_forward)`` —
+    the caller resets its scheduled next check when the flag is set (a
+    long gap may already be on the books)."""
+    far_gate = float(rhat_backoff) * (
+        rhat_threshold if rhat_allowed is None else max(rhat_allowed, 1))
+    if best_stat > far_gate:
+        return min(check_interval * 2, max_interval), False
+    return 1, True
+
+
 def _candidate_windows(W_min, W_upper, G):
     """Reference candidates linspace(W_min, 0.95k, 5) (optimization.py:553),
     quantized to even multiples of ``2 * G`` so every half-chain boundary
@@ -356,25 +404,17 @@ class FASO(Optimizer):
 
         var_param = jnp.asarray(init_param)
         D = var_param.shape[0]
-        # quantile gate: "q-quantile of R-hat <= threshold" == "at most
-        # (1-q)*D coordinates exceed threshold" — checked with a sort-free
-        # exceedance count (a top_k over 1e6 coordinates lowers to a
-        # ~100 ms device sort per check; the count is one extra reduce)
-        rhat_allowed = (None if self._rhat_quantile is None
-                        else int((1.0 - self._rhat_quantile) * D))
-        # R-hat group granularity: boundaries quantize to this grid.  Must
-        # divide k_check (checks happen at k_check multiples, so t is then
-        # group-aligned and every quantized boundary lands on a whole
-        # group); capped so candidate windows (multiples of 2*group) stay
-        # well below W_min.
-        G = self._rhat_group or _largest_divisor_leq(
-            self._k_check, max(1, min(64, self._W_min // 4)))
-        # With max_history the ring size is exactly as configured (so
-        # partial runs and resumes agree on window caps regardless of each
-        # run's n_iters); without it the ring covers the whole run.
-        R = int(self._max_history) if self._max_history else max(n_iters, 2)
-        R = max(R, 2 * self._W_min)
-        R = -(-R // G) * G  # round up to whole groups
+        # Shared geometry derivation (_detection_geometry): the quantile
+        # gate's sort-free exceedance count (a top_k over 1e6 coordinates
+        # lowers to a ~100 ms device sort per check; the count is one
+        # extra reduce), the group granularity, and the ring size.  With
+        # max_history the ring size is exactly as configured (so partial
+        # runs and resumes agree on window caps regardless of each run's
+        # n_iters); without it the ring covers the whole run.
+        _, _, G, R, rhat_allowed = _detection_geometry(
+            D, self._W_min, self._k_check, self._ESS_min, self._rhat_group,
+            self._rhat_quantile, self._rhat_backoff,
+            int(self._max_history) if self._max_history else max(n_iters, 2))
         ring = jnp.zeros((R, 8, packed_width(D)), dtype=var_param.dtype)
         # data-parallel layout: shard the ring (and hence every window
         # statistic) over the packed coordinate axis of `mesh` — R-hat,
@@ -395,7 +435,17 @@ class FASO(Optimizer):
             # resolve the kernel dispatch NOW (not at trace time) so it is
             # part of the module-level jits' static cache key — tests flip
             # the dispatch global between runs
-            if (packed_width(D) % self._mesh.shape[self._shard_axis] == 0
+            # per-shard kernel blocks must keep a lane-tile-aligned minor
+            # width on real TPUs: f32 tiles are (8, 128), so a sub-128 (or
+            # non-multiple) per-shard C would hand Mosaic a partial-lane
+            # block — fall back to the jnp stats there (GSPMD partitions
+            # those natively).  Interpret mode (CPU tests) has no tile
+            # constraint, so the equality tests keep exercising the
+            # sharded kernel path at small d.
+            n_shards = self._mesh.shape[self._shard_axis]
+            lane_ok = ((packed_width(D) // max(n_shards, 1)) % 128 == 0
+                       or jax.default_backend() != "tpu")
+            if (packed_width(D) % n_shards == 0 and lane_ok
                     and pallas_enabled()):
                 use_pallas = True
                 pallas_shards = (self._mesh, self._shard_axis)
@@ -497,19 +547,14 @@ class FASO(Optimizer):
             best_W = int(ck["windows"][best])
             last_best_W = best_W
             if self._rhat_backoff is not None and ck_k > interval_adjusted_at:
-                # far from the gate -> double the check interval; within
-                # the margin -> full cadence for the approach to the gate.
                 # Adjust at most once per verdict dispatched under the
                 # current schedule (ck_k > interval_adjusted_at): queued
                 # full-cadence verdicts draining through the pipeline must
                 # not compound the doubling.
-                far_gate = (self._rhat_backoff
-                            * (self._rhat_threshold if rhat_allowed is None
-                               else max(rhat_allowed, 1)))
-                if r_hats[best] > far_gate:
-                    check_interval = min(check_interval * 2, max_interval)
-                else:
-                    check_interval = 1
+                check_interval, pull = _backoff_adjust(
+                    r_hats[best], check_interval, max_interval,
+                    self._rhat_backoff, self._rhat_threshold, rhat_allowed)
+                if pull:
                     # a long gap may already be scheduled — pull the next
                     # check forward to the next k_check boundary
                     next_check_at = 0

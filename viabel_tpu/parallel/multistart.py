@@ -34,8 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from ..faso import (
+    _backoff_adjust,
     _candidate_windows,
-    _largest_divisor_leq,
+    _detection_geometry,
     _mcse_check,
     _now,
     _recheck_scale,
@@ -371,24 +372,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         raise ValueError("multistart_faso requires a scannable objective "
                          "(host-loop objectives need single-run FASO)")
     n_iters = int(n_iters)
-    k_check = int(W_min if k_check is None else k_check)
-    ESS_min = W_min // 8 if ESS_min is None else ESS_min
-    if rhat_group is not None and (int(rhat_group) <= 0
-                                   or k_check % int(rhat_group) != 0):
-        raise ValueError('"rhat_group" must be a positive divisor of '
-                         'k_check (checks happen at k_check multiples)')
-    G = (int(rhat_group) if rhat_group
-         else _largest_divisor_leq(k_check, max(1, min(64, W_min // 4))))
-    R = int(max_history) if max_history else max(n_iters, 2)
-    R = max(R, 2 * W_min)
-    R = -(-R // G) * G
+    k_check, ESS_min, G, R, rhat_allowed = _detection_geometry(
+        D, W_min, k_check, ESS_min, rhat_group, rhat_quantile, rhat_backoff,
+        int(max_history) if max_history else max(n_iters, 2))
     C = packed_width(D)
-    if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
-        raise ValueError('"rhat_quantile" must be in (0, 1)')
-    if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
-        raise ValueError('"rhat_backoff" must be greater than one')
-    rhat_allowed = (None if rhat_quantile is None
-                    else int((1.0 - float(rhat_quantile)) * D))
     gate = rhat_threshold if rhat_allowed is None else rhat_allowed
 
     # lr rides batched through the runner (one per restart; a scalar is
@@ -568,13 +555,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                                                    jnp.asarray(w_eff))
         if (rhat_backoff is not None and best_stats
                 and ck_k > interval_adjusted_at):
-            far_gate = float(rhat_backoff) * (
-                rhat_threshold if rhat_allowed is None
-                else max(rhat_allowed, 1))
-            if min(best_stats) > far_gate:
-                check_interval = min(check_interval * 2, max_interval)
-            else:
-                check_interval = 1
+            check_interval, pull = _backoff_adjust(
+                min(best_stats), check_interval, max_interval,
+                rhat_backoff, rhat_threshold, rhat_allowed)
+            if pull:
                 next_check_at = 0
             interval_adjusted_at = k
 

@@ -53,8 +53,9 @@ import jax.numpy as jnp
 
 from ..faso import (
     RAABBVI,
+    _backoff_adjust,
     _candidate_windows,
-    _largest_divisor_leq,
+    _detection_geometry,
     _now,
     _recheck_scale,
 )
@@ -569,26 +570,12 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     if not getattr(objective, "scannable", True):
         raise ValueError("multistart_raabbvi requires a scannable objective")
 
-    # detection geometry: identical derivations to multistart_faso so a
+    # detection geometry: the shared _detection_geometry derivation, so a
     # restart's round sees the same windows/groups a standalone run would
-    k_check = int(W_min if k_check is None else k_check)
-    ESS_min = W_min // 8 if ESS_min is None else ESS_min
-    if rhat_group is not None and (int(rhat_group) <= 0
-                                   or k_check % int(rhat_group) != 0):
-        raise ValueError('"rhat_group" must be a positive divisor of '
-                         'k_check (checks happen at k_check multiples)')
-    G = (int(rhat_group) if rhat_group
-         else _largest_divisor_leq(k_check, max(1, min(64, W_min // 4))))
-    R = int(max_history)
-    R = max(R, 2 * W_min)
-    R = -(-R // G) * G
+    k_check, ESS_min, G, R, rhat_allowed = _detection_geometry(
+        D, W_min, k_check, ESS_min, rhat_group, rhat_quantile, rhat_backoff,
+        int(max_history))
     C = packed_width(D)
-    if rhat_quantile is not None and not 0.0 < float(rhat_quantile) < 1.0:
-        raise ValueError('"rhat_quantile" must be in (0, 1)')
-    if rhat_backoff is not None and float(rhat_backoff) <= 1.0:
-        raise ValueError('"rhat_backoff" must be greater than one')
-    rhat_allowed = (None if rhat_quantile is None
-                    else int((1.0 - float(rhat_quantile)) * D))
     gate = rhat_threshold if rhat_allowed is None else rhat_allowed
 
     engine = _BatchedEngine(
@@ -641,20 +628,25 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
             outer_keys[b], 3)
         return key_round
 
-    var_params = init_params
-    opt_states = jax.vmap(sgo.init_state)(init_params)
-    obj_states = engine.init_obj_states(init_params)
     obj_errors = [None] * B
-    if engine.stateful:
-        # capability probe: an objective whose hook cannot reset rows
-        # raises HERE, not at the first mid-run round advancement (the
-        # call itself is a no-op on a fresh state)
-        obj_states = objective.reset_obj_state_rows(
-            obj_states, jnp.arange(B))
-    keys = jnp.stack([_next_round_keys(b) for b in range(B)])
-    rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
-    t = jnp.asarray(0)
-    k = 0
+    if resume_state is None:
+        var_params = init_params
+        opt_states = jax.vmap(sgo.init_state)(init_params)
+        obj_states = engine.init_obj_states(init_params)
+        if engine.stateful:
+            # capability probe: an objective whose hook cannot reset rows
+            # raises HERE, not at the first mid-run round advancement (the
+            # call itself is a no-op on a fresh state)
+            obj_states = objective.reset_obj_state_rows(
+                obj_states, jnp.arange(B))
+        keys = jnp.stack([_next_round_keys(b) for b in range(B)])
+        rings = jnp.zeros((B, R, 8, C), dtype=init_params.dtype)
+        t = jnp.asarray(0)
+        k = 0
+    # else: every one of these is restored from resume_state below —
+    # allocating fresh rings/states first would hold a transient 2x HBM
+    # peak at HBM-sized rings (the multistart.py resume path has the
+    # same guard), and the probe already passed on the original run
 
     # per-restart detection state, in round-local iteration units
     k_conv = np.full(B, -1)
@@ -808,13 +800,10 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 W_check[b] = int(windows[best])
         if (rhat_backoff is not None and best_stats
                 and int(ck["k"]) > interval_adjusted_at):
-            far_gate = float(rhat_backoff) * (
-                rhat_threshold if rhat_allowed is None
-                else max(rhat_allowed, 1))
-            if min(best_stats) > far_gate:
-                check_interval = min(check_interval * 2, max_interval)
-            else:
-                check_interval = 1
+            check_interval, pull = _backoff_adjust(
+                min(best_stats), check_interval, max_interval,
+                rhat_backoff, rhat_threshold, rhat_allowed)
+            if pull:
                 next_check_at = 0
             interval_adjusted_at = k
 
@@ -851,6 +840,24 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                             k - round_start[b])
                 last_checked_avg[b] = engine.mean_one(
                     rings[b], t, jnp.asarray(w_eff))
+
+    def fallback_estimate(b):
+        """Restart ``b``'s best current estimate when its round ends
+        without an MCSE stop (budget expiry, wall-clock timeout) — the
+        standalone FASO max-iterations fallback chain, one restart: drain
+        in-flight verdicts, then the last checked average, else the
+        converged/best-window ring mean, else the previous round average.
+        Returns a (D,) row or None (callers fall back to the init)."""
+        drain_for_restart(b)
+        if last_checked_avg[b] is not None:
+            return unpack_rows(last_checked_avg[b], D)
+        if (k_conv[b] >= 0 or last_best_W[b] > 0) and k > round_start[b]:
+            W_f = (max(k - round_start[b] - k_conv[b], 1)
+                   if k_conv[b] >= 0 else max(int(last_best_W[b]), 1))
+            W_f = min(W_f, R, k - round_start[b])
+            return unpack_rows(
+                engine.mean_one(rings[b], t, jnp.asarray(W_f)), D)
+        return avg_prev[b]
 
     def advance_restart(b):
         """Restart ``b``'s MCSE stop fired: do ITS round bookkeeping
@@ -1023,24 +1030,13 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 settled_any = True
                 # round ran b's whole remaining budget without stopping:
                 # maximum iterations for this restart (final parameter =
-                # the standalone fallback chain: last checked average,
-                # else the converged/best-window mean, else round init);
+                # fallback_estimate's standalone chain, else round init);
                 # expiry is enforced at segment boundaries, so the
                 # settled average may absorb up to one segment extra
                 budget_overrun[b] = int(k - round_start[b] - K_rem[b])
-                drain_for_restart(b)
-                if last_checked_avg[b] is not None:
-                    settle(b, last_checked_avg[b])
-                elif k_conv[b] >= 0 or last_best_W[b] > 0:
-                    W_f = (max(k - round_start[b] - k_conv[b], 1)
-                           if k_conv[b] >= 0 else max(int(last_best_W[b]), 1))
-                    W_f = min(W_f, R, k - round_start[b])
-                    settle(b, engine.mean_one(rings[b], t, jnp.asarray(W_f)))
-                else:
-                    active[b] = False
-                    lr[b] = 0.0
-                    final_avg[b] = (avg_prev[b] if avg_prev[b] is not None
-                                    else init_params[b])
+                est = fallback_estimate(b)
+                settle(b, None)
+                final_avg[b] = est if est is not None else init_params[b]
         if advanced:
             idx = jnp.asarray(list(advanced.keys()))
             new_inits = jnp.stack(list(advanced.values()))
@@ -1084,17 +1080,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         for b in range(B):
             if not active[b] or final_avg[b] is not None:
                 continue
-            drain_for_restart(b)
-            if last_checked_avg[b] is not None:
-                display[b] = unpack_rows(last_checked_avg[b], D)
-            elif (k_conv[b] >= 0 or last_best_W[b] > 0) and k > round_start[b]:
-                W_f = (max(k - round_start[b] - k_conv[b], 1)
-                       if k_conv[b] >= 0 else max(int(last_best_W[b]), 1))
-                W_f = min(W_f, R, k - round_start[b])
-                display[b] = unpack_rows(
-                    engine.mean_one(rings[b], t, jnp.asarray(W_f)), D)
-            elif avg_prev[b] is not None:
-                display[b] = avg_prev[b]
+            est = fallback_estimate(b)
+            if est is not None:
+                display[b] = est
 
     opt_param = jnp.stack([
         final_avg[b] if final_avg[b] is not None

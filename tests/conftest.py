@@ -81,7 +81,10 @@ SLOW_TESTS = {
     "test_ExclusiveKL_control_variates_path_deriv",
     "test_DISInclusiveKL",
     "test_AlphaDivergence",
+    "test_IWELBO",
     "test_nvpflow_as_variational_family",
+    # test_models — minibatch-SVI end-to-end recovery runs
+    "test_subsampled_model_recovery",
     # test_parallel — batched detection + bit-exact equality runs
     "test_sharded_faso_matches_unsharded",
     "test_multistart_faso_detection",

@@ -10,10 +10,11 @@ analytic spot-checks of the densities.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 from jax.test_util import check_grads
 
-from viabel_tpu.models import Model, TemperedModel, zoo
+from viabel_tpu.models import Model, SubsampledModel, TemperedModel, zoo
 
 
 @pytest.mark.parametrize("factory", [
@@ -91,6 +92,78 @@ def test_tempered_model():
     np.testing.assert_allclose(float(model(x)[0]), 0.5 * float(base(x)[0]))
     model.set_inverse_temperature(0.25)
     np.testing.assert_allclose(float(model(x)[0]), 0.25 * float(base(x)[0]))
+
+
+def _gaussian_mean_subsampled(n_data=64, batch_size=8, theta=1.5, seed=0):
+    """Conjugate fixture: y_i ~ N(theta, 1), prior theta ~ N(0, 10)."""
+    rng = np.random.RandomState(seed)
+    y = jnp.asarray(theta + rng.randn(n_data))
+    log_prior = lambda x: -0.5 * jnp.sum(x**2, axis=-1) / 100.0  # noqa: E731
+    log_lik = lambda x, batch: -0.5 * jnp.sum(  # noqa: E731
+        (batch[None, :] - x) ** 2, axis=-1)
+    model = SubsampledModel(log_prior, log_lik, y, batch_size)
+    # exact posterior: N(sum y / (n + 1/100), 1 / (n + 1/100))
+    prec = n_data + 1.0 / 100.0
+    return model, float(jnp.sum(y)) / prec, 1.0 / np.sqrt(prec)
+
+
+def test_subsampled_model_identical_rows_exact():
+    """With every data row identical, any minibatch recovers the full-data
+    log density exactly — the scaling n/b is checked deterministically."""
+    data = jnp.full((40,), 2.5)
+    log_prior = lambda x: -0.5 * jnp.sum(x**2, axis=-1)  # noqa: E731
+    log_lik = lambda x, batch: -0.5 * jnp.sum(  # noqa: E731
+        (batch[None, :] - x) ** 2, axis=-1)
+    model = SubsampledModel(log_prior, log_lik, data, batch_size=5)
+    assert model.needs_key and model.n_data == 40 and model.batch_size == 5
+    x = jnp.asarray([[0.3], [1.2], [-0.7]])
+    full = np.asarray(model.full_data_log_density(x))
+    for seed in range(3):
+        np.testing.assert_allclose(
+            np.asarray(model(x, jax.random.PRNGKey(seed))), full, rtol=1e-12)
+
+
+def test_subsampled_model_unbiased():
+    """E_idx[subsampled log density] equals the full-data log density
+    (the minibatch estimator is unbiased for the ELBO's model term)."""
+    model, _, _ = _gaussian_mean_subsampled(n_data=32, batch_size=4)
+    x = jnp.asarray([[0.8], [2.1]])
+    keys = jax.random.split(jax.random.PRNGKey(1), 4000)
+    vals = jax.vmap(lambda k: model(x, k))(keys)          # (4000, 2)
+    full = np.asarray(model.full_data_log_density(x))
+    mc_se = np.asarray(jnp.std(vals, axis=0)) / np.sqrt(len(keys))
+    np.testing.assert_allclose(np.asarray(jnp.mean(vals, axis=0)), full,
+                               atol=float(4.5 * mc_se.max()))
+
+
+@pytest.mark.parametrize("estimator", ["plain", "stl", "mean_only"])
+def test_subsampled_model_recovery(estimator):
+    """ExclusiveKL over a SubsampledModel recovers the exact conjugate
+    posterior (minibatch SVI end-to-end, every ELBO estimator family)."""
+    from viabel_tpu import ExclusiveKL, MFGaussian, RMSProp
+
+    model, post_mean, post_stdev = _gaussian_mean_subsampled()
+    approx = MFGaussian(1)
+    kwargs = {"plain": {}, "stl": dict(use_path_deriv=True),
+              "mean_only": dict(hessian_approx_method="mean_only")}[estimator]
+    obj = ExclusiveKL(approx, model, 50, **kwargs)
+    results = RMSProp(0.05).optimize(1500, obj, jnp.asarray([0.0, 0.0]),
+                                     key=jax.random.PRNGKey(2))
+    est_mean, est_cov = approx.mean_and_cov(results["opt_param"])
+    np.testing.assert_allclose(float(est_mean[0]), post_mean, atol=0.1)
+    np.testing.assert_allclose(float(jnp.sqrt(est_cov[0, 0])), post_stdev,
+                               rtol=0.3)
+
+
+def test_subsampled_model_validation():
+    lik = lambda x, b: jnp.zeros(x.shape[0])  # noqa: E731
+    prior = lambda x: jnp.zeros(x.shape[0])  # noqa: E731
+    with pytest.raises(ValueError, match="batch_size"):
+        SubsampledModel(prior, lik, jnp.zeros(10), 11)
+    with pytest.raises(ValueError, match="leading"):
+        SubsampledModel(prior, lik, {"a": jnp.zeros(10), "b": jnp.zeros(9)}, 2)
+    with pytest.raises(ValueError, match="at least one"):
+        SubsampledModel(prior, lik, {}, 2)
 
 
 def test_model_from_single():

@@ -16,6 +16,7 @@ from viabel_tpu import (
     AlphaDivergence,
     DISInclusiveKL,
     ExclusiveKL,
+    IWELBO,
     MFGaussian,
     MFStudentT,
     RMSProp,
@@ -135,6 +136,144 @@ def test_AlphaDivergence():
     # bistable under gradient noise — like the reference's own test, this
     # pins a seed in the convergent basin.
     _test_objective(AlphaDivergence, 100, seed=1, alpha=2)
+
+
+def test_IWELBO():
+    # End-to-end recovery for the default DReG estimator only: the plain
+    # total-derivative IWAE gradient's variational-parameter SNR decays
+    # as O(1/sqrt(S)) (Rainforth et al. 2018), so recovery at S=100 is
+    # exactly what the estimator provably cannot deliver — the plain path
+    # is covered by the S=1 ELBO-equivalence and unbiasedness tests below.
+    _test_objective(IWELBO, 100)
+
+
+def test_IWELBO_plain_value_zero_at_optimum():
+    """With q == p exactly (normalized target), every log-weight is
+    identically 0, so the plain IWELBO value is exactly 0 for any S and
+    any key — a deterministic value check for the non-DReG path."""
+    mean = np.array([1.0, -1.0])
+    stdev = np.array([2.0, 0.5])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    vp_opt = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    for S in (1, 16):
+        value, grad = IWELBO(approx, model, S, use_dreg=False).value_and_grad(
+            vp_opt, jax.random.PRNGKey(11))
+        np.testing.assert_allclose(float(value), 0.0, atol=1e-10)
+        assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_IWELBO_plain_grad_unbiased_matches_dreg():
+    """Plain and DReG estimate the gradient of the SAME bound, so their
+    mean gradients over many keys must agree within MC error (this is
+    the unbiasedness check that end-to-end recovery cannot provide for
+    the high-variance plain estimator)."""
+    model, _, _ = zoo.correlated_gaussian(dim=2, rho=0.6)
+    approx = MFGaussian(2)
+    vp = jnp.asarray([0.4, -0.3, 0.2, -0.1])
+    S, n_keys = 8, 400
+    keys = jax.random.split(jax.random.PRNGKey(17), n_keys)
+    plain = IWELBO(approx, model, S, use_dreg=False)
+    dreg = IWELBO(approx, model, S)
+    g_plain = np.asarray(jax.vmap(
+        lambda k: plain.value_and_grad(vp, k)[1])(keys))
+    g_dreg = np.asarray(jax.vmap(
+        lambda k: dreg.value_and_grad(vp, k)[1])(keys))
+    diff = g_plain.mean(0) - g_dreg.mean(0)
+    se = np.sqrt(g_plain.var(0) / n_keys + g_dreg.var(0) / n_keys)
+    assert np.all(np.abs(diff) < 5 * se), (diff, se)
+
+
+def test_IWELBO_s1_dreg_is_exactly_stl():
+    """At S=1 the DReG gradient reduces to the sticking-the-landing ELBO
+    gradient (Tucker et al. 2019 §3): same sampler call, same stopped
+    score, unit weight — so value and gradient must match the STL
+    ExclusiveKL bit-for-bit under the same key."""
+    model, _ = zoo.diagonal_gaussian(np.array([1.0, -1.0]),
+                                     np.array([2.0, 0.5]))
+    approx = MFGaussian(2)
+    vp = jnp.asarray([0.3, -0.2, 0.1, 0.4])
+    key = jax.random.PRNGKey(7)
+    v_iw, g_iw = IWELBO(approx, model, 1).value_and_grad(vp, key)
+    v_stl, g_stl = ExclusiveKL(approx, model, 1,
+                               use_path_deriv=True).value_and_grad(vp, key)
+    np.testing.assert_array_equal(np.asarray(v_iw), np.asarray(v_stl))
+    np.testing.assert_array_equal(np.asarray(g_iw), np.asarray(g_stl))
+
+
+def test_IWELBO_bound_tighter_than_elbo():
+    """E[IW-ELBO_S] is monotonically nondecreasing in S (Burda et al. 2016
+    Thm 1); with a mismatched q the S=64 bound must be strictly tighter
+    (smaller loss) than the S=1 ELBO by a clear statistical margin."""
+    model, _, _ = zoo.correlated_gaussian(dim=2, rho=0.8)
+    approx = MFGaussian(2)
+    vp = jnp.zeros(4)  # mean-field on a correlated target: a real gap
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    iw = IWELBO(approx, model, 64)
+    elbo = ExclusiveKL(approx, model, 64)
+    iw_losses = np.asarray([float(iw.value_and_grad(vp, k)[0]) for k in keys[:64]])
+    elbo_losses = np.asarray([float(elbo.value_and_grad(vp, k)[0]) for k in keys[:64]])
+    # loss = -bound, so tighter bound == smaller mean loss
+    assert iw_losses.mean() < elbo_losses.mean() - 3 * (
+        iw_losses.std() + elbo_losses.std()) / np.sqrt(64)
+
+
+def test_IWELBO_dreg_grad_vanishes_at_optimum():
+    """With q == p exactly, every log-weight is constant, so the DReG
+    path gradient is identically ~0 per draw (the STL property lifted to
+    the importance-weighted bound)."""
+    mean = np.array([0.3, 0.9])
+    stdev = np.array([1.1, 0.6])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    vp_opt = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    _, grad = IWELBO(approx, model, 16).value_and_grad(
+        vp_opt, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-8)
+
+
+def test_IWELBO_sharded_matches_unsharded_collectives():
+    """The MC-sharded IWELBO step reproduces the unsharded value/gradient
+    when every shard is fed the global sample set's statistics — checked
+    at the optimum (grad ~ 0, value ~ 0) and for finiteness elsewhere."""
+    from jax.sharding import Mesh
+    from viabel_tpu.parallel import shard_mc_objective
+
+    mean = np.array([0.1, -0.4])
+    stdev = np.array([0.9, 1.7])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    approx = MFGaussian(2)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("mc",))
+    sharded = shard_mc_objective(IWELBO(approx, model, 64), mesh,
+                                 axis_name="mc")
+    vp_opt = jnp.concatenate([jnp.asarray(mean), jnp.log(jnp.asarray(stdev))])
+    value, grad = sharded.value_and_grad(vp_opt, jax.random.PRNGKey(2))
+    assert abs(float(value)) < 0.05
+    np.testing.assert_allclose(np.asarray(grad), 0.0, atol=1e-8)
+    value, grad = sharded.value_and_grad(jnp.zeros(4), jax.random.PRNGKey(5))
+    assert np.isfinite(float(value))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_importance_weight_objectives_reject_subsampled_models():
+    """Importance weights of a noisy subsampled log density are biased
+    (exp of a noisy estimate); only the ELBO (linear in log p) supports
+    SubsampledModel."""
+    from viabel_tpu import SubsampledModel
+
+    data = np.random.RandomState(0).randn(32, 1)
+    model = SubsampledModel(
+        lambda x: -0.5 * jnp.sum(x**2, axis=-1),
+        lambda x, batch: -0.5 * jnp.sum((x - batch.mean()) ** 2, axis=-1),
+        data, batch_size=8)
+    approx = MFGaussian(1)
+    for cls, kwargs in [
+            (IWELBO, {}),
+            (AlphaDivergence, dict(alpha=2)),
+            (DISInclusiveKL, dict(ess_target=10, temper_prior=MFGaussian(1),
+                                  temper_prior_params=np.zeros(2)))]:
+        with pytest.raises(ValueError, match="subsampled"):
+            cls(approx, model, 20, **kwargs)
 
 
 def test_exclusive_kl_value_matches_analytic():

@@ -22,11 +22,12 @@ from .families import (
     NeuralNet,
     NVPFlow,
 )
-from .models import Model, TemperedModel, zoo
+from .models import Model, SubsampledModel, TemperedModel, zoo
 from .objectives import (
     VariationalObjective,
     StochasticVariationalObjective,
     ExclusiveKL,
+    IWELBO,
     DISInclusiveKL,
     AlphaDivergence,
 )
@@ -60,10 +61,10 @@ __all__ = [
     "ApproximationFamily", "MFGaussian", "MFStudentT", "FullRankGaussian",
     "MultivariateT", "LRGaussian", "NeuralNet", "NVPFlow",
     # models
-    "Model", "TemperedModel", "zoo",
+    "Model", "SubsampledModel", "TemperedModel", "zoo",
     # objectives
     "VariationalObjective", "StochasticVariationalObjective",
-    "ExclusiveKL", "DISInclusiveKL", "AlphaDivergence",
+    "ExclusiveKL", "IWELBO", "DISInclusiveKL", "AlphaDivergence",
     # optimizers
     "Optimizer", "StochasticGradientOptimizer", "RMSProp", "AveragedRMSProp",
     "Adam", "AveragedAdam", "Adagrad", "WindowedAdagrad", "FASO", "RAABBVI",

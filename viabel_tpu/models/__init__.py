@@ -1,4 +1,4 @@
-from .base import Model, TemperedModel
+from .base import Model, SubsampledModel, TemperedModel
 from . import zoo
 
-__all__ = ["Model", "TemperedModel", "zoo"]
+__all__ = ["Model", "SubsampledModel", "TemperedModel", "zoo"]

@@ -44,11 +44,41 @@ __all__ = [
     "VariationalObjective",
     "StochasticVariationalObjective",
     "ExclusiveKL",
+    "IWELBO",
     "DISInclusiveKL",
     "AlphaDivergence",
 ]
 
 _HESSIAN_METHODS = (None, "full", "mean_only", "loo_diag_approx", "loo_direct_approx")
+
+
+def _model_and_key(model, key):
+    """Resolve the model callable for one objective step.
+
+    Models that draw their own randomness (``model.needs_key``, e.g.
+    minibatch-subsampled models) get half of the step key bound in; the
+    other half continues to the variational sampler.  Key-less models are
+    returned untouched WITH the unsplit key, so their PRNG stream (and
+    every seeded test/receipt) is unchanged.  The split is deterministic
+    in ``key``, so multiple evaluations inside one step (the control-
+    variate estimators' closures) see the same minibatch.
+    """
+    if getattr(model, "needs_key", False):
+        key, model_key = jax.random.split(key)
+        return (lambda samples: model(samples, model_key)), key
+    return model, key
+
+
+def _reject_subsampled(model, objective_name):
+    """Importance-weight objectives need exact log densities: weights
+    ``exp(log p - log q)`` of a noisy (subsampled) model estimate are
+    biased (``E[exp(noisy)] != exp(E[noisy])``), unlike the ELBO, which
+    is linear in ``log p``."""
+    if getattr(model, "needs_key", False):
+        raise ValueError(
+            f"{objective_name} requires an exact log density: importance "
+            "weights of a subsampled model estimate are biased — use "
+            "ExclusiveKL for SubsampledModel")
 
 
 class VariationalObjective:
@@ -187,6 +217,7 @@ class ExclusiveKL(StochasticVariationalObjective):
     def _loss(self, var_param, key, num_samples=None):
         approx, model = self.approx, self.model
         n = num_samples or self.num_mc_samples
+        model, key = _model_and_key(model, key)
         if self._use_path_deriv:
             samples, log_q = approx.sample_and_stl_log_density(var_param, n, key)
             return -jnp.mean(model(samples) - log_q)
@@ -213,6 +244,11 @@ class ExclusiveKL(StochasticVariationalObjective):
     def _rge_value_and_grad(self, var_param, key):
         approx, model = self.approx, self.model
         S = self.num_mc_samples
+        # _loss below re-derives the identical split from the unsplit key,
+        # so the value, the gradient samples, and every Hessian closure
+        # see the same minibatch for subsampled models
+        orig_key = key
+        model, key = _model_and_key(model, key)
 
         def f_single(x):
             return model(x[None, :])[0]
@@ -224,7 +260,7 @@ class ExclusiveKL(StochasticVariationalObjective):
         m_mean, s_scale = approx.mean_and_stdevs(var_param)
         eps = (z_samples - m_mean) / s_scale
 
-        value = self._loss(var_param, key)
+        value = self._loss(var_param, orig_key)
 
         # raw reparameterization gradient samples, [mu | log_sigma] layout
         dLdm = grad_elementwise(z_samples)              # (S, d)
@@ -308,6 +344,111 @@ class ExclusiveKL(StochasticVariationalObjective):
         return step
 
 
+class IWELBO(StochasticVariationalObjective):
+    """Importance-weighted ELBO — the IWAE bound (Burda et al. 2016).
+
+    Beyond the reference's objective set (no counterpart in
+    ``viabel/objectives.py``): minimizes ``-E[log (1/S) sum_i w_i]`` with
+    ``w_i = p(x_i)/q(x_i)``, a lower bound on the evidence that is
+    monotonically tighter in ``S`` than the ELBO and whose implicit
+    variational target is closer to the true posterior — the natural
+    objective when extra MC samples per step are cheap, which on a TPU
+    they are (the (S, d) batch work is minor against the fixed parameter
+    traffic until S ~ 1000 at d=1000; docs/benchmarks.md).
+
+    Gradient: by default the doubly-reparameterized (DReG) estimator
+    (Tucker et al. 2019) — the high-variance score term is removed by
+    evaluating ``log q`` at stopped parameters (the families' fused
+    ``sample_and_stl_log_density`` hook, the same mechanism as
+    ExclusiveKL's sticking-the-landing path) and reweighting the path
+    derivative by the SQUARED normalized importance weights.  At ``S=1``
+    it reduces bit-exactly to the STL ELBO gradient (tested).
+    ``use_dreg=False`` gives the plain IWAE total-derivative gradient.
+
+    Like the other importance-weight objectives, rejects subsampled
+    models (see ``_reject_subsampled``).
+    """
+
+    scannable = True
+
+    def __init__(self, approx, model, num_mc_samples, use_dreg=True):
+        _reject_subsampled(model, "IWELBO")
+        self._use_dreg = bool(use_dreg)
+        super().__init__(approx, model, num_mc_samples)
+
+    def _loss(self, var_param, key, num_samples=None):
+        approx, model = self.approx, self.model
+        n = num_samples or self.num_mc_samples
+        if self._use_dreg:
+            samples, log_q = approx.sample_and_stl_log_density(
+                var_param, n, key)
+            lw = model(samples) - log_q          # score path already stopped
+            w_hat = jax.nn.softmax(lax.stop_gradient(lw))
+            # value: the IW-ELBO itself; gradient: sum_i w_hat_i^2 dlw_i
+            # through the reparameterized path only (Tucker et al. 2019,
+            # eq. 12), attached via a zero-valued surrogate
+            surrogate = jnp.sum(w_hat * w_hat * lw)
+            value = (jax.scipy.special.logsumexp(lax.stop_gradient(lw))
+                     - jnp.log(float(n)))
+            return -(value + surrogate - lax.stop_gradient(surrogate))
+        samples = approx.sample(var_param, n, key)
+        lw = model(samples) - approx.log_density(var_param, samples)
+        return -(jax.scipy.special.logsumexp(lw) - jnp.log(float(n)))
+
+    def _update_objective_and_grad(self):
+        self._value_and_grad = jax.jit(jax.value_and_grad(self._loss))
+
+    def mc_sharded_step(self, axis_name, n_shards):
+        """Per-shard step for MC-sample-axis data parallelism (see
+        ``ExclusiveKL.mc_sharded_step``).
+
+        The bound couples every sample through one log-sum-exp, so unlike
+        the ELBO it is not a mean of per-shard losses: the stabilizing max
+        is a ``pmax``, the weight normalizer a ``psum``, and each shard's
+        local gradient contribution (its own samples' terms of the global
+        sum) is ``psum``-combined — the AlphaDivergence pattern.
+        """
+        if self.num_mc_samples % n_shards:
+            raise ValueError(
+                f"num_mc_samples={self.num_mc_samples} must be divisible "
+                f"by the {axis_name} axis size {n_shards}")
+        local_S = self.num_mc_samples // n_shards
+        approx, model = self.approx, self.model
+        n_total = float(self.num_mc_samples)
+        use_dreg = self._use_dreg
+
+        def local_loss(var_param, key):
+            if use_dreg:
+                samples, log_q = approx.sample_and_stl_log_density(
+                    var_param, local_S, key)
+                lw = model(samples) - log_q
+            else:
+                samples = approx.sample(var_param, local_S, key)
+                lw = model(samples) - approx.log_density(var_param, samples)
+            lw_stop = lax.stop_gradient(lw)
+            m = lax.pmax(jnp.max(lw_stop), axis_name)
+            norm = lax.psum(jnp.sum(jnp.exp(lw_stop - m)), axis_name)
+            value = jnp.log(norm) + m - jnp.log(n_total)
+            if use_dreg:
+                w_hat = jnp.exp(lw_stop - m) / norm
+                surrogate = jnp.sum(w_hat * w_hat * lw)
+                return -(value + surrogate - lax.stop_gradient(surrogate))
+            # plain path: re-attach the gradient of the global
+            # log-sum-exp through this shard's own lw terms
+            surrogate = jnp.sum(jnp.exp(lw_stop - m) / norm * lw)
+            return -(value + surrogate - lax.stop_gradient(surrogate))
+
+        def step(var_param, key):
+            key = jax.random.fold_in(key, lax.axis_index(axis_name))
+            value, grad = jax.value_and_grad(
+                lambda p: local_loss(p, key))(var_param)
+            # value is already globally reduced (identical on every
+            # shard); local gradient contributions sum to the global one
+            return lax.pmean(value, axis_name), lax.psum(grad, axis_name)
+
+        return step
+
+
 class AlphaDivergence(StochasticVariationalObjective):
     """Log alpha-divergence / CUBO objective (reference objectives.py:419-463).
 
@@ -318,6 +459,7 @@ class AlphaDivergence(StochasticVariationalObjective):
     """
 
     def __init__(self, approx, model, num_mc_samples, alpha):
+        _reject_subsampled(model, "AlphaDivergence")
         self._alpha = float(alpha)
         super().__init__(approx, model, num_mc_samples)
 
@@ -405,6 +547,7 @@ class DISInclusiveKL(StochasticVariationalObjective):
     def __init__(self, approx, model, num_mc_samples, ess_target,
                  temper_prior, temper_prior_params, use_resampling=True,
                  num_resampling_batches=1, w_clip_threshold=10):
+        _reject_subsampled(model, "DISInclusiveKL")
         self._ess_target = float(ess_target)
         self._w_clip_threshold = float(w_clip_threshold)
         self._max_bisection_its = 50

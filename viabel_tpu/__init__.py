@@ -50,6 +50,7 @@ from .diagnostics import (
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
+from .pathfinder import pathfinder, multipath_pathfinder
 from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
                           select_best_restart)
 from . import checkpoint, hmc, ops, parallel
@@ -72,6 +73,8 @@ __all__ = [
     "all_diagnostics", "error_bounds", "wasserstein_bounds", "divergence_bound",
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
     "multivariate_t_logpdf",
+    # pathfinder
+    "pathfinder", "multipath_pathfinder",
     # convenience
     "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
 ]

@@ -14,10 +14,12 @@ import jax.numpy as jnp
 from viabel_tpu.models import zoo
 from viabel_tpu.pathfinder import (
     _factored_gaussian,
+    _family_param_from_factor,
     _middle_matrix,
     _sample_factored,
     multipath_pathfinder,
     pathfinder,
+    pathfinder_init,
 )
 
 
@@ -119,6 +121,146 @@ def test_pathfinder_short_path_and_validation():
         pathfinder(model, jnp.ones(3), jax.random.PRNGKey(0), max_iters=0)
     with pytest.raises(ValueError, match="n_paths"):
         multipath_pathfinder(model, jnp.ones(3), jax.random.PRNGKey(0))
+
+
+def test_multipath_pathfinder_mesh_sharded_equals_unsharded():
+    """Path-axis mesh sharding is a pure layout change: identical results
+    to the unsharded vmapped run on the virtual 8-device CPU mesh."""
+    from viabel_tpu.parallel import make_mesh
+
+    model, _ = zoo.diagonal_gaussian(np.zeros(3), np.ones(3))
+    inits = jnp.asarray(np.random.RandomState(9).randn(8, 3))
+    kwargs = dict(max_iters=8, n_draws_per_path=16, n_draws=32)
+    plain = multipath_pathfinder(model, inits, jax.random.PRNGKey(3),
+                                 **kwargs)
+    mesh = make_mesh((8,), ("paths",))
+    sharded = multipath_pathfinder(model, inits, jax.random.PRNGKey(3),
+                                   mesh=mesh, **kwargs)
+    np.testing.assert_allclose(np.asarray(sharded["samples"]),
+                               np.asarray(plain["samples"]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded["log_weights"]),
+                               np.asarray(plain["log_weights"]), rtol=1e-10)
+    with pytest.raises(ValueError, match="divisible"):
+        multipath_pathfinder(model, inits[:3], jax.random.PRNGKey(3),
+                             mesh=mesh, **kwargs)
+
+
+def test_family_param_from_factor_moment_match():
+    """The factored Gaussian maps onto each family so the family's
+    mean/cov reproduce the Pathfinder Gaussian's (exactly for full-rank,
+    marginal-exactly for mean-field, diag-exactly for low-rank)."""
+    from viabel_tpu import (FullRankGaussian, LRGaussian, MFGaussian,
+                            MFStudentT, MultivariateT)
+
+    d, J = 7, 3
+    alpha, S_w, Y_w, mask = _random_valid_pairs(d, J, seed=4)
+    x_l = jnp.asarray(np.random.RandomState(7).randn(d))
+    g_l = jnp.asarray(np.random.RandomState(8).randn(d))
+    q = _factored_gaussian(x_l, g_l, alpha, S_w, Y_w, mask)
+    mu = np.asarray(q[0])
+    W = np.asarray(_middle_matrix(alpha, S_w, Y_w, mask))
+    B = np.concatenate([np.asarray(S_w),
+                        np.asarray(alpha)[:, None] * np.asarray(Y_w)], axis=1)
+    Sigma = np.diag(np.asarray(alpha)) + B @ W @ B.T
+
+    fam = MFGaussian(d)
+    m, cov = fam.mean_and_cov(_family_param_from_factor(fam, q))
+    np.testing.assert_allclose(np.asarray(m), mu, rtol=1e-9)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), np.diag(Sigma),
+                               rtol=1e-8)
+
+    fam = FullRankGaussian(d)
+    m, cov = fam.mean_and_cov(_family_param_from_factor(fam, q))
+    np.testing.assert_allclose(np.asarray(m), mu, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(cov), Sigma, rtol=1e-7, atol=1e-9)
+
+    # Student-t families match the COVARIANCE (scale * df/(df-2))
+    for fam in (MFStudentT(d, df=10.0), MultivariateT(d, df=10.0)):
+        m, cov = fam.mean_and_cov(_family_param_from_factor(fam, q))
+        np.testing.assert_allclose(np.asarray(m), mu, rtol=1e-9)
+        np.testing.assert_allclose(np.diag(np.asarray(cov)), np.diag(Sigma),
+                                   rtol=1e-7)
+
+    # low-rank: diagonal preserved, covariance PSD, k=2J reproduces any
+    # PSD correction exactly when all lam >= 0
+    fam = LRGaussian(d, k=2 * J)
+    vp = _family_param_from_factor(fam, q)
+    m, cov = fam.mean_and_cov(vp)
+    np.testing.assert_allclose(np.asarray(m), mu, rtol=1e-9)
+    np.testing.assert_allclose(np.diag(np.asarray(cov)), np.diag(Sigma),
+                               rtol=1e-6)
+    lam = np.asarray(q[4])
+    if np.all(lam >= 0):
+        np.testing.assert_allclose(np.asarray(cov), Sigma, rtol=1e-6,
+                                   atol=1e-8)
+
+    with pytest.raises(ValueError, match="cannot map"):
+        from viabel_tpu import NeuralNet
+        _family_param_from_factor(NeuralNet([(d, d)]), q)
+
+
+def test_pathfinder_init_warm_starts_bbvi():
+    """pathfinder_init's ELBO at iteration 0 should already be close to
+    optimal on a correlated Gaussian — far above the zero-init default —
+    and per_path returns one init row per path."""
+    from viabel_tpu import FullRankGaussian, elbo_estimates
+
+    d = 6
+    model, _, info = zoo.correlated_gaussian(dim=d, rho=0.6)
+    fam = FullRankGaussian(d)
+    vp = pathfinder_init(fam, model, jax.random.PRNGKey(0), n_paths=2,
+                         history=d, max_iters=30)
+    scores = elbo_estimates(vp[None], model=model, approx=fam,
+                            key=jax.random.PRNGKey(1))
+    default = elbo_estimates(fam.init_param()[None], model=model, approx=fam,
+                             key=jax.random.PRNGKey(1))
+    assert float(scores[0]) > -0.5
+    assert float(scores[0]) > float(default[0]) + 1.0
+
+    rows = pathfinder_init(fam, model, jax.random.PRNGKey(0), n_paths=3,
+                           per_path=True, max_iters=15)
+    assert rows.shape == (3, fam.var_param_dim)
+
+    with pytest.raises(ValueError, match="n_paths"):
+        pathfinder_init(fam, model, jax.random.PRNGKey(0), n_paths=0)
+    with pytest.raises(ValueError, match="init_point"):
+        pathfinder_init(fam, model, jax.random.PRNGKey(0),
+                        init_point=jnp.zeros((4, d)), n_paths=2)
+
+
+def test_bbvi_init_method_pathfinder():
+    """bbvi(init_method='pathfinder') wires the warm start through both
+    the single-run and the multistart paths."""
+    from viabel_tpu import bbvi
+
+    d = 4
+    mean = np.array([1.0, -1.0, 0.5, 0.0])
+    stdev = np.array([1.2, 0.8, 1.0, 1.5])
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    res = bbvi(d, log_density=model, n_iters=2000, fixed_lr=True,
+               key=jax.random.PRNGKey(0), init_method="pathfinder",
+               pathfinder_kwargs=dict(max_iters=20),
+               RMS_kwargs=dict(diagnostics=False))
+    m, _ = res["objective"].approx.mean_and_cov(res["opt_param"])
+    np.testing.assert_allclose(np.asarray(m), mean, atol=0.15)
+
+    res = bbvi(d, log_density=model, n_iters=600, fixed_lr=True,
+               num_restarts=2, key=jax.random.PRNGKey(0),
+               init_method="pathfinder",
+               pathfinder_kwargs=dict(max_iters=15),
+               RMS_kwargs=dict(diagnostics=False))
+    assert res["init_var_params"].shape[0] == 2
+    # the pathfinder inits differ across restarts (distinct paths)
+    assert not np.allclose(np.asarray(res["init_var_params"][0]),
+                           np.asarray(res["init_var_params"][1]))
+
+    with pytest.raises(ValueError, match="drop init_var_param"):
+        bbvi(d, log_density=model, init_method="pathfinder",
+             init_var_param=jnp.zeros(2 * d))
+    with pytest.raises(ValueError, match="unknown init_method"):
+        bbvi(d, log_density=model, init_method="laplace")
+    with pytest.raises(ValueError, match="needs init_method"):
+        bbvi(d, log_density=model, pathfinder_kwargs=dict(n_paths=2))
 
 
 def test_multipath_pathfinder_recovers_gaussian():

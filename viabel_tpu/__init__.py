@@ -50,7 +50,7 @@ from .diagnostics import (
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
-from .pathfinder import pathfinder, multipath_pathfinder
+from .pathfinder import pathfinder, multipath_pathfinder, pathfinder_init
 from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
                           select_best_restart)
 from . import checkpoint, hmc, ops, parallel
@@ -74,7 +74,7 @@ __all__ = [
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
     "multivariate_t_logpdf",
     # pathfinder
-    "pathfinder", "multipath_pathfinder",
+    "pathfinder", "multipath_pathfinder", "pathfinder_init",
     # convenience
     "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
 ]

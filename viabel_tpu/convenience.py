@@ -27,7 +27,8 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
          approx=None, objective=None, fit=None, adaptive=True, fixed_lr=False,
          init_var_param=None, learning_rate=0.01, key=None,
          progress_callback=None, num_restarts=None, init_var_params=None,
-         init_jitter=0.0, multistart_kwargs=None,
+         init_jitter=0.0, init_method=None, pathfinder_kwargs=None,
+         multistart_kwargs=None,
          RMS_kwargs=None, FASO_kwargs=None, RAABBVI_kwargs=None):
     """Fit a model using black-box variational inference
     (reference convenience.py:14-94).
@@ -40,6 +41,16 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     optimizer path (the counterpart of the reference's tqdm bars,
     optimization.py:91, 534; the loop here is a fused device scan, so
     progress reports per ~200-step segment instead of per iteration).
+
+    Data-driven initialization (no reference counterpart — the reference
+    always starts at zero): ``init_method="pathfinder"`` runs
+    :func:`viabel_tpu.pathfinder.pathfinder_init` on the model and starts
+    the optimization from the ELBO-best quasi-Newton Gaussian
+    moment-matched onto the family (tune via ``pathfinder_kwargs``, e.g.
+    ``dict(n_paths=4, max_iters=40)``).  Combined with ``num_restarts=B``
+    it runs B Pathfinder paths and gives every restart its own path's
+    Gaussian — distinct data-driven basins instead of ``init_jitter``
+    noise.
 
     Multistart (no reference counterpart): ``num_restarts=B`` (or a 2-D
     ``init_var_params`` of shape ``(B, D)``) runs B restarts batched in one
@@ -100,6 +111,26 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
         if approx is None:
             approx = MFGaussian(dimension)
         objective = ExclusiveKL(approx, model, num_mc_samples)
+    if init_method is not None:
+        if init_method != "pathfinder":
+            raise ValueError(f"unknown init_method {init_method!r}; the one "
+                             "built-in data-driven initializer is 'pathfinder'")
+        if init_var_param is not None or init_var_params is not None:
+            raise ValueError("init_method='pathfinder' computes the init; "
+                             "drop init_var_param(s)")
+        from .pathfinder import pathfinder_init
+        key, pf_key = jax.random.split(key)
+        pf_kwargs = dict(pathfinder_kwargs or {})
+        if num_restarts is not None:
+            # one path per restart: distinct data-driven basins
+            pf_kwargs.setdefault("n_paths", int(num_restarts))
+            init_var_params = pathfinder_init(approx, model, pf_key,
+                                              per_path=True, **pf_kwargs)
+        else:
+            init_var_param = pathfinder_init(approx, model, pf_key,
+                                             **pf_kwargs)
+    elif pathfinder_kwargs is not None:
+        raise ValueError("pathfinder_kwargs needs init_method='pathfinder'")
     if num_restarts is not None or init_var_params is not None:
         return _bbvi_multistart(
             objective, approx, n_iters, num_restarts, init_var_params,

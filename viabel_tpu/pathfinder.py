@@ -43,7 +43,7 @@ from jax import lax
 
 from .psis import psislw
 
-__all__ = ["pathfinder", "multipath_pathfinder"]
+__all__ = ["pathfinder", "multipath_pathfinder", "pathfinder_init"]
 
 _LOG_2PI = 1.8378770664093453
 
@@ -281,6 +281,7 @@ def _pathfinder_impl(x0, key, *, model, max_iters, history, n_elbo_draws,
         "elbo": elbo,
         "path_logps": logps,
         "mu": best_q[0],
+        "q_factor": best_q,
     }
 
 
@@ -311,8 +312,10 @@ def pathfinder(model, init_point, key, *, max_iters=60, history=6,
 
     Returns a dict: ``samples (n_draws, d)``, exact ``log_q`` /
     ``log_p`` at the draws, ``best_l``, per-point ``elbo (L+1,)``
-    (-inf where the local covariance was not PD), ``path_logps`` and the
-    selected Gaussian's ``mu``.  The whole routine is one jitted
+    (-inf where the local covariance was not PD), ``path_logps``, the
+    selected Gaussian's ``mu``, and its full factored form ``q_factor``
+    (see :func:`_factored_gaussian`; consumed by
+    :func:`pathfinder_init`).  The whole routine is one jitted
     fixed-shape program.
     """
     x0 = jnp.asarray(init_point)
@@ -330,11 +333,16 @@ def pathfinder(model, init_point, key, *, max_iters=60, history=6,
 def multipath_pathfinder(model, init_points, key, *, max_iters=60,
                          history=6, n_elbo_draws=25,
                          n_draws_per_path=200, n_draws=1000,
-                         resample=True):
+                         resample=True, mesh=None, shard_axis=None):
     """Multi-path Pathfinder (Zhang et al. 2022, alg. 2): M single-path
     runs from ``init_points (M, d)`` — vmapped into ONE XLA program — and
     Pareto-smoothed importance resampling over the pooled draws, each
     weighted by its own path's proposal density (``log p - log q_m``).
+
+    Paths are embarrassingly parallel: with ``mesh=`` the path axis is
+    sharded over ``shard_axis`` (default: the mesh's first axis) and GSPMD
+    runs ``M / n_shards`` L-BFGS paths per device, gathering only the
+    pooled draws/log-weights for the one final PSIS smoothing.
 
     Returns a dict: resampled ``samples (n_draws, d)`` (or the pooled
     draws + smoothed ``log_weights`` when ``resample=False``), ``khat``,
@@ -351,6 +359,18 @@ def multipath_pathfinder(model, init_points, key, *, max_iters=60,
         _pathfinder_impl, model=model, max_iters=int(max_iters),
         history=int(history), n_elbo_draws=int(n_elbo_draws),
         n_draws=int(n_draws_per_path), init_step=1.0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+        axis = shard_axis if shard_axis is not None else mesh.axis_names[0]
+        n_shards = mesh.shape[axis]
+        if M % n_shards != 0:
+            raise ValueError(
+                f"n_paths={M} must be divisible by the {axis!r} axis size "
+                f"{n_shards}")
+        sharding = NamedSharding(mesh, PS(axis))
+        inits = jax.device_put(inits, sharding)
+        path_keys = jax.device_put(path_keys, sharding)
     res = jax.vmap(single)(inits, path_keys)
 
     d = inits.shape[1]
@@ -376,3 +396,123 @@ def multipath_pathfinder(model, init_points, key, *, max_iters=60,
                                      shape=(int(n_draws),))
         out["samples"] = pool[idx]
     return out
+
+
+def _family_param_from_factor(family, q):
+    """Map one factored Pathfinder Gaussian onto ``family``'s flat
+    variational parameter, moment-matching as much of ``Sigma = diag(alpha)
+    + U diag(lam) U^T`` (with ``U = sqrt(alpha) * Q P``) as the family can
+    represent:
+
+    - mean-field loc-scale: exact marginal variances ``diag(Sigma)``;
+    - Cholesky full-rank: the exact dense covariance (one init-time d x d
+      Cholesky);
+    - LRGaussian(k): the top-k positive-curvature directions as the
+      low-rank block, with the remaining columns folded into the diagonal
+      so ``diag(Sigma)`` is preserved (up to a positivity clamp).
+
+    Student-t families match the COVARIANCE, so the scale is shrunk by
+    ``(df - 2) / df``.
+    """
+    from .families import LRGaussian, _CholeskyFamily, _MeanFieldLocScale
+
+    mu, sqrt_a, Q, P, lam, _, _ = q
+    alpha = sqrt_a * sqrt_a
+    U = sqrt_a[:, None] * (Q @ P)                    # (d, 2J)
+    diag_sigma = alpha + (U * U) @ lam               # exact diag(Sigma)
+    df = getattr(family, "df", None)
+    cov_to_scale = ((df - 2.0) / df
+                    if df is not None and jnp.isfinite(df) else 1.0)
+
+    if isinstance(family, _MeanFieldLocScale):
+        var = jnp.maximum(diag_sigma * cov_to_scale, 1e-12)
+        return jnp.concatenate([mu, 0.5 * jnp.log(var)])
+    if isinstance(family, _CholeskyFamily):
+        Sigma = (jnp.diag(alpha) + U @ (lam[:, None] * U.T)) * cov_to_scale
+        L = jnp.linalg.cholesky(Sigma)
+        return family.pack(mu, L)
+    if isinstance(family, LRGaussian):
+        d, k, r = family.dim, family.k, lam.shape[0]
+        # descending lam: the largest positive-curvature directions are
+        # the only ones B B^T can represent
+        order = jnp.argsort(-lam)
+        take = min(k, r)
+        idx = order[:take]
+        lam_k = jnp.maximum(lam[idx], 0.0) * cov_to_scale
+        B = U[:, idx] * jnp.sqrt(lam_k)
+        if take < k:                                 # pad unused columns
+            B = jnp.concatenate(
+                [B, jnp.zeros((d, k - take), B.dtype)], axis=1)
+        resid = diag_sigma * cov_to_scale - jnp.sum(B * B, axis=1)
+        log_sigma = 0.5 * jnp.log(jnp.maximum(resid, 1e-12))
+        return jnp.concatenate([mu, log_sigma, B.reshape(-1)])
+    raise ValueError(
+        f"pathfinder_init cannot map a Gaussian onto "
+        f"{type(family).__name__}; supply init_var_param yourself")
+
+
+def pathfinder_init(family, model, key, *, init_point=None, n_paths=1,
+                    per_path=False, init_scale=2.0, max_iters=60,
+                    history=6, n_elbo_draws=25):
+    """Data-driven variational initialization from Pathfinder.
+
+    Runs ``n_paths`` single-path Pathfinders (vmapped into one program)
+    from ``init_scale * N(0, I)`` starts (or rows of ``init_point``) and
+    maps the ELBO-best local Gaussian onto ``family``'s flat parameter —
+    the standard warm start for BBVI that skips the long
+    mean/scale-finding phase of the optimization.
+
+    With ``per_path=True`` returns the per-path best Gaussians as an
+    ``(n_paths, D)`` array — distinct data-driven inits for a batched
+    multistart (``bbvi(init_var_params=...)``); otherwise the single
+    overall best as a ``(D,)`` vector.
+
+    No reference counterpart (the reference initializes at zero,
+    approximations.py:207-210).
+    """
+    from .families import ApproximationFamily
+
+    if not isinstance(family, ApproximationFamily):
+        raise ValueError("family must be an ApproximationFamily")
+    key = jnp.asarray(key)
+    M = int(n_paths)
+    if M < 1:
+        raise ValueError("n_paths must be >= 1")
+    key_start, key_paths = jax.random.split(key)
+    if init_point is None:
+        inits = float(init_scale) * jax.random.normal(
+            key_start, (M, family.dim))
+    else:
+        inits = jnp.atleast_2d(jnp.asarray(init_point))
+        if inits.shape != (M, family.dim):
+            raise ValueError(
+                f"init_point must be (n_paths, dim) = ({M}, {family.dim}) "
+                f"(or (dim,) when n_paths=1); got {inits.shape}")
+    single = functools.partial(
+        _pathfinder_impl, model=model, max_iters=int(max_iters),
+        history=int(history), n_elbo_draws=int(n_elbo_draws),
+        n_draws=1, init_step=1.0)
+    res = jax.vmap(single)(inits, jax.random.split(key_paths, M))
+    best_elbos = jnp.max(res["elbo"], axis=1)        # (M,)
+
+    def param_for(m):
+        q = jax.tree_util.tree_map(lambda a: a[m], res["q_factor"])
+        return _family_param_from_factor(family, q)
+
+    if per_path:
+        rows = []
+        fallback = None
+        for m in range(M):
+            row = param_for(m)
+            if not bool(jnp.all(jnp.isfinite(row))):
+                # a diverged path must not seed a restart with NaNs — fall
+                # back to the family's default init for that row
+                if fallback is None:
+                    fallback = jnp.asarray(family.init_param())
+                row = fallback
+            rows.append(row)
+        return jnp.stack(rows)
+    if not bool(jnp.any(jnp.isfinite(best_elbos))):
+        raise ValueError("every Pathfinder path diverged (all ELBOs "
+                         "non-finite); check the model or init_scale")
+    return param_for(int(jnp.argmax(best_elbos)))

@@ -51,9 +51,10 @@ from .diagnostics import (
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
 from .pathfinder import pathfinder, multipath_pathfinder, pathfinder_init
+from .transforms import ParamSpec, TransformedModel
 from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
                           select_best_restart)
-from . import checkpoint, hmc, ops, parallel
+from . import checkpoint, hmc, ops, parallel, transforms
 
 __version__ = "0.1.0"
 
@@ -75,6 +76,8 @@ __all__ = [
     "multivariate_t_logpdf",
     # pathfinder
     "pathfinder", "multipath_pathfinder", "pathfinder_init",
+    # constrained-parameter transforms
+    "ParamSpec", "TransformedModel", "transforms",
     # convenience
     "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
 ]

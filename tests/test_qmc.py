@@ -1,0 +1,216 @@
+"""Randomized quasi-Monte Carlo base sampling (viabel_tpu.qmc).
+
+New capability beyond the reference (which draws pseudo-random normals
+everywhere, e.g. approximations.py:212-216): digital-shift-scrambled
+Sobol base points through the normal inverse CDF (Buchholz, Wenzel &
+Mandt, ICML 2018).  Tested for (a) marginal correctness — the scrambled
+draws are exactly uniform per coordinate, so every statistical identity
+the families satisfy under pseudo-random draws must keep holding; (b)
+the actual variance reduction on ELBO gradients, which is the feature's
+whole point; (c) stream stability — the pseudo-random path must stay
+bit-exact when no base sampler is set.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viabel_tpu import (
+    ExclusiveKL,
+    FullRankGaussian,
+    LRGaussian,
+    MFGaussian,
+    Model,
+    RMSProp,
+    qmc,
+)
+
+
+def _gaussian_model(d, seed=0):
+    rng = np.random.default_rng(seed)
+    tmu = jnp.asarray(rng.normal(size=d))
+    tsd = jnp.asarray(np.exp(0.3 * rng.normal(size=d)))
+
+    def logp(x):
+        return -0.5 * jnp.sum(((x - tmu) / tsd) ** 2 + 2 * jnp.log(tsd),
+                              axis=-1)
+
+    return Model(logp), tmu, tsd
+
+
+# ---------------------------------------------------------------------------
+# the sampler itself
+# ---------------------------------------------------------------------------
+
+def test_sobol_normal_shape_dtype_and_determinism():
+    sob = qmc.SobolNormal()
+    z = sob.normal(jax.random.PRNGKey(3), 64, 5, jnp.float64)
+    assert z.shape == (64, 5) and z.dtype == jnp.float64
+    z32 = sob.normal(jax.random.PRNGKey(3), 64, 5, jnp.float32)
+    assert z32.dtype == jnp.float32
+    # same key -> same draws; different key -> different scramble
+    z2 = sob.normal(jax.random.PRNGKey(3), 64, 5, jnp.float64)
+    assert bool(jnp.all(z == z2))
+    z3 = sob.normal(jax.random.PRNGKey(4), 64, 5, jnp.float64)
+    assert not bool(jnp.all(z == z3))
+    assert bool(jnp.all(jnp.isfinite(z))) and bool(jnp.all(jnp.isfinite(z32)))
+
+
+def test_sobol_normal_marginals_standard_normal():
+    # a digitally shifted Sobol point set has *exactly* uniform marginals,
+    # so the inverse-CDF draws beat the plain-MC error at equal n; check
+    # mean/var/quantiles well inside the n=4096 MC noise floor
+    sob = qmc.SobolNormal()
+    z = np.asarray(sob.normal(jax.random.PRNGKey(0), 4096, 8, jnp.float64))
+    assert np.abs(z.mean(axis=0)).max() < 5e-3
+    assert np.abs(z.var(axis=0) - 1.0).max() < 5e-3
+    # standard-normal quantiles (16/50/84), per coordinate
+    q = np.quantile(z, [0.1587, 0.5, 0.8413], axis=0)
+    assert np.abs(q[0] + 1.0).max() < 0.05
+    assert np.abs(q[1]).max() < 0.05
+    assert np.abs(q[2] - 1.0).max() < 0.05
+
+
+def test_sobol_normal_low_discrepancy_beats_mc_mean_error():
+    # |sample mean| of the QMC block should be far below the 1/sqrt(n)
+    # MC standard error (~0.016 at n=4096)
+    sob = qmc.SobolNormal()
+    errs = []
+    for i in range(8):
+        z = sob.normal(jax.random.PRNGKey(i), 4096, 4, jnp.float64)
+        errs.append(float(jnp.abs(jnp.mean(z, axis=0)).max()))
+    assert max(errs) < 0.004
+
+
+def test_sobol_width_limit_raises():
+    with pytest.raises(ValueError, match="at most"):
+        qmc.SobolNormal().normal(jax.random.PRNGKey(0), 8, 30000, jnp.float32)
+
+
+def test_sobol_block_cache_reused():
+    sob = qmc.SobolNormal()
+    sob.normal(jax.random.PRNGKey(0), 16, 3, jnp.float64)
+    block = sob._cache[(16, 3)]
+    sob.normal(jax.random.PRNGKey(1), 16, 3, jnp.float64)
+    assert sob._cache[(16, 3)] is block
+
+
+def test_sobol_skip_first():
+    plain = qmc.SobolNormal()._base_block(4, 3)
+    skipped = qmc.SobolNormal(skip_first=True)._base_block(3, 3)
+    assert bool(jnp.all(plain[1:4] == skipped))
+
+
+# ---------------------------------------------------------------------------
+# family integration: statistical identities keep holding
+# ---------------------------------------------------------------------------
+
+def test_mfgaussian_qmc_moments_match_closed_form():
+    d = 6
+    approx = MFGaussian(d, base_sampler=qmc.SobolNormal())
+    vp = jnp.concatenate([jnp.arange(d, dtype=jnp.float64) * 0.3,
+                          jnp.linspace(-0.5, 0.5, d)])
+    mean, cov = approx.mean_and_cov(vp)
+    s = approx.sample(vp, 2 ** 14, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(jnp.mean(s, axis=0)),
+                               np.asarray(mean), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(jnp.var(s, axis=0)),
+                               np.asarray(jnp.diag(cov)), rtol=2e-2)
+
+
+def test_lrgaussian_qmc_joint_draw_moments():
+    d, k = 8, 2
+    approx = LRGaussian(d, k, base_sampler=qmc.SobolNormal())
+    vp = approx.init_param()
+    mean, cov = approx.mean_and_cov(vp)
+    s = approx.sample(vp, 2 ** 15, jax.random.PRNGKey(11))
+    np.testing.assert_allclose(np.asarray(jnp.mean(s, axis=0)),
+                               np.asarray(mean), atol=0.05)
+    emp_cov = np.cov(np.asarray(s).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.1)
+
+
+def test_lrgaussian_pseudo_stream_unchanged():
+    # base_sampler=None must keep the original split-key draw structure
+    # bit-exactly (goldens/resume tests depend on the stream)
+    d, k = 5, 2
+    approx = LRGaussian(d, k)
+    vp = approx.init_param()
+    key = jax.random.PRNGKey(2)
+    mu, log_sigma, B = approx.unpack(vp)
+    key_z, key_e = jax.random.split(key)
+    z = jax.random.normal(key_z, (9, k), dtype=vp.dtype)
+    eps = jax.random.normal(key_e, (9, d), dtype=vp.dtype)
+    expect = mu + z @ B.T + jnp.exp(log_sigma) * eps
+    np.testing.assert_array_equal(np.asarray(approx.sample(vp, 9, key)),
+                                  np.asarray(expect))
+
+
+# ---------------------------------------------------------------------------
+# the point of the feature: gradient-variance reduction
+# ---------------------------------------------------------------------------
+
+def _grad_variance(approx, vp, model, n_mc, n_rep, use_path_deriv=False):
+    obj = ExclusiveKL(approx, model, num_mc_samples=n_mc,
+                      use_path_deriv=use_path_deriv)
+    grad_fn = jax.jit(lambda k: obj.value_and_grad(vp, k)[1])
+    grads = jnp.stack([grad_fn(jax.random.PRNGKey(i)) for i in range(n_rep)])
+    return float(jnp.mean(jnp.var(grads, axis=0)))
+
+
+def test_qmc_reduces_elbo_gradient_variance_mfgaussian():
+    d = 10
+    model, tmu, tsd = _gaussian_model(d)
+    vp = jnp.concatenate([tmu + 0.3, jnp.log(tsd) + 0.2])
+    v_mc = _grad_variance(MFGaussian(d), vp, model, 32, 100)
+    v_q = _grad_variance(MFGaussian(d, base_sampler=qmc.SobolNormal()),
+                         vp, model, 32, 100)
+    # measured ~0.03 at S=64/d=20 (docs/benchmarks.md); 0.5 is a loose gate
+    assert v_q < 0.5 * v_mc
+
+
+def test_qmc_reduces_elbo_gradient_variance_fullrank_stl():
+    d = 10
+    model, _, _ = _gaussian_model(d)
+    vp = FullRankGaussian(d).init_param() + 0.05
+    v_mc = _grad_variance(FullRankGaussian(d), vp, model, 32, 100,
+                          use_path_deriv=True)
+    v_q = _grad_variance(
+        FullRankGaussian(d, base_sampler=qmc.SobolNormal()), vp, model, 32,
+        100, use_path_deriv=True)
+    assert v_q < 0.5 * v_mc
+
+
+def test_qmc_unbiased_elbo_value():
+    # the scrambled estimator must agree with plain MC in expectation:
+    # average the ELBO over independent scrambles and compare to the
+    # closed-form ELBO of a Gaussian target
+    d = 4
+    model, tmu, tsd = _gaussian_model(d)
+    vp = jnp.concatenate([tmu, jnp.log(tsd)])  # q == p: ELBO = 0 exactly
+    obj = ExclusiveKL(MFGaussian(d, base_sampler=qmc.SobolNormal()),
+                      model, num_mc_samples=16)
+    val_fn = jax.jit(lambda k: obj.value_and_grad(vp, k)[0])
+    vals = np.array([float(val_fn(jax.random.PRNGKey(i)))
+                     for i in range(64)])
+    # q == p up to the dropped 0.5 d log(2 pi) normalizer in the model
+    # helper, so the negative-ELBO objective's expectation is exactly
+    # -0.5 d log(2 pi) (KL(q||p) = 0)
+    assert abs(vals.mean() + 0.5 * d * np.log(2 * np.pi)) < 0.05
+
+
+def test_qmc_end_to_end_recovery():
+    # full optimization with a QMC family recovers the target (the
+    # pattern of tests/test_objectives.py end-to-end recovery tests)
+    d = 3
+    model, tmu, tsd = _gaussian_model(d, seed=4)
+    approx = MFGaussian(d, base_sampler=qmc.SobolNormal())
+    obj = ExclusiveKL(approx, model, num_mc_samples=16)
+    opt = RMSProp(0.05, diagnostics=False)
+    res = opt.optimize(1200, obj, approx.init_param(),
+                       key=jax.random.PRNGKey(0))
+    mu, log_sigma = approx.unpack(res["opt_param"])
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(tmu), atol=0.1)
+    np.testing.assert_allclose(np.asarray(jnp.exp(log_sigma)),
+                               np.asarray(tsd), atol=0.15)

@@ -54,7 +54,7 @@ from .pathfinder import pathfinder, multipath_pathfinder, pathfinder_init
 from .transforms import ParamSpec, TransformedModel
 from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
                           select_best_restart)
-from . import checkpoint, hmc, ops, parallel, transforms
+from . import checkpoint, hmc, ops, parallel, qmc, transforms
 
 __version__ = "0.1.0"
 
@@ -78,6 +78,8 @@ __all__ = [
     "pathfinder", "multipath_pathfinder", "pathfinder_init",
     # constrained-parameter transforms
     "ParamSpec", "TransformedModel", "transforms",
+    # randomized quasi-Monte Carlo base sampling
+    "qmc",
     # convenience
     "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
 ]

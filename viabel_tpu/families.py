@@ -90,6 +90,25 @@ class ApproximationFamily:
         self._var_param_dim = int(var_param_dim)
         self._supports_entropy = bool(supports_entropy)
         self._supports_kl = bool(supports_kl)
+        self._base_sampler = None
+
+    @property
+    def base_sampler(self):
+        """The standard-normal base sampler, or ``None`` for pseudo-random.
+
+        Reparameterized families route their N(0, 1) base draws through
+        this hook; setting it to :class:`viabel_tpu.qmc.SobolNormal` turns
+        every sample (and therefore every ELBO/gradient estimate) into a
+        randomized quasi-Monte Carlo estimate.  Set it via the family
+        constructor, BEFORE the objective is built (the jitted step
+        closes over it at trace time).
+        """
+        return self._base_sampler
+
+    def _base_normal(self, key, n_samples, width, dtype):
+        if self._base_sampler is None:
+            return jax.random.normal(key, (n_samples, width), dtype=dtype)
+        return self._base_sampler.normal(key, n_samples, width, dtype)
 
     # -- capability flags ---------------------------------------------------
     @property
@@ -209,14 +228,19 @@ class _MeanFieldLocScale(ApproximationFamily):
 
 
 class MFGaussian(_MeanFieldLocScale):
-    """Mean-field Gaussian family (reference approximations.py:192-251)."""
+    """Mean-field Gaussian family (reference approximations.py:192-251).
 
-    def __init__(self, dim):
+    ``base_sampler`` (e.g. :class:`viabel_tpu.qmc.SobolNormal`) replaces
+    the pseudo-random base draws with randomized QMC points.
+    """
+
+    def __init__(self, dim, base_sampler=None):
         super().__init__(dim, supports_entropy=True, supports_kl=True)
+        self._base_sampler = base_sampler
 
     def sample(self, var_param, n_samples, key):
         mu, log_sigma = self.unpack(var_param)
-        z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
+        z = self._base_normal(key, n_samples, self.dim, var_param.dtype)
         return mu + jnp.exp(log_sigma) * z
 
     def _entropy(self, var_param):
@@ -440,21 +464,22 @@ class FullRankGaussian(_CholeskyFamily):
     triangular matmul that maps straight onto the MXU.
     """
 
-    def __init__(self, dim, init_log_diag=0.0):
+    def __init__(self, dim, init_log_diag=0.0, base_sampler=None):
         self._init_log_diag = float(init_log_diag)
         super().__init__(dim, supports_entropy=True, supports_kl=True)
+        self._base_sampler = base_sampler
 
     def init_param(self):
         return self._init_chol_param(self._init_log_diag)
 
     def sample(self, var_param, n_samples, key):
         mu, _, L = self.unpack(var_param)
-        z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
+        z = self._base_normal(key, n_samples, self.dim, var_param.dtype)
         return mu + z @ L.T
 
     def sample_and_entropy(self, var_param, n_samples, key):
         mu, log_diag, L = self.unpack(var_param)
-        z = jax.random.normal(key, (n_samples, self.dim), dtype=var_param.dtype)
+        z = self._base_normal(key, n_samples, self.dim, var_param.dtype)
         samples = mu + z @ L.T
         entropy = 0.5 * self.dim * (1.0 + _LOG_2PI) + jnp.sum(log_diag)
         return samples, entropy
@@ -462,7 +487,7 @@ class FullRankGaussian(_CholeskyFamily):
     def sample_and_stl_log_density(self, var_param, n_samples, key):
         d = self.dim
         mu, log_diag, L = self.unpack(var_param)
-        z = jax.random.normal(key, (n_samples, d), dtype=var_param.dtype)
+        z = self._base_normal(key, n_samples, d, var_param.dtype)
         samples = mu + z @ L.T
         # value via the identity L^{-1}(x - mu) == z (no forward solve);
         # score direction L^{-T} z under stopped params (one solve)
@@ -627,9 +652,27 @@ class LRGaussian(ApproximationFamily):
     signature is a documented landmine — see SURVEY.md §2.5).
     """
 
-    def __init__(self, dim, k):
+    def __init__(self, dim, k, base_sampler=None):
         self._k = int(k)
         super().__init__(dim, 2 * dim + dim * self._k, True, True)
+        self._base_sampler = base_sampler
+
+    def _base_z_eps(self, key, n_samples, dtype):
+        """Low-rank + diagonal base draws ``(z (n, k), eps (n, d))``.
+
+        Under a QMC base sampler the two blocks come from ONE joint
+        ``(k + dim)``-dimensional low-discrepancy point set, so the
+        coordinates that mix through ``z B^T + exp(log_sigma) eps``
+        share a single net; the pseudo-random path keeps the original
+        split-key stream bit-exactly.
+        """
+        if self._base_sampler is None:
+            key_z, key_e = jax.random.split(key)
+            z = jax.random.normal(key_z, (n_samples, self._k), dtype=dtype)
+            eps = jax.random.normal(key_e, (n_samples, self.dim), dtype=dtype)
+            return z, eps
+        joint = self._base_normal(key, n_samples, self._k + self.dim, dtype)
+        return joint[:, : self._k], joint[:, self._k:]
 
     @property
     def k(self):
@@ -652,9 +695,7 @@ class LRGaussian(ApproximationFamily):
 
     def sample(self, var_param, n_samples, key):
         mu, log_sigma, B = self.unpack(var_param)
-        key_z, key_e = jax.random.split(key)
-        z = jax.random.normal(key_z, (n_samples, self._k), dtype=var_param.dtype)
-        eps = jax.random.normal(key_e, (n_samples, self.dim), dtype=var_param.dtype)
+        z, eps = self._base_z_eps(key, n_samples, var_param.dtype)
         return mu + z @ B.T + jnp.exp(log_sigma) * eps
 
     def sample_and_stl_log_density(self, var_param, n_samples, key):
@@ -669,9 +710,7 @@ class LRGaussian(ApproximationFamily):
         never a d x d factorization (docs/roadmap.md "LRGaussian fused STL").
         """
         mu, log_sigma, B = self.unpack(var_param)
-        key_z, key_e = jax.random.split(key)
-        z = jax.random.normal(key_z, (n_samples, self._k), dtype=var_param.dtype)
-        eps = jax.random.normal(key_e, (n_samples, self.dim), dtype=var_param.dtype)
+        z, eps = self._base_z_eps(key, n_samples, var_param.dtype)
         samples = mu + z @ B.T + jnp.exp(log_sigma) * eps
         ls_s = lax.stop_gradient(log_sigma)
         B_s = lax.stop_gradient(B)
@@ -781,7 +820,8 @@ class NeuralNet(ApproximationFamily):
     estimated by internal Monte Carlo like the reference (441-443).
     """
 
-    def __init__(self, layers_shapes, nonlinearity=jnp.tanh, last=jnp.tanh, mc_samples=10000):
+    def __init__(self, layers_shapes, nonlinearity=jnp.tanh, last=jnp.tanh, mc_samples=10000,
+                 base_sampler=None):
         self._layers_shapes = [tuple(s) for s in layers_shapes]
         self._nonlinearity = nonlinearity
         self._last = last
@@ -789,6 +829,7 @@ class NeuralNet(ApproximationFamily):
         self.input_dim = self._layers_shapes[0][0]
         n_params = sum(m * n + n for m, n in self._layers_shapes)
         super().__init__(self._layers_shapes[-1][-1], n_params, False, False)
+        self._base_sampler = base_sampler
 
     def unpack(self, var_param):
         params = []
@@ -817,7 +858,7 @@ class NeuralNet(ApproximationFamily):
         return x
 
     def sample(self, var_param, n_samples, key):
-        z0 = jax.random.normal(key, (n_samples, self.input_dim), dtype=var_param.dtype)
+        z0 = self._base_normal(key, n_samples, self.input_dim, var_param.dtype)
         return self.forward(var_param, z0)
 
     def log_density(self, var_param, x):
@@ -838,7 +879,7 @@ class NeuralNet(ApproximationFamily):
         d = self.input_dim
         if any(m != n for m, n in self._layers_shapes):
             raise ValueError("exact pushforward density needs square layers")
-        z0 = jax.random.normal(key, (n_samples, d), dtype=var_param.dtype)
+        z0 = self._base_normal(key, n_samples, d, var_param.dtype)
         x = self.forward(var_param, z0)
 
         def single(z):

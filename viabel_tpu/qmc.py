@@ -1,0 +1,118 @@
+"""Randomized quasi-Monte Carlo base sampling for BBVI gradients.
+
+New capability beyond the reference (which draws plain pseudo-random
+normals everywhere — e.g. ``npr.RandomState.randn`` at reference
+approximations.py:212-216): replace a reparameterized family's standard-
+normal base draws with a *randomized low-discrepancy* point set.  For
+smooth integrands (Gaussian targets, log-concave posteriors) this cuts
+the variance of the ELBO/gradient estimator far below the 1/S Monte
+Carlo rate — the Quasi-Monte Carlo VI recipe of Buchholz, Wenzel &
+Mandt (ICML 2018).
+
+Mechanism
+---------
+:class:`SobolNormal` holds an UNscrambled base Sobol block ``(n, width)``
+as 32-bit integer lattice points (built once on the host via
+``scipy.stats.qmc`` at trace time — it becomes a jit constant).  Each
+call derives a fresh *random digital shift* from the PRNG key — one
+uint32 per dimension, XORed into every point — and maps the shifted
+points through the normal inverse CDF (``ndtri``):
+
+    u_i = (sobol_i XOR shift) / 2^32,   z_i = Phi^{-1}(u_i)
+
+A digital shift preserves the (t, m, s)-net structure of the Sobol set
+exactly while making every marginal uniform, so the estimator stays
+unbiased and independent across steps (fresh key => fresh shift); FASO's
+convergence statistics (R-hat/MCSE over steps) remain valid.
+
+TPU notes: the per-step cost is one ``(width,)`` ``random_bits`` draw, a
+broadcast XOR, and an elementwise ``ndtri`` over ``(n, width)`` — all
+fused into the objective's jitted step; the base block lives in HBM as a
+constant.  No host round trips after trace.
+
+Usage::
+
+    from viabel_tpu import MFGaussian, qmc
+    approx = MFGaussian(dim, base_sampler=qmc.SobolNormal())
+
+Families accepting ``base_sampler``: ``MFGaussian``, ``FullRankGaussian``,
+``LRGaussian`` (joint ``(k + dim)``-dimensional points so the low-rank
+and diagonal coordinates share one net), ``NeuralNet``/``NVPFlow``
+(pushforward base draws).  Student-t families keep pseudo-random draws
+(their chi-square mixing has no stable inverse-CDF primitive on TPU).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import ndtri
+
+__all__ = ["SobolNormal"]
+
+# scipy's Joe-Kuo direction-number table covers this many dimensions
+_SCIPY_SOBOL_MAXDIM = 21201
+
+
+class SobolNormal:
+    """Digital-shift-scrambled Sobol standard-normal base sampler.
+
+    Parameters
+    ----------
+    skip_first : bool, default False
+        Drop the first (all-zeros) Sobol point and use points
+        ``1..n`` instead of ``0..n-1``.  With a digital shift the zero
+        point is harmless (it lands exactly on the shift), so the
+        default keeps the unskipped prefix, whose star discrepancy is
+        better at power-of-two ``n``.
+
+    Notes
+    -----
+    Base blocks are cached per ``(n, width)`` — one family/objective
+    configuration builds its block exactly once, at trace time.
+    Balance is best when ``n_samples`` is a power of two (Sobol nets
+    close in blocks of ``2^m``); other sizes remain unbiased but give
+    up part of the discrepancy advantage.
+    """
+
+    def __init__(self, skip_first=False):
+        self._skip_first = bool(skip_first)
+        self._cache = {}
+
+    def _base_block(self, n, width):
+        """(n, width) uint32 lattice of the unscrambled Sobol prefix."""
+        if width > _SCIPY_SOBOL_MAXDIM:
+            raise ValueError(
+                f"SobolNormal supports at most {_SCIPY_SOBOL_MAXDIM} "
+                f"dimensions (requested {width}); use a pseudo-random "
+                f"base sampler for wider families")
+        cache_key = (int(n), int(width))
+        block = self._cache.get(cache_key)
+        if block is None:
+            from scipy.stats import qmc as _sqmc
+            eng = _sqmc.Sobol(d=width, scramble=False)
+            count = n + 1 if self._skip_first else n
+            u = eng.random(count)                # float64 in [0, 1)
+            if self._skip_first:
+                u = u[1:]
+            # scipy generates on a 2^-b lattice with b <= 32; the float64
+            # mantissa (53 bits) represents those values exactly, so the
+            # floor recovers the exact integer lattice
+            block = jnp.asarray(
+                np.floor(u * 4294967296.0).astype(np.int64).astype(np.uint32))
+            self._cache[cache_key] = block
+        return block
+
+    def normal(self, key, n_samples, width, dtype):
+        """Draw an ``(n_samples, width)`` scrambled-Sobol N(0, 1) block."""
+        base = self._base_block(n_samples, width)
+        shift = jax.random.bits(key, (width,), dtype=jnp.uint32)
+        bits = base ^ shift[None, :]
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.dtype(jnp.float64):
+            u = (bits.astype(jnp.float64) + 0.5) * (2.0 ** -32)
+        else:
+            # keep the top 24 bits so u is exact in f32 and bounded away
+            # from 0/1 (ndtri is finite on [2^-25, 1 - 2^-25])
+            u = ((bits >> 8).astype(jnp.float32) + 0.5) * (2.0 ** -24)
+        return ndtri(u).astype(dtype)

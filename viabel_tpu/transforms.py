@@ -26,7 +26,6 @@ coordinate scans, keeping the VPU busy at any block width.
 
 import math
 
-import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 

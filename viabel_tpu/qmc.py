@@ -89,10 +89,16 @@ class SobolNormal:
         cache_key = (int(n), int(width))
         block = self._cache.get(cache_key)
         if block is None:
+            import warnings
+
             from scipy.stats import qmc as _sqmc
             eng = _sqmc.Sobol(d=width, scramble=False)
             count = n + 1 if self._skip_first else n
-            u = eng.random(count)                # float64 in [0, 1)
+            with warnings.catch_warnings():
+                # non-power-of-two prefixes are deliberate (documented
+                # above: still unbiased, weaker balance)
+                warnings.simplefilter("ignore", UserWarning)
+                u = eng.random(count)            # float64 in [0, 1)
             if self._skip_first:
                 u = u[1:]
             # scipy generates on a 2^-b lattice with b <= 32; the float64

@@ -77,3 +77,86 @@ def test_all_diagnostics():
     assert float(res["mean_error"]) > 0
     assert float(res["std_error"]) > 0
     assert float(res["cov_error"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# kernelized Stein discrepancy (new diagnostic, no reference counterpart)
+# ---------------------------------------------------------------------------
+
+def _aniso_gaussian():
+    sd = jnp.asarray([1.0, 2.0, 0.5])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x / sd) ** 2, axis=-1)
+
+    return logp, sd
+
+
+def test_ksd_matches_brute_force_stein_kernel():
+    import jax
+
+    c, beta, d, n = 1.3, -0.5, 3, 25
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, d))
+    logp, _ = _aniso_gaussian()
+
+    def k(a, b):
+        return (c * c + jnp.sum((a - b) ** 2)) ** beta
+
+    def u_p(a, b):
+        sa = jax.grad(lambda z: logp(z[None])[0])(a)
+        sb = jax.grad(lambda z: logp(z[None])[0])(b)
+        gx = jax.grad(k, 0)(a, b)
+        gy = jax.grad(k, 1)(a, b)
+        tr = jnp.trace(jax.jacfwd(jax.grad(k, 0), 1)(a, b))
+        return sa @ sb * k(a, b) + sa @ gy + sb @ gx + tr
+
+    acc = 0.0
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                acc += float(u_p(x[i], x[j]))
+    brute = np.sqrt(max(acc / (n * (n - 1)), 0.0))
+    np.testing.assert_allclose(float(vt.ksd(x, model=logp, c=c, beta=beta)),
+                               brute, rtol=1e-10)
+    # row-blocked accumulation is exactly the same statistic
+    np.testing.assert_allclose(
+        float(vt.ksd(x, model=logp, c=c, beta=beta, block_size=5)),
+        brute, rtol=1e-10)
+
+
+def test_ksd_discriminates_wrong_distribution():
+    logp, sd = _aniso_gaussian()
+    rng = np.random.RandomState(1)
+    true = jnp.asarray(rng.randn(500, 3)) * sd
+    # unbiased U-statistic: near zero (clipped sqrt) for true samples
+    v_true = float(vt.ksd(true, model=logp))
+    v_shift = float(vt.ksd(true + 1.5, model=logp))
+    v_wide = float(vt.ksd(true * 2.0, model=logp))
+    # measured: v_true = 0.0 (clipped negative U-stat), v_shift = 3.9,
+    # v_wide = 0.46
+    assert v_true < 0.1
+    assert v_shift > 1.0
+    assert v_wide > 0.3
+
+
+def test_ksd_score_fn_equals_model_path():
+    import jax
+
+    logp, _ = _aniso_gaussian()
+    score = jax.grad(lambda x: jnp.sum(logp(x)))
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(64, 3))
+    np.testing.assert_allclose(float(vt.ksd(x, model=logp)),
+                               float(vt.ksd(x, score_fn=score)), rtol=1e-12)
+
+
+def test_ksd_arg_validation():
+    import pytest
+
+    logp, _ = _aniso_gaussian()
+    x = jnp.zeros((8, 3))
+    with pytest.raises(ValueError, match="exactly one"):
+        vt.ksd(x)
+    with pytest.raises(ValueError, match="block_size"):
+        vt.ksd(x, model=logp, block_size=3)

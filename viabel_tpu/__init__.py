@@ -47,6 +47,7 @@ from .diagnostics import (
     error_bounds,
     wasserstein_bounds,
     divergence_bound,
+    ksd,
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
@@ -72,6 +73,7 @@ __all__ = [
     "Adam", "AveragedAdam", "Adagrad", "WindowedAdagrad", "FASO", "RAABBVI",
     # diagnostics
     "all_diagnostics", "error_bounds", "wasserstein_bounds", "divergence_bound",
+    "ksd",
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
     "multivariate_t_logpdf",
     # pathfinder

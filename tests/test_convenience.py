@@ -280,6 +280,15 @@ def test_vi_diagnostics():
         results["opt_param"], approx=results["objective"].approx, model=model2)
     assert float(diagnostics2["khat"]) > 0.7
     assert "d2" not in diagnostics2
+    # beyond the reference: the Stein diagnostic fills in where the
+    # weight-based pipeline gates itself off — q fitted to the narrow
+    # model is genuinely far from the 3x-wider model2
+    assert float(diagnostics2["ksd"]) > 0.1
+    # and it can be disabled
+    diagnostics2b = convenience.vi_diagnostics(
+        results["opt_param"], approx=results["objective"].approx,
+        model=model2, ksd_samples=0)
+    assert "ksd" not in diagnostics2b
 
     # a much narrower model: bounded weights => negative khat
     model3, _ = zoo.diagonal_gaussian(np.zeros(2), 0.5 * np.ones(2))

@@ -17,7 +17,7 @@ from .faso import FASO, RAABBVI
 from .models import Model
 from .objectives import ExclusiveKL
 from .optimizers import RMSProp
-from .diagnostics import all_diagnostics
+from .diagnostics import all_diagnostics, ksd
 from .psis import psislw
 
 __all__ = ["bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart"]
@@ -337,9 +337,18 @@ def select_best_restart(var_params, *, objective=None, model=None, approx=None,
 
 
 def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,
-                   n_samples=100000, key=None):
+                   n_samples=100000, key=None, ksd_samples=4096):
     """Check VI diagnostics: Pareto k-hat, 2-divergence, and error bounds
-    (reference convenience.py:97-167)."""
+    (reference convenience.py:97-167).
+
+    Beyond the reference: when the k-hat gate trips (khat > 0.7) the
+    weight-based pipeline has nothing more to say (reference
+    convenience.py:144-146 just stops); here the kernelized Stein
+    discrepancy (:func:`viabel_tpu.diagnostics.ksd`) of the first
+    ``ksd_samples`` draws is computed and reported instead — it needs
+    only the target score, not the importance weights, so it still
+    measures approximation quality.  Set ``ksd_samples=0`` to disable.
+    """
     if objective is None:
         if model is None or approx is None:
             raise ValueError("supply an objective, or a model together with an approx")
@@ -353,10 +362,11 @@ def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,
         raise ValueError("n_samples must be a positive integer")
     if key is None:
         key = jax.random.PRNGKey(0)
-    return _vi_diagnostics(var_param, model, approx, n_samples, key)
+    return _vi_diagnostics(var_param, model, approx, n_samples, key,
+                           ksd_samples)
 
 
-def _vi_diagnostics(var_param, model, approx, n_samples, key):
+def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0):
     samples, smoothed_log_weights, khat = psis_correction(
         var_param, model, approx, n_samples, key)
     results = dict(samples=samples,
@@ -365,7 +375,15 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key):
     print("estimated Pareto shape: khat = {:.2f}".format(float(khat)))
     if float(khat) > 0.7:
         print("WARNING: khat > 0.7 — the importance weights are too heavy-tailed")
-        print("WARNING: skipping the remaining diagnostics")
+        print("WARNING: skipping the weight-based diagnostics")
+        n_ksd = min(int(ksd_samples), samples.shape[1])
+        if n_ksd > 1:
+            # samples come back transposed (d, n) from psis_correction
+            x = samples.T[:n_ksd]
+            block = 512 if n_ksd % 512 == 0 else None
+            results["ksd"] = ksd(x, model=model, block_size=block)
+            print("kernelized Stein discrepancy (IMQ, n = {}): ksd = {:.3g}"
+                  .format(n_ksd, float(results["ksd"])))
         return results
     print()
     if approx.supports_pth_moment(2) and approx.supports_pth_moment(4):

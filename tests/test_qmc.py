@@ -214,3 +214,43 @@ def test_qmc_end_to_end_recovery():
     np.testing.assert_allclose(np.asarray(mu), np.asarray(tmu), atol=0.1)
     np.testing.assert_allclose(np.asarray(jnp.exp(log_sigma)),
                                np.asarray(tsd), atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# antithetic pairs
+# ---------------------------------------------------------------------------
+
+def test_antithetic_normal_mirror_structure():
+    sob = qmc.AntitheticNormal()
+    z = sob.normal(jax.random.PRNGKey(0), 16, 3, jnp.float64)
+    assert z.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(z[8:]), -np.asarray(z[:8]))
+    # exact zero mean for even n
+    np.testing.assert_allclose(np.asarray(jnp.mean(z, axis=0)), 0.0,
+                               atol=1e-15)
+    # odd n keeps shape
+    assert qmc.AntitheticNormal().normal(
+        jax.random.PRNGKey(1), 7, 2, jnp.float32).shape == (7, 2)
+
+
+def test_antithetic_parity_tradeoff():
+    # on a Gaussian target the mu-gradient is odd (linear) in z, so the
+    # pairs cancel it EXACTLY; the log-sigma gradient is even, so the
+    # pair members are perfectly correlated and its variance ~doubles —
+    # the documented tradeoff (qmc.AntitheticNormal docstring)
+    d = 8
+    model, tmu, tsd = _gaussian_model(d)
+    vp = jnp.concatenate([tmu + 0.2, jnp.log(tsd)])
+
+    def block_vars(approx):
+        obj = ExclusiveKL(approx, model, num_mc_samples=32)
+        f = jax.jit(lambda k: obj.value_and_grad(vp, k)[1])
+        gs = jnp.stack([f(jax.random.PRNGKey(i)) for i in range(100)])
+        v = jnp.var(gs, axis=0)
+        return float(jnp.mean(v[:d])), float(jnp.mean(v[d:]))
+
+    mc_mu, mc_ls = block_vars(MFGaussian(d))
+    a_mu, a_ls = block_vars(
+        MFGaussian(d, base_sampler=qmc.AntitheticNormal()))
+    assert a_mu < 1e-12 * mc_mu          # measured: exact cancellation
+    assert a_ls < 3.0 * mc_ls            # measured: ~2.0x, never free

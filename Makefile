@@ -2,9 +2,12 @@
 
 .PHONY: lint test test-fast bench native notebooks docs clean
 
-# enforced (non-zero exit on findings) — unlike the reference's advisory gate
+# enforced (non-zero exit on findings) — unlike the reference's advisory gate.
+# check_docs.py is the sphinx-free docs gate: RST structure + import-resolved
+# autodoc targets + markdown link/anchor checks (the image has no sphinx).
 lint:
 	python tools/lint.py
+	python tools/check_docs.py
 
 notebooks:
 	python tools/run_notebooks.py

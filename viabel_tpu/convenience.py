@@ -378,9 +378,16 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0):
         print("WARNING: skipping the weight-based diagnostics")
         n_ksd = min(int(ksd_samples), samples.shape[1])
         if n_ksd > 1:
+            if n_ksd > 512:
+                # truncate to a multiple of the row block so large sample
+                # counts ALWAYS take the bounded lax.map path (an unblocked
+                # n=1e5 would materialize an (n, n) Gram matrix)
+                n_ksd -= n_ksd % 512
+                block = 512
+            else:
+                block = None
             # samples come back transposed (d, n) from psis_correction
             x = samples.T[:n_ksd]
-            block = 512 if n_ksd % 512 == 0 else None
             results["ksd"] = ksd(x, model=model, block_size=block)
             print("kernelized Stein discrepancy (IMQ, n = {}): ksd = {:.3g}"
                   .format(n_ksd, float(results["ksd"])))

@@ -75,7 +75,9 @@ def wasserstein_bounds(d2, *, samples=None, moment_bound_fn=None):
     results = dict()
     if moment_bound_fn is None:
         if samples is None:
-            raise ValueError("must provides samples if moment_bound_fn not given")
+            raise ValueError("wasserstein_bounds needs the centered moments: "
+                             "pass a moment_bound_fn, or samples to estimate "
+                             "them from")
         samples = jnp.asarray(samples)
         if samples.ndim == 1:
             samples = samples[:, None]
@@ -95,7 +97,8 @@ def divergence_bound(log_weights, *, alpha=2.0, log_norm_bound=None,
     """Bound on the alpha-divergence: ``alpha/(alpha-1) * (CUBO - ELBO)``
     (reference diagnostics.py:148-186)."""
     if alpha <= 1:
-        raise ValueError("alpha must be greater than 1")
+        raise ValueError("the alpha-divergence bound needs alpha > 1 "
+                         f"(got {alpha})")
     log_weights = jnp.asarray(log_weights)
     log_rescale = jnp.max(log_weights)
     rescaled = jnp.exp(log_weights - log_rescale) ** alpha
@@ -115,11 +118,9 @@ def mean_and_check_mc_error(a, atol=0.01, rtol=0.0, quantity_name=None):
     m = jnp.mean(a)
     s = jnp.std(a) / jnp.sqrt(a.size)
     if float(s) > rtol * abs(float(m)) + atol:  # pragma: no cover
-        msg = "significant Monte Carlo error"
-        if quantity_name is not None:
-            msg += " when computing " + quantity_name
-        msg += f" (mean = {m}, standard deviation = {s})"
-        warn(msg)
+        what = quantity_name if quantity_name is not None else "a mean"
+        warn(f"the Monte Carlo error of {what} is large (estimate {m}, "
+             f"MC standard error {s}); draw more samples")
     return m
 
 
@@ -184,6 +185,9 @@ def ksd(samples, *, score_fn=None, model=None, c=1.0, beta=-0.5,
         raise ValueError("pass exactly one of score_fn / model")
     x = jnp.atleast_2d(jnp.asarray(samples))
     n, d = x.shape
+    if use_u_statistic and n < 2:
+        raise ValueError("the U-statistic KSD needs n >= 2 samples "
+                         f"(got {n}); use use_u_statistic=False")
     if score_fn is not None:
         s = jnp.asarray(score_fn(x))
     else:

@@ -115,7 +115,10 @@ class SobolNormal:
         shift = jax.random.bits(key, (width,), dtype=jnp.uint32)
         bits = base ^ shift[None, :]
         dtype = jnp.dtype(dtype)
-        if dtype == jnp.dtype(jnp.float64):
+        if dtype == jnp.dtype(jnp.float64) and jax.config.jax_enable_x64:
+            # all 32 bits are exact in f64; without x64 the astype silently
+            # produces f32 and u can round to exactly 1.0 (ndtri -> +inf),
+            # so that case falls through to the top-24-bit f32 path
             u = (bits.astype(jnp.float64) + 0.5) * (2.0 ** -32)
         else:
             # keep the top 24 bits so u is exact in f32 and bounded away

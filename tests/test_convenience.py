@@ -280,10 +280,13 @@ def test_vi_diagnostics():
         results["opt_param"], approx=results["objective"].approx, model=model2)
     assert float(diagnostics2["khat"]) > 0.7
     assert "d2" not in diagnostics2
-    # beyond the reference: the Stein diagnostic fills in where the
+    # beyond the reference: the calibrated Stein test fills in where the
     # weight-based pipeline gates itself off — q fitted to the narrow
-    # model is genuinely far from the 3x-wider model2
+    # model is genuinely far from the 3x-wider model2, so the q = p null
+    # is rejected at the 5% level
     assert float(diagnostics2["ksd"]) > 0.1
+    assert bool(diagnostics2["ksd_reject"])
+    assert float(diagnostics2["ksd_p_value"]) == 1.0 / 20.0
     # and it can be disabled
     diagnostics2b = convenience.vi_diagnostics(
         results["opt_param"], approx=results["objective"].approx,

@@ -160,3 +160,84 @@ def test_ksd_arg_validation():
         vt.ksd(x)
     with pytest.raises(ValueError, match="block_size"):
         vt.ksd(x, model=logp, block_size=3)
+
+
+def test_ksd_u_statistic_needs_two_samples():
+    import pytest
+
+    logp, _ = _aniso_gaussian()
+    with pytest.raises(ValueError, match="n >= 2"):
+        vt.ksd(jnp.zeros((1, 3)), model=logp)
+    # V-statistic has a defined n = 1 value
+    assert np.isfinite(float(vt.ksd(jnp.ones((1, 3)), model=logp,
+                                    use_u_statistic=False)))
+
+
+def test_ksd_subsampled_pairs_estimator():
+    """The incomplete U-statistic is unbiased: with enough pairs it matches
+    the full U-statistic, and it discriminates exactly like the full one."""
+    import jax
+
+    logp, sd = _aniso_gaussian()
+    rng = np.random.RandomState(7)
+    true = jnp.asarray(rng.randn(400, 3)) * sd
+    key = jax.random.PRNGKey(3)
+    full_sq = float(vt.ksd(true + 1.5, model=logp, squared=True))
+    sub_sq = float(vt.ksd(true + 1.5, model=logp, squared=True,
+                          subsample_pairs=120000, key=key))
+    np.testing.assert_allclose(sub_sq, full_sq, rtol=0.05)
+    # still discriminates at modest pair counts
+    assert float(vt.ksd(true + 1.5, model=logp, subsample_pairs=4096,
+                        key=key)) > 1.0
+
+    import pytest
+    with pytest.raises(ValueError, match="no V-statistic"):
+        vt.ksd(true, model=logp, subsample_pairs=64, key=key,
+               use_u_statistic=False)
+    with pytest.raises(ValueError, match="PRNG key"):
+        vt.ksd(true, model=logp, subsample_pairs=64)
+
+
+def test_ksd_test_calibrated_verdict():
+    """The VERDICT done-criterion: at the same n and d, q = p passes the
+    calibrated test and a mismatched q fails it."""
+    import jax
+
+    logp, sd = _aniso_gaussian()
+    score_p = jax.grad(lambda x: jnp.sum(logp(x)))
+    n, d = 512, 3
+    key = jax.random.PRNGKey(11)
+
+    def sample_p(k):
+        return jax.random.normal(k, (n, d)) * sd
+
+    # q = p: exchangeable with the null replicates -> p-value well above 5%
+    good = vt.ksd_test(sample_p(jax.random.PRNGKey(99)), score_fn=score_p,
+                       null_sampler=sample_p, null_score_fn=score_p,
+                       key=key, n_null=19)
+    assert not bool(good["reject"])
+    assert float(good["p_value"]) > 0.05
+    assert good["null_squared"].shape == (19,)
+
+    # mismatched q (shifted by 1.5 sd): rejected at the same n, d
+    bad_draws = sample_p(jax.random.PRNGKey(98)) + 1.5
+    bad = vt.ksd_test(bad_draws, score_fn=score_p,
+                      null_sampler=lambda k: sample_p(k) + 1.5,
+                      null_score_fn=jax.grad(
+                          lambda x: jnp.sum(logp(x - 1.5))),
+                      key=key, n_null=19)
+    assert bool(bad["reject"])
+    assert float(bad["p_value"]) == 1.0 / 20.0
+
+    # the subsampled-pairs estimator reaches the same verdicts
+    good_sub = vt.ksd_test(sample_p(jax.random.PRNGKey(97)),
+                           score_fn=score_p, null_sampler=sample_p,
+                           null_score_fn=score_p, key=key, n_null=19,
+                           subsample_pairs=8192)
+    assert not bool(good_sub["reject"])
+    bad_sub = vt.ksd_test(bad_draws, score_fn=score_p,
+                          null_sampler=lambda k: sample_p(k) + 1.5,
+                          null_score_fn=jax.grad(
+                              lambda x: jnp.sum(logp(x - 1.5))),
+                          key=key, n_null=19, subsample_pairs=8192)
+    assert bool(bad_sub["reject"])

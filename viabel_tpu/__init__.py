@@ -48,6 +48,7 @@ from .diagnostics import (
     wasserstein_bounds,
     divergence_bound,
     ksd,
+    ksd_test,
 )
 from .psis import psislw, psisloo, gpdfitnew, gpinv, sumlogs
 from .distributions import multivariate_t_logpdf
@@ -73,7 +74,7 @@ __all__ = [
     "Adam", "AveragedAdam", "Adagrad", "WindowedAdagrad", "FASO", "RAABBVI",
     # diagnostics
     "all_diagnostics", "error_bounds", "wasserstein_bounds", "divergence_bound",
-    "ksd",
+    "ksd", "ksd_test",
     "psislw", "psisloo", "gpdfitnew", "gpinv", "sumlogs",
     "multivariate_t_logpdf",
     # pathfinder

@@ -17,7 +17,7 @@ from .faso import FASO, RAABBVI
 from .models import Model
 from .objectives import ExclusiveKL
 from .optimizers import RMSProp
-from .diagnostics import all_diagnostics, ksd
+from .diagnostics import all_diagnostics, ksd_test
 from .psis import psislw
 
 __all__ = ["bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart"]
@@ -337,17 +337,24 @@ def select_best_restart(var_params, *, objective=None, model=None, approx=None,
 
 
 def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,
-                   n_samples=100000, key=None, ksd_samples=4096):
+                   n_samples=100000, key=None, ksd_samples=4096,
+                   ksd_null=19, ksd_pairs=None):
     """Check VI diagnostics: Pareto k-hat, 2-divergence, and error bounds
     (reference convenience.py:97-167).
 
-    Beyond the reference: when the k-hat gate trips (khat > 0.7) the
-    weight-based pipeline has nothing more to say (reference
-    convenience.py:144-146 just stops); here the kernelized Stein
-    discrepancy (:func:`viabel_tpu.diagnostics.ksd`) of the first
-    ``ksd_samples`` draws is computed and reported instead — it needs
-    only the target score, not the importance weights, so it still
-    measures approximation quality.  Set ``ksd_samples=0`` to disable.
+    Beyond the reference: when the k-hat gate trips (khat > 0.7, or the
+    GPD fit degenerates to a non-finite khat) the weight-based pipeline
+    has nothing more to say (reference convenience.py:144-146 just
+    stops); here a CALIBRATED kernelized Stein discrepancy test
+    (:func:`viabel_tpu.diagnostics.ksd_test`) runs on the first
+    ``ksd_samples`` draws instead — it needs only the target score, not
+    the importance weights, so it still measures approximation quality,
+    and its verdict is an exact Monte Carlo p-value against the q = p
+    null (``ksd_null`` fresh-draw replicates under q's own score; the
+    default 19 gives a 5% test — the raw KSD number alone has no
+    user-actionable scale).  ``ksd_pairs=m`` switches both sides of the
+    test to the O(m d) subsampled-pairs estimator for very large
+    ``ksd_samples``.  Set ``ksd_samples=0`` to disable.
     """
     if objective is None:
         if model is None or approx is None:
@@ -363,17 +370,18 @@ def vi_diagnostics(var_param, *, objective=None, model=None, approx=None,
     if key is None:
         key = jax.random.PRNGKey(0)
     return _vi_diagnostics(var_param, model, approx, n_samples, key,
-                           ksd_samples)
+                           ksd_samples, ksd_null, ksd_pairs)
 
 
-def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0):
+def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0,
+                    ksd_null=19, ksd_pairs=None):
     samples, smoothed_log_weights, khat = psis_correction(
         var_param, model, approx, n_samples, key)
     results = dict(samples=samples,
                    smoothed_log_weights=smoothed_log_weights,
                    khat=khat)
     print("estimated Pareto shape: khat = {:.2f}".format(float(khat)))
-    if float(khat) > 0.7:
+    if not np.isfinite(float(khat)) or float(khat) > 0.7:
         print("WARNING: khat > 0.7 — the importance weights are too heavy-tailed")
         print("WARNING: skipping the weight-based diagnostics")
         n_ksd = min(int(ksd_samples), samples.shape[1])
@@ -388,9 +396,33 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0):
                 block = None
             # samples come back transposed (d, n) from psis_correction
             x = samples.T[:n_ksd]
-            results["ksd"] = ksd(x, model=model, block_size=block)
-            print("kernelized Stein discrepancy (IMQ, n = {}): ksd = {:.3g}"
-                  .format(n_ksd, float(results["ksd"])))
+            # calibrate against the q = p null: fresh q-draws under q's
+            # own score are exchangeable with the observed statistic when
+            # the approximation is exact, giving an exact MC p-value
+            test = ksd_test(
+                x, model=model,
+                null_sampler=lambda k: approx.sample(var_param, n_ksd, k),
+                null_score_fn=jax.grad(
+                    lambda xx: jnp.sum(approx.log_density(var_param, xx))),
+                key=jax.random.fold_in(key, 0x4B53),
+                n_null=ksd_null, block_size=block,
+                subsample_pairs=ksd_pairs)
+            results["ksd"] = test["ksd"]
+            results["ksd_p_value"] = test["p_value"]
+            results["ksd_reject"] = test["reject"]
+            print("kernelized Stein discrepancy (IMQ, n = {}): ksd = {:.3g}, "
+                  "p = {:.3g} against the q = p null ({} replicates)"
+                  .format(n_ksd, float(test["ksd"]), test["p_value"],
+                          ksd_null))
+            if test["reject"]:
+                print("WARNING: the KSD test rejects q = p at the {:.0%} "
+                      "level — the approximation is detectably off even "
+                      "before importance weighting".format(
+                          1.0 / (ksd_null + 1)))
+            else:
+                print("the KSD test cannot distinguish the approximation "
+                      "from the target at this sample size (p > {:.2f})"
+                      .format(1.0 / (ksd_null + 1)))
         return results
     print()
     if approx.supports_pth_moment(2) and approx.supports_pth_moment(4):

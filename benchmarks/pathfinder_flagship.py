@@ -1,0 +1,138 @@
+"""Pathfinder at the flagship scale: d=1000 full-rank logistic regression.
+
+Three receipts (docs/benchmarks.md "Pathfinder"):
+
+1. Single-path ``pathfinder`` wall-clock at d=1000 — the whole quasi-Newton
+   program (60-iteration L-BFGS scan + 61 vmapped factored Gaussians with
+   (d, 2J) QRs + batched MC ELBO scoring + 1000 draws), timed as a
+   chained-rep ``lax.scan`` (ONE dispatch; each rep's start point depends
+   on the previous rep's output) ending in a host transfer, per the
+   measurement rules in docs/benchmarks.md.
+2. ``pathfinder_init`` onto ``FullRankGaussian(1000)`` — adds the
+   moment-match (the init-time d x d Cholesky).  Timed the same chained
+   way (the traceable core: path + argmax + ``_family_param_from_factor``).
+3. End-to-end: ``bbvi(..., init_method="pathfinder")`` vs the zero init
+   (reference approximations.py:207-210) at a flagship config that can
+   actually pass the convergence gates — iterations-to-stationarity
+   (k_conv), iterations-to-stop (k_stopped), and total wall clock
+   INCLUDING the Pathfinder run.  Each arm runs twice; the second
+   (compile-warm) run is reported.
+
+Why S=400 / lr=0.01 for receipt 3 (measured, docs/benchmarks.md
+"Pathfinder"): RMSProp's normalized steps make the stationary iterate
+autocorrelation time INDEPENDENT of the learning rate (measured: the
+0.999-quantile split-R-hat at W=1200 plateaus at 1.58 for lr in
+{0.05, 0.1, 0.2} alike) and set only by the gradient signal-to-noise —
+at the flagship's S=10 the R-hat gate never passes at any lr.  S=400
+cuts the noise 6.3x and the plateau reaches 1.08 < 1.1.  STL (S=10)
+was tried and is WORSE here (plateau 1.74, and it diverges outright at
+lr=0.01 from the zero init).
+
+Usage: python benchmarks/pathfinder_flagship.py   (nothing else running!)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from viabel_tpu import FullRankGaussian, bbvi
+from viabel_tpu.models import zoo
+from viabel_tpu.pathfinder import _family_param_from_factor, _pathfinder_impl
+from viabel_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+D = 1000
+PF_KW = dict(max_iters=60, history=6, n_elbo_draws=25, init_step=1.0)
+
+
+def _timed_chain(body, x0, key, n_reps):
+    """One-dispatch chained-rep timing: warm up fenced by a host transfer,
+    then time a second dispatch ending in a host transfer."""
+
+    @jax.jit
+    def run(x0, key):
+        return lax.scan(body, (x0, key), None, length=n_reps)
+
+    (x_w, _), _ = run(x0, key)
+    float(jnp.sum(x_w))  # fence the post-compile load (docs/benchmarks.md)
+    t0 = time.perf_counter()
+    (x2, _), _ = run(x0, key)
+    float(jnp.sum(x2))   # host transfer ends the timed chain
+    return (time.perf_counter() - t0) / n_reps
+
+
+def path_time(model, n_reps=20):
+    """Receipt 1: one single-path pathfinder program, seconds per path."""
+
+    def body(carry, _):
+        x0, key = carry
+        key, k_path = jax.random.split(key)
+        res = _pathfinder_impl(x0, k_path, model=model, n_draws=1000,
+                               **PF_KW)
+        # tiny multiplier keeps the chain dependency without moving the
+        # start point being measured
+        return (x0 + 1e-20 * res["mu"], key), jnp.max(res["elbo"])
+
+    x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(7), (D,))
+    return _timed_chain(body, x0, jax.random.PRNGKey(0), n_reps)
+
+
+def init_time(model, family, n_reps=20):
+    """Receipt 2: the traceable core of ``pathfinder_init`` (path +
+    best-point selection + moment-match incl. the d x d Cholesky)."""
+
+    def body(carry, _):
+        x0, key = carry
+        key, k_path = jax.random.split(key)
+        res = _pathfinder_impl(x0, k_path, model=model, n_draws=1,
+                               **PF_KW)
+        # q_factor is already the ELBO-best point's factored Gaussian
+        param = _family_param_from_factor(family, res["q_factor"])
+        return (x0 + 1e-20 * param[:D], key), param[0]
+
+    x0 = 2.0 * jax.random.normal(jax.random.PRNGKey(7), (D,))
+    return _timed_chain(body, x0, jax.random.PRNGKey(0), n_reps)
+
+
+def bbvi_arm(model, init_method, key):
+    """Receipt 3: one flagship bbvi run; returns (k_conv, k_stopped,
+    wall-clock seconds including any Pathfinder init)."""
+    t0 = time.perf_counter()
+    res = bbvi(D, log_density=model, approx=FullRankGaussian(D),
+               adaptive=True, fixed_lr=True, n_iters=30000,
+               learning_rate=0.001, key=key, init_method=init_method,
+               RMS_kwargs=dict(diagnostics=False),
+               FASO_kwargs=dict(max_history=1200, rhat_quantile=0.999,
+                                rhat_backoff=1.4))
+    float(jnp.sum(res["opt_param"]))  # fence
+    elapsed = time.perf_counter() - t0
+    return res.get("k_conv"), res.get("k_stopped"), elapsed
+
+
+if __name__ == "__main__":
+    model, _ = zoo.logistic_regression(dim=D, n_data=512)
+    family = FullRankGaussian(D)
+
+    t_path = path_time(model)
+    print(f"single-path pathfinder (d={D}, L=60, J=6): "
+          f"{t_path * 1e3:.1f} ms/path")
+
+    t_init = init_time(model, family)
+    print(f"pathfinder_init core onto FullRankGaussian({D}) "
+          f"(+ d x d Cholesky moment-match): {t_init * 1e3:.1f} ms")
+
+    # end-to-end: run each arm twice, report the compile-warm second run
+    for arm, init_method in (("zero init", None),
+                             ("pathfinder init", "pathfinder")):
+        for attempt in range(2):
+            k_conv, k_stop, wall = bbvi_arm(
+                model, init_method, jax.random.PRNGKey(42 + attempt))
+        print(f"bbvi flagship [{arm}]: k_conv={k_conv} "
+              f"k_stopped={k_stop} wall={wall:.2f}s (warm, incl. init)")

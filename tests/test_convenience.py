@@ -257,12 +257,23 @@ def test_bbvi_multistart_arg_validation():
     with pytest.raises(ValueError):  # lr array of the wrong length
         convenience.bbvi(2, log_density=model, num_restarts=3,
                          learning_rate=np.array([0.1, 0.2]))
-    with pytest.raises(ValueError):  # batched init_rmsprop needs lockstep
-        convenience.bbvi(2, log_density=model, num_restarts=2,
-                         RAABBVI_kwargs=dict(init_rmsprop=True),
-                         multistart_kwargs=dict(schedule="async"))
     with pytest.raises(ValueError):  # num_restarts must be positive
         convenience.bbvi(2, log_density=model, num_restarts=0)
+
+
+def test_bbvi_multistart_async_init_rmsprop():
+    """init_rmsprop works on the async multistart schedule (the warm
+    round runs as a lockstep prelude; round 4 lifted the old rejection)."""
+    model, _ = zoo.diagonal_gaussian(np.zeros(2), np.ones(2))
+    results = convenience.bbvi(
+        2, log_density=model, num_mc_samples=40, n_iters=3000,
+        num_restarts=2, learning_rate=0.1,
+        RAABBVI_kwargs=dict(init_rmsprop=True, mcse_threshold=0.05,
+                            ESS_min=10, max_history=2000),
+        multistart_kwargs=dict(schedule="async", verbose=False),
+        key=jax.random.PRNGKey(11))
+    assert results["opt_params"].shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(results["opt_param"])))
 
 
 def test_vi_diagnostics():

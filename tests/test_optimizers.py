@@ -615,11 +615,11 @@ def test_multistart_raabbvi_validation():
     with pytest.raises(ValueError, match="supports_kl"):
         multistart_raabbvi(AveragedRMSProp(0.01), 100, objective,
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="lockstep"):
+    with pytest.raises(ValueError, match="lockstep.*async|async.*lockstep"):
         multistart_raabbvi(AveragedRMSProp(0.01), 100,
                            DummyObjective(np.zeros(2), noise=0.1),
                            jnp.zeros((2, 2)), jax.random.PRNGKey(0),
-                           init_rmsprop=True, schedule="async")
+                           schedule="sync")
 
 
 def test_multistart_raabbvi_init_rmsprop_b1_matches_single(monkeypatch):
@@ -657,6 +657,125 @@ def test_multistart_raabbvi_init_rmsprop_b1_matches_single(monkeypatch):
     assert (plain["conv_iters_hist"][0] != batched["conv_iters_hist"][0]
             or not np.allclose(np.asarray(plain["opt_param"]),
                                np.asarray(batched["opt_param"])))
+
+
+def test_multistart_raabbvi_async_init_rmsprop_b1_matches_single(monkeypatch):
+    """init_rmsprop on the ASYNC schedule: the warm round runs as a
+    lockstep prelude and the continuous program takes over from round two
+    — at B=1 this reproduces single RAABBVI(init_rmsprop=True) exactly
+    (same key chain: the prelude consumes the same per-round 3-way split
+    the continuous program uses)."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10,
+                  init_rmsprop=True)
+    K = 3002
+    single = RAABBVI(AveragedRMSProp(0.01), **kwargs).optimize(
+        K, objective, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(AveragedRMSProp(0.01), K, objective,
+                                 init[None], jax.random.PRNGKey(3),
+                                 schedule="async", **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["learning_rate_hist"][0],
+                               single["learning_rate_hist"], rtol=1e-12)
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+    # the prelude's steps count into the wall-clock proxy
+    assert batched["k_global_steps"] > single["conv_iters_hist"][0]
+
+
+def test_multistart_raabbvi_async_init_rmsprop_multi_restart(monkeypatch):
+    """Async init_rmsprop at B>1: every restart gets the warm round, then
+    advances on its own round clock; per-restart termination still fires
+    and the target is recovered."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    B = 3
+    rng = np.random.RandomState(0)
+    inits = jnp.asarray(true_value + 0.3 * rng.randn(B, 3))
+    res = multistart_raabbvi(AveragedRMSProp(0.01), 20000, objective, inits,
+                             jax.random.PRNGKey(2), rho=0.5,
+                             mcse_threshold=0.05, inefficiency_threshold=1.0,
+                             accuracy_threshold=0.1, max_history=2000,
+                             ESS_min=10, schedule="async", init_rmsprop=True,
+                             verbose=False)
+    assert all(v is not None for v in res["k_stopped_final"])
+    # warm round + at least one real round per restart
+    assert all(r >= 2 for r in res["n_rounds_per_restart"])
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.tile(true_value, (B, 1)), atol=0.05)
+
+
+def test_multistart_raabbvi_b1_nonaveraged_matches_single(monkeypatch):
+    """Non-averaged SGO state persists across lockstep rounds as of each
+    restart's OWN stop (multistart_faso's opt_states_at_stop back-dated
+    rows): at B=1 the whole run — including the persisted RMSProp state
+    every round inherits — reproduces a single RAABBVI run exactly."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    init = jnp.asarray(true_value + 0.5)
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10)
+    K = 3002
+    single = RAABBVI(RMSProp(0.01), **kwargs).optimize(
+        K, objective, init, key=jax.random.PRNGKey(3))
+    batched = multistart_raabbvi(RMSProp(0.01), K, objective,
+                                 init[None], jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_allclose(np.asarray(batched["opt_param"][0]),
+                               np.asarray(single["opt_param"]), rtol=1e-10)
+    assert batched["conv_iters_hist"][0] == single["conv_iters_hist"]
+    np.testing.assert_allclose(batched["SKL_history"][0],
+                               single["SKL_history"], rtol=1e-8)
+    assert batched["k_stopped_final"] == [single["k_stopped_final"]]
+
+
+def test_multistart_faso_opt_states_at_stop(monkeypatch):
+    """opt_states_at_stop back-dates each stopped restart's optimizer
+    state to its OWN k_stopped: rerunning the identical program truncated
+    exactly at that boundary reproduces the row bit-for-bit, while the
+    still-running sibling's row is end-of-program state."""
+    from viabel_tpu.parallel import multistart_faso
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(3, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    inits = jnp.asarray(np.tile(true_value + 0.5, (2, 1)))
+    sgo = RMSProp(0.01)
+    kwargs = dict(max_history=2000, ESS_min=10, W_min=200)
+    thresholds = np.array([0.05, 0.004])
+    res = multistart_faso(sgo, 6000, objective, inits, jax.random.PRNGKey(5),
+                          mcse_threshold=thresholds, **kwargs)
+    k0, k1 = res["k_stopped"]
+    assert k0 is not None
+    assert k1 is None or k1 > k0  # restart 0 stops strictly first
+    trunc = multistart_faso(sgo, k0, objective, inits, jax.random.PRNGKey(5),
+                            mcse_threshold=thresholds, **kwargs)
+    stop_leaves = jax.tree_util.tree_leaves(res["opt_states_at_stop"])
+    end_leaves = jax.tree_util.tree_leaves(
+        trunc["resume_state"]["opt_states"])
+    assert stop_leaves
+    for a, b in zip(stop_leaves, end_leaves):
+        # restart 0: back-dated to its stop == the truncated run's end
+        np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(b)[0])
+    # restart 1 kept stepping past k0: its rows moved on
+    assert any(
+        not np.allclose(np.asarray(a)[1], np.asarray(b)[1])
+        for a, b in zip(stop_leaves, end_leaves)
+        if np.asarray(a).ndim > 1)
 
 
 def test_multistart_raabbvi_round_resume_matches_uninterrupted(

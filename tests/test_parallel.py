@@ -318,6 +318,40 @@ def test_fsdp_divisibility_checks():
         FSDPFullRankELBO(6, model, 8, mesh, mc_axis="mc")  # 6 % 4 != 0
     with pytest.raises(ValueError):
         FSDPFullRankELBO(8, model, 7, mesh, mc_axis="mc")  # 7 % 2 != 0
+    with pytest.raises(ValueError, match="gather_pipeline"):
+        FSDPFullRankELBO(8, model, 8, mesh, mc_axis="mc",
+                         gather_pipeline=3)  # 4 local samples % 3 != 0
+    with pytest.raises(ValueError, match="positive"):
+        FSDPFullRankELBO(8, model, 8, mesh, mc_axis="mc", gather_pipeline=0)
+
+
+def test_fsdp_pipelined_gather_matches_all_gather():
+    """The ppermute ring gather (gather_pipeline) equals the synchronous
+    all_gather path step for step: identical draws, the same gathered
+    sample columns, only the mean reassociated over chunks."""
+    from viabel_tpu.parallel.fsdp import FSDPFullRankELBO
+    d, S = 8, 32
+    model, _, info = zoo.correlated_gaussian(d, rho=0.5)
+    mesh = make_mesh((4, 2), ("fsdp", "mc"))
+    plain = FSDPFullRankELBO(d, model, S, mesh, mc_axis="mc",
+                             learning_rate=0.05)
+    piped = FSDPFullRankELBO(d, model, S, mesh, mc_axis="mc",
+                             learning_rate=0.05, gather_pipeline=4)
+    p1, s1 = plain.init_params(), None
+    p2 = piped.init_params()
+    s1, s2 = plain.init_opt_state(p1), piped.init_opt_state(p2)
+    key = jax.random.PRNGKey(0)
+    for i in range(50):
+        key, sub = jax.random.split(key)
+        p1, s1, v1 = plain.step(p1, s1, sub)
+        p2, s2, v2 = piped.step(p2, s2, sub)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p2[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1[1]), np.asarray(p2[1]),
+                               rtol=1e-4, atol=1e-5)
+    # sharding preserved on the pipelined path too
+    assert "fsdp" in str(p2[1].sharding)
 
 
 @pytest.mark.parametrize("force_pallas", [False, True])

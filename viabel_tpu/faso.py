@@ -151,28 +151,51 @@ def _mcse_check(ring, t, w, mf_dim):
     For MFGaussian, ``mcse_mean = mcse_mu / exp(mean log_sigma)``; constant
     coordinates (zero last-step difference) get ``ess = +inf, mcse = 0``
     (the reference deletes them, optimization.py:580-584).  Takes the
-    packed ``(R, 8, C)`` ring; ordering it oldest-first (slot ``s % R``
-    holds step ``s``) and flattening rows back to coordinate-major is one
-    gather + relayout — MCSE checks are scheduled rarely (the cost-aware
-    recheck policy), unlike R-hat checks.  Padded coordinates are constant
-    zero, so the constant-coordinate rule masks them out.
+    packed ``(R, 8, C)`` ring and streams the packed minor axis in chunks
+    through one ``lax.map``: each chunk slices ``(R, 8, chunk)`` off the
+    ring, reorders it oldest-first (slot ``s % R`` holds step ``s``), and
+    runs the FFT ESS on that slab alone — materializing the whole
+    reordered ring plus its (D, R) transpose peaked at 3x the ring (OOM
+    at the d=1000 full-rank flagship: ring 4.8 GB, HBM 16 GB; found
+    benchmarking Pathfinder).  ``pack_rows`` flattens row-major, so the
+    reassembled packed results ARE flat-coordinate order.  Padded
+    coordinates are constant zero, so the constant-coordinate rule masks
+    them out.
     """
-    R = ring.shape[0]
+    R, _, C = ring.shape
     idx = (t + jnp.arange(R)) % R
-    ordered = ring[idx].reshape(R, -1)
-    D = ordered.shape[1]
-    eff, mcse = ess_and_mcse_windowed(ordered, w)
-    if mf_dim is not None:
-        dim = mf_dim
+    # largest chunk of 128-lane blocks that divides C and keeps the
+    # per-chunk slab <= 1024 lanes (8192 coordinates, the ESS kernel's
+    # one-pass width); C is always a multiple of 128 (packed_width)
+    blocks = C // 128
+    cb = max(v for v in range(1, 9) if blocks % v == 0)
+    chunk = cb * 128
+    wf = w.astype(ring.dtype)
+
+    def one_chunk(i):
+        sl = lax.dynamic_slice(ring, (0, 0, i * chunk), (R, 8, chunk))
+        ordered = sl[idx].reshape(R, 8 * chunk)
+        eff_c, mcse_c = ess_and_mcse_windowed(ordered, w,
+                                              chunk_size=8 * chunk)
         mask = (jnp.arange(R) >= R - w)[:, None]
+        mean_c = jnp.sum(jnp.where(mask, ordered, 0.0), axis=0) / wf
+        diff_c = ordered[R - 2] - ordered[R - 1]
+        return (eff_c.reshape(8, chunk), mcse_c.reshape(8, chunk),
+                mean_c.reshape(8, chunk), diff_c.reshape(8, chunk))
+
+    effs, mcses, means, diffs = lax.map(one_chunk, jnp.arange(C // chunk))
+
+    def reflat(a):  # (n_chunks, 8, chunk) -> flat (8 * C,) coordinate order
+        return jnp.transpose(a, (1, 0, 2)).reshape(-1)
+
+    eff, mcse, mean_w, diff = map(reflat, (effs, mcses, means, diffs))
+    if mf_dim is not None:
         # log_sigma coordinates occupy [dim, 2*dim) (coords beyond 2*dim
         # are packing padding)
-        log_sdevs = jnp.where(mask, ordered[:, dim:2 * dim], 0.0)
-        mean_log_sdev = jnp.sum(log_sdevs, axis=0) / w.astype(ordered.dtype)
+        dim = mf_dim
         mcse = jnp.concatenate(
-            [mcse[:dim] / jnp.exp(mean_log_sdev), mcse[dim:]])
-    iterate_diff = ordered[R - 2] - ordered[R - 1]
-    const = iterate_diff == 0.0
+            [mcse[:dim] / jnp.exp(mean_w[dim:2 * dim]), mcse[dim:]])
+    const = diff == 0.0
     eff = jnp.where(const, jnp.inf, eff)
     mcse = jnp.where(const, 0.0, mcse)
     return eff, mcse

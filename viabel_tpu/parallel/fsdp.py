@@ -14,7 +14,10 @@ Per step, each device:
 2. computes its column-slice of the samples ``x = mu + z @ L^T``
    (``z`` is rematerialized from the shared key — never communicated),
 3. ``all_gather``s the sample columns over ``fsdp`` (the only
-   parameter-axis collective; O(S*d) bytes, independent of d^2),
+   parameter-axis collective; O(S*d) bytes, independent of d^2) — or,
+   with ``gather_pipeline=n``, ring-gathers them in n sample chunks via
+   ``ppermute`` so the ICI hops overlap the neighboring chunks' matmul
+   and model forward,
 4. evaluates the model and the ``psum``-reduced entropy, and
 5. takes the local RMSProp step on its parameter shard — gradients flow
    back through the collective (shard_map AD turns the all_gather into a
@@ -48,11 +51,22 @@ class FSDPFullRankELBO:
         size when present)
     mesh : jax.sharding.Mesh with an ``fsdp`` axis and optionally ``mc``
     learning_rate : float — RMSProp step size
+    gather_pipeline : int, optional
+        Split the per-device samples into this many chunks and gather
+        each chunk's column blocks by a ppermute ring instead of one
+        synchronous ``all_gather`` — chunk c's ICI hops overlap chunk
+        c+1's local matmul and chunk c-1's model forward (XLA latency
+        hiding; the scaling-book ring-collective pattern).  Numerically
+        identical draws to the plain path (per-chunk partial sums only
+        reassociate the mean).  Must divide the per-device sample count.
+        Default (None/1): the single synchronous ``all_gather``.
+        Pod-scale profiling of the overlap is pending multi-chip
+        hardware; correctness is mesh-tested (tests/test_parallel.py).
     """
 
     def __init__(self, dim, model, num_mc_samples, mesh, fsdp_axis="fsdp",
                  mc_axis=None, learning_rate=0.01, beta=0.9, jitter=1e-8,
-                 init_log_diag=0.0):
+                 init_log_diag=0.0, gather_pipeline=None):
         self.dim = int(dim)
         self.mesh = mesh
         self._model = model
@@ -72,6 +86,14 @@ class FSDPFullRankELBO:
         self._beta = float(beta)
         self._jitter = float(jitter)
         self._init_log_diag = float(init_log_diag)
+        self._pipeline = 1 if gather_pipeline is None else int(gather_pipeline)
+        if self._pipeline < 1:
+            raise ValueError("gather_pipeline must be a positive chunk count")
+        if self._pipeline > 1 and self._local_S % self._pipeline != 0:
+            raise ValueError(
+                f"per-device sample count {self._local_S} not divisible by "
+                f"gather_pipeline={self._pipeline}")
+        self._n_fsdp = n_fsdp
         self._step = self._build_step()
 
     # -- parameter layout -----------------------------------------------------
@@ -97,6 +119,7 @@ class FSDPFullRankELBO:
         model = self._model
         fsdp, mc = self._fsdp, self._mc
         lr, beta, jitter = self._lr, self._beta, self._jitter
+        pipeline, n_fsdp = self._pipeline, self._n_fsdp
 
         def per_device(mu_loc, theta_loc, nu_mu, nu_theta, t, key):
             row0 = lax.axis_index(fsdp) * local_rows
@@ -118,9 +141,49 @@ class FSDPFullRankELBO:
                     axis=1)
                 # z rematerialized identically on every fsdp shard
                 z = jax.random.normal(key, (local_S, d), theta_loc.dtype)
-                x_loc = mu_loc + z @ L_loc.T            # (local_S, local_rows)
-                x = lax.all_gather(x_loc, fsdp, axis=1, tiled=True)
-                logp = jnp.mean(model(x))
+                if pipeline == 1:
+                    x_loc = mu_loc + z @ L_loc.T        # (local_S, local_rows)
+                    x = lax.all_gather(x_loc, fsdp, axis=1, tiled=True)
+                    logp = jnp.mean(model(x))
+                else:
+                    # sample-chunked ring gather: chunk c's column blocks
+                    # ride the ICI (n_fsdp - 1 ppermute hops) while chunk
+                    # c+1's local matmul and chunk c-1's model forward run
+                    # — the straight-line dataflow has no dependence
+                    # between them, so XLA's latency-hiding scheduler
+                    # overlaps the async collectives with compute (the
+                    # scaling-book ring pattern; the synchronous
+                    # all_gather above serializes ICI against compute).
+                    # Numerics: identical draws, per-chunk partial sums.
+                    Sc = local_S // pipeline
+                    idx = lax.axis_index(fsdp)
+                    perm = [(j, (j + 1) % n_fsdp) for j in range(n_fsdp)]
+
+                    def ring_gather(block):
+                        # (Sc, local_rows) local block -> (Sc, d) samples:
+                        # slot j of the buffer holds device j's block
+                        buf = jnp.zeros((n_fsdp, Sc, local_rows),
+                                        block.dtype)
+                        zero = jnp.zeros((), idx.dtype)
+                        buf = lax.dynamic_update_slice(
+                            buf, block[None], (idx, zero, zero))
+                        cur = block
+                        for r in range(1, n_fsdp):
+                            # after r hops device j holds device (j - r)'s
+                            # block
+                            cur = lax.ppermute(cur, fsdp, perm)
+                            buf = lax.dynamic_update_slice(
+                                buf, cur[None],
+                                ((idx - r) % n_fsdp, zero, zero))
+                        return jnp.transpose(buf, (1, 0, 2)).reshape(Sc, d)
+
+                    logp_sum = jnp.zeros((), theta_loc.dtype)
+                    for c in range(pipeline):
+                        z_c = lax.dynamic_slice_in_dim(z, c * Sc, Sc, 0)
+                        x_loc_c = mu_loc + z_c @ L_loc.T
+                        logp_sum = logp_sum + jnp.sum(
+                            model(ring_gather(x_loc_c)))
+                    logp = logp_sum / local_S
                 if mc is not None:
                     logp = lax.pmean(logp, mc)
                 entropy = (0.5 * d * (1.0 + _LOG_2PI)

@@ -350,8 +350,14 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     fresh allotment).
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
-    ``k_Rhat`` / ``k_stopped`` lists (None where not reached), and
-    ``value_history`` (B, n_steps_run).  With ``diagnostics=True`` also
+    ``k_Rhat`` / ``k_stopped`` lists (None where not reached),
+    ``value_history`` (B, n_steps_run), and ``opt_states_at_stop`` — the
+    batched optimizer-state pytree with each stopped restart's row
+    back-dated to its OWN ``k_stopped`` (like the frozen iterate
+    averages; rows of restarts that never stopped are end-of-program
+    state).  A round-driving caller persisting non-averaged SGO state
+    across rounds wants these, not the end-of-program states that kept
+    stepping while slower restarts finished.  With ``diagnostics=True`` also
     ``grad_history`` / ``descent_dir_history`` (B, n, D),
     ``iterate_average_k_history`` (n_checks,) with
     ``iterate_average_history`` (n_checks, B, D), and
@@ -429,6 +435,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     W_check = np.full(B, -1)
     last_best_W = np.full(B, -1)
     frozen = [None] * B            # packed (8, C) averages at each stop
+    # per-restart optimizer-state row captured AT the restart's own stop
+    # (the MCSE stop fires at the current segment boundary k == k_stopped,
+    # so the live batched state's row b IS the state at b's stop); rows of
+    # restarts that kept stepping for slower siblings are back-dated this
+    # way, exactly like the frozen iterate averages
+    opt_stop_rows = [None] * B
     last_checked_avg = [None] * B  # packed average at the last MCSE check
     obj_errors = [None] * B        # first objective-state failure per restart
     values_hist = []
@@ -486,6 +498,13 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 frozen[b] = jnp.asarray(rs["frozen_avgs"][b])
             if bool(np.asarray(rs["checked_mask"])[b]):
                 last_checked_avg[b] = jnp.asarray(rs["checked_avgs"][b])
+            if "opt_stop_mask" in rs and bool(
+                    np.asarray(rs["opt_stop_mask"])[b]):
+                # the masked rows of the checkpointed combined pytree ARE
+                # the at-stop rows (see the snapshot assembly below)
+                opt_stop_rows[b] = jax.tree_util.tree_map(
+                    lambda x, _b=b: jnp.asarray(x)[_b],
+                    rs["opt_states_at_stop"])
         if diagnostics:
             for b in range(B):
                 row = frozen[b] if frozen[b] is not None else last_checked_avg[b]
@@ -645,6 +664,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 if gates_pass:
                     k_stopped[b] = k
                     frozen[b] = jnp.asarray(avgs[b])
+                    opt_stop_rows[b] = jax.tree_util.tree_map(
+                        lambda x: x[b], opt_states)
                 else:
                     last_checked_avg[b] = jnp.asarray(avgs[b])
                     total_opt = resumed_opt_time + max(
@@ -652,6 +673,23 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     W_check[b] = int(_recheck_scale(
                         total_opt / k, mcse_interval / int(W[b]))
                         * W_check[b] + 1)
+
+    # batched optimizer state with every stopped restart's row back-dated
+    # to ITS OWN stop (non-averaged SGO state would otherwise carry the
+    # steps run while slower siblings finished — the standalone semantics
+    # a round-driving caller wants to persist across rounds); rows of
+    # still-running restarts are the end-of-program state
+    stop_idx = [b for b in range(B) if opt_stop_rows[b] is not None]
+    if stop_idx:
+        idx_arr = jnp.asarray(stop_idx)
+        stacked = jax.tree_util.tree_map(
+            lambda *rows: jnp.stack(rows),
+            *[opt_stop_rows[b] for b in stop_idx])
+        opt_states_at_stop = jax.tree_util.tree_map(
+            lambda full, rows: full.at[idx_arr].set(rows),
+            opt_states, stacked)
+    else:
+        opt_states_at_stop = opt_states
 
     # snapshot in-flight checks BEFORE draining them, like FASO: a resumed
     # run replays them on the same schedule; the per-restart averages are
@@ -675,6 +713,8 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "frozen_avgs": jnp.stack(
             [zero_row if f is None else f for f in frozen]),
         "frozen_mask": np.array([f is not None for f in frozen]),
+        "opt_states_at_stop": opt_states_at_stop,
+        "opt_stop_mask": np.array([r is not None for r in opt_stop_rows]),
         "checked_avgs": jnp.stack(
             [zero_row if a is None else a for a in last_checked_avg]),
         "checked_mask": np.array(
@@ -733,6 +773,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "k_Rhat": [None if v < 0 else int(v) for v in k_Rhat],
         "k_stopped": [None if v < 0 else int(v) for v in k_stopped],
         "timed_out": timed_out,
+        "opt_states_at_stop": opt_states_at_stop,
         "resume_state": resume_snapshot,
     }
     if stateful:

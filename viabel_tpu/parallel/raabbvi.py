@@ -34,14 +34,15 @@ while the other restarts' rounds continue uninterrupted; early
 converging restarts reclaim the idle time lockstep charges them (see
 :func:`_multistart_raabbvi_async`).
 
-For non-averaged base optimizers the lockstep schedule's persisted
-cross-round state is each
-restart's state at the END of the round program (which may include steps
-taken after its own stop while slower restarts finished) — averaged
-optimizers (``AveragedRMSProp``/``AveragedAdam``, the RAABBVI default
-family) reset state every round like the reference (optimization.py:
-865-866) and are exact.  At ``B = 1`` the program IS a single RAABBVI run
-(same key chain, same round budgets) — parity is tested.
+Cross-round optimizer state matches standalone semantics on both
+schedules: averaged optimizers (``AveragedRMSProp``/``AveragedAdam``, the
+RAABBVI default family) reset state every round like the reference
+(optimization.py:865-866), and non-averaged state is persisted as of each
+restart's OWN stop (lockstep rounds use ``multistart_faso``'s
+``opt_states_at_stop`` back-dated rows; the async program advances each
+restart at its stop boundary, where the live state is already the at-stop
+state).  At ``B = 1`` the program IS a single RAABBVI run (same key
+chain, same round budgets) — parity is tested.
 """
 
 from collections import deque
@@ -90,10 +91,13 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     settings, exactly like single-run RAABBVI's warm start (reference
     optimization.py:815-818: ``FASO(sgo=RMSProp(lr))`` with constructor
     defaults); the real ``sgo`` takes over from round two with fresh
-    state.  Lockstep only — the async schedule runs one continuous
-    batched program, and restarts cross their round-one boundary at
-    different segments, so a per-restart update-RULE switch would need
-    both rules computed and selected every step.
+    state.  On the async schedule the warm round runs as a LOCKSTEP
+    prelude (one batched FASO round — every restart starts round one
+    simultaneously anyway, so the only barrier cost is the stragglers'
+    idle time in that single round; a per-restart update-RULE switch
+    inside the continuous program would need both rules computed and
+    selected every step) and the continuous per-restart-clock program
+    takes over from round two.
 
     ``objective.approx`` must support closed-form KL (``supports_kl``)
     like single RAABBVI; diagnostics histories are not recorded (use a
@@ -158,13 +162,32 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                          "KL (approx.supports_kl); use multistart_faso")
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
-    if init_rmsprop and schedule == "async":
-        raise ValueError('init_rmsprop warm-start rounds need the lockstep '
-                         'schedule (the async continuous program cannot '
-                         'switch a restart\'s update rule mid-flight)')
     if schedule == "async":
+        init_params = jnp.asarray(init_params)
+        prelude_state = None
+        async_resume = resume_state
+        async_max_time = max_time
+        if init_rmsprop and (resume_state is None
+                             or "prelude_flight" in resume_state):
+            # warm round as a lockstep prelude (see the docstring); its
+            # wall clock counts against the shared budget
+            t0 = _now() if max_time is not None else None
+            out = _async_warm_prelude(
+                sgo, int(K_max), objective, init_params, key,
+                rho=rho, learning_rate=learning_rate,
+                mcse_threshold=mcse_threshold,
+                max_history=(int(K_max) if max_history is None
+                             else int(max_history)),
+                mesh=mesh, restart_axis=restart_axis,
+                max_time=max_time, resume_state=resume_state)
+            if out.get("timed_out"):
+                return out
+            prelude_state = out
+            async_resume = None
+            if max_time is not None:
+                async_max_time = max(float(max_time) - (_now() - t0), 0.0)
         return _multistart_raabbvi_async(
-            sgo, K_max, objective, jnp.asarray(init_params), key,
+            sgo, K_max, objective, init_params, key,
             rho=rho, iters0=iters0, accuracy_threshold=accuracy_threshold,
             inefficiency_threshold=inefficiency_threshold,
             learning_rate=learning_rate, mcse_threshold=mcse_threshold,
@@ -173,8 +196,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
             rhat_group=rhat_group, check_pipeline=check_pipeline,
             mesh=mesh, restart_axis=restart_axis,
-            resume_state=resume_state, round_callback=round_callback,
-            verbose=verbose, max_time=max_time)
+            resume_state=async_resume, prelude_state=prelude_state,
+            round_callback=round_callback,
+            verbose=verbose, max_time=async_max_time)
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
     K_max = int(K_max)
@@ -365,9 +389,12 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         k_global_steps += round_len
         if not averaged and not warm_round:
             # persist non-averaged SGO state across rounds (the reference
-            # only resets averaged SGOs, optimization.py:865-866); state
-            # is each restart's at round-program end (see module docstring)
-            opt_states = opt["resume_state"]["opt_states"]
+            # only resets averaged SGOs, optimization.py:865-866); each
+            # stopped restart's row is back-dated to its OWN k_stopped —
+            # the state a standalone run would carry into its next round —
+            # instead of the end-of-round state that kept stepping while
+            # slower restarts finished
+            opt_states = opt["opt_states_at_stop"]
 
         new_avgs = np.asarray(avg_curr).copy()
         for b in living:
@@ -465,6 +492,135 @@ def _unpack_optional_rows(d):
     return [vals[i] if set_mask[i] else None for i in range(len(set_mask))]
 
 
+def _async_warm_prelude(sgo, K_max, objective, init_params, key, *, rho,
+                        learning_rate, mcse_threshold, max_history, mesh,
+                        restart_axis, max_time, resume_state=None):
+    """Round one of an async ``init_rmsprop`` run: one LOCKSTEP batched
+    FASO round on a plain RMSProp rule at each restart's starting
+    learning rate with DEFAULT detection settings (single-run RAABBVI's
+    warm start, reference optimization.py:815-818), followed by each
+    restart's round-one bookkeeping.  Every restart starts round one at
+    the same instant anyway, so the only scheduling delta vs a fully
+    async round is the stragglers' idle time inside this single round.
+
+    Each restart replays the single-run key-split discipline on its own
+    chain (``outer_keys[b], key_round, key_regs[b] = split(..., 3)``), so
+    the continuous program it seeds keeps B=1 parity with a single
+    ``RAABBVI(init_rmsprop=True)`` run.
+
+    Returns the ``prelude_state`` dict that seeds
+    :func:`_multistart_raabbvi_async` at each restart's round two, or —
+    when the wall-clock budget expires inside the warm round — a full
+    timed-out results dict whose ``resume_state`` carries the round's
+    own FASO flight (``prelude_flight``); passing it back re-enters the
+    warm round at the interrupted segment.
+    """
+    from ..optimizers import RMSProp
+
+    B, D = init_params.shape
+    lr = np.broadcast_to(np.asarray(
+        sgo._learning_rate if learning_rate is None else learning_rate,
+        dtype=float), (B,)).copy()
+    mcse = np.broadcast_to(np.asarray(mcse_threshold, dtype=float),
+                           (B,)).copy()
+
+    flight = None
+    if resume_state is not None:
+        outer_keys = list(jnp.asarray(resume_state["outer_keys"]))
+        key_regs = list(jnp.asarray(resume_state["key_regs"]))
+        round_keys = list(jnp.asarray(resume_state["round_keys"]))
+        flight = resume_state["prelude_flight"]
+    else:
+        # per-restart key chains, the single-run split discipline
+        outer_keys = list(key[None] if B == 1 else jax.random.split(key, B))
+        key_regs = [None] * B
+        round_keys = [None] * B
+        for b in range(B):
+            outer_keys[b], round_keys[b], key_regs[b] = jax.random.split(
+                outer_keys[b], 3)
+
+    warm_sgo = RMSProp(float(lr.mean()))
+    opt = multistart_faso(
+        warm_sgo, K_max, objective, init_params, None,
+        keys=jnp.stack(round_keys),
+        learning_rate=jnp.asarray(lr, dtype=init_params.dtype),
+        max_history=max_history, diagnostics=False, mesh=mesh,
+        restart_axis=restart_axis, resume_state=flight,
+        max_time=max_time, _jit_cache={})
+    round_len = int(opt["value_history"].shape[1])
+    if opt.get("timed_out"):
+        return {
+            "timed_out": True,
+            "opt_param": opt["opt_param"],
+            "k_stopped_final": [None] * B,
+            "budget_overrun": [0] * B,
+            "k_total": [0] * B,
+            "conv_iters_hist": [[] for _ in range(B)],
+            "learning_rate_hist": [[] for _ in range(B)],
+            "SKL_history": [[] for _ in range(B)],
+            "kappa_hist": [[] for _ in range(B)],
+            "c_hist": [[] for _ in range(B)],
+            "predicted_iters_hist": [[] for _ in range(B)],
+            "stopping_crt": [[] for _ in range(B)],
+            "n_rounds": 0,
+            "n_rounds_per_restart": [0] * B,
+            "k_global_steps": round_len,
+            "obj_state_errors": opt.get("obj_state_errors", [None] * B),
+            "resume_state": {
+                "prelude_flight": opt["resume_state"],
+                "outer_keys": jnp.stack(outer_keys),
+                "key_regs": jnp.stack(key_regs),
+                "round_keys": jnp.stack(round_keys),
+            },
+        }
+
+    # per-restart round-one bookkeeping (the single-run k == 0 branch:
+    # budget, decay, threshold tightening; lr_hist is empty so there is
+    # no SKL regression and no conv_iters entry at round one)
+    K_rem = np.full(B, int(K_max))
+    active = np.ones(B, dtype=bool)
+    final_avg = [None] * B
+    avg_prev = [None] * B
+    lr_hist = [[] for _ in range(B)]
+    n_rounds_b = np.zeros(B, dtype=int)
+    k_dec = np.zeros(B, dtype=int)
+    k_total = np.zeros(B, dtype=int)
+    var_rows = np.asarray(init_params).copy()
+    for b in range(B):
+        ks = opt["k_stopped"][b]
+        avg_b = jnp.asarray(opt["opt_param"][b])
+        var_rows[b] = np.asarray(avg_b)
+        if ks is None:
+            # maximum iterations inside the warm round: done (the
+            # single-run warning prints at the driver's exit)
+            active[b] = False
+            lr[b] = 0.0
+            final_avg[b] = avg_b
+            continue
+        K_rem[b] -= int(ks) + 1
+        k_total[b] = int(ks)
+        n_rounds_b[b] = 1
+        mcse[b] *= rho
+        avg_prev[b] = avg_b
+        if K_rem[b] <= 0:
+            # budget exhausted exactly between rounds
+            active[b] = False
+            lr[b] = 0.0
+            final_avg[b] = avg_b
+            continue
+        lr_hist[b].append(lr[b] * rho)
+        lr[b] *= rho
+        k_dec[b] = 1
+    return {
+        "lr": lr, "mcse": mcse, "K_rem": K_rem, "k_total": k_total,
+        "k_dec": k_dec, "active": active, "final_avg": final_avg,
+        "avg_prev": avg_prev, "lr_hist": lr_hist,
+        "n_rounds_b": n_rounds_b, "outer_keys": outer_keys,
+        "key_regs": key_regs, "var_params": jnp.asarray(var_rows),
+        "k_global_offset": round_len,
+    }
+
+
 def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               rho, iters0, accuracy_threshold,
                               inefficiency_threshold, learning_rate,
@@ -472,7 +628,8 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               max_history, rhat_threshold, rhat_quantile,
                               rhat_backoff, rhat_group, check_pipeline,
                               mesh=None, restart_axis="restart",
-                              resume_state=None, round_callback=None,
+                              resume_state=None, prelude_state=None,
+                              round_callback=None,
                               verbose=True, max_time=None):
     """Asynchronous per-restart rounds: one continuous batched program.
 
@@ -623,6 +780,28 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     outer_keys = list(key[None] if B == 1 else jax.random.split(key, B))
     key_regs = [None] * B
 
+    k_offset = 0  # warm-prelude steps, counted into k_global_steps
+    if prelude_state is not None:
+        # init_rmsprop: the warm round already ran as a lockstep batched
+        # FASO round (_async_warm_prelude); seed the continuous program
+        # at each restart's round two — the real sgo starts with fresh
+        # state, like single-run RAABBVI's round two
+        ps = prelude_state
+        lr = np.asarray(ps["lr"], dtype=float).copy()
+        mcse = np.asarray(ps["mcse"], dtype=float).copy()
+        K_rem = np.asarray(ps["K_rem"]).copy()
+        k_total = np.asarray(ps["k_total"]).copy()
+        k_dec = np.asarray(ps["k_dec"]).copy()
+        active = np.asarray(ps["active"]).astype(bool).copy()
+        n_rounds_b = np.asarray(ps["n_rounds_b"]).copy()
+        avg_prev = list(ps["avg_prev"])
+        final_avg = list(ps["final_avg"])
+        lr_hist = [list(h) for h in ps["lr_hist"]]
+        outer_keys = list(ps["outer_keys"])
+        key_regs = list(ps["key_regs"])
+        init_params = jnp.asarray(ps["var_params"])
+        k_offset = int(ps["k_global_offset"])
+
     def _next_round_keys(b):
         outer_keys[b], key_round, key_regs[b] = jax.random.split(
             outer_keys[b], 3)
@@ -682,6 +861,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         rings = jnp.array(rs["rings"], copy=True)
         t = jnp.asarray(rs["t"])
         k = int(rs["k"])
+        k_offset = int(rs.get("k_offset", 0))
         lr = np.asarray(rs["lr"]).copy()
         mcse = np.asarray(rs["mcse"]).copy()
         K_rem = np.asarray(rs["K_rem"]).copy()
@@ -739,7 +919,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
             # ring buffer, which would leave the snapshot holding a
             # deleted array (everything else in the carry is undonated)
             "keys": keys, "rings": jnp.array(rings, copy=True),
-            "t": t, "k": k,
+            "t": t, "k": k, "k_offset": k_offset,
             "lr": lr.copy(), "mcse": mcse.copy(),
             "K_rem": K_rem.copy(), "k_total": k_total.copy(),
             "k_dec": k_dec.copy(), "active": active.copy(),
@@ -1103,7 +1283,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         "stopping_crt": crt_hist,
         "n_rounds": int(n_rounds_b.max()) if B else 0,
         "n_rounds_per_restart": [int(v) for v in n_rounds_b],
-        "k_global_steps": k,
+        "k_global_steps": k + k_offset,
         "obj_state_errors": list(obj_errors),
         "resume_state": resume_snap,
     }

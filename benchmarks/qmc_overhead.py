@@ -62,6 +62,10 @@ def step_time(approx, n_steps=20000):
 if __name__ == "__main__":
     t_mc = step_time(FullRankGaussian(1000))
     t_q = step_time(FullRankGaussian(1000, base_sampler=qmc.SobolNormal()))
+    t_o = step_time(FullRankGaussian(
+        1000, base_sampler=qmc.SobolNormal(owen=True)))
     print(f"pseudo-random: {t_mc * 1e6:.1f} us/step")
-    print(f"scrambled Sobol: {t_q * 1e6:.1f} us/step "
+    print(f"scrambled Sobol (digital shift): {t_q * 1e6:.1f} us/step "
           f"({(t_q / t_mc - 1) * 100:+.1f}%)")
+    print(f"scrambled Sobol (Owen): {t_o * 1e6:.1f} us/step "
+          f"({(t_o / t_mc - 1) * 100:+.1f}%)")

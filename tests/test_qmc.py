@@ -103,6 +103,81 @@ def test_sobol_skip_first():
 
 
 # ---------------------------------------------------------------------------
+# Owen (nested-uniform) scrambling
+# ---------------------------------------------------------------------------
+
+def test_owen_scramble_is_nested_uniform():
+    """Structural property of an Owen scramble: the permutation applied
+    to digit b depends only on digits ABOVE b — two inputs sharing their
+    top-k bits map to outputs sharing their top-k bits (and inputs
+    differing in the top bit stay differing)."""
+    from viabel_tpu.qmc import _owen_scramble32
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 2**32, size=2048, dtype=np.uint64)
+                    .astype(np.uint32))
+    for seed in (jnp.uint32(0x9E3779B9), jnp.uint32(12345)):
+        y = np.asarray(_owen_scramble32(x, seed)).astype(np.uint64)
+        xs = np.asarray(x).astype(np.uint64)
+        for k_bits in (1, 4, 9):
+            sh = 32 - k_bits
+            # group inputs by their top-k bits: each group must land in
+            # exactly one output top-k group, and distinct groups in
+            # distinct groups (a permutation of the prefixes)
+            mapping = {}
+            for xi, yi in zip(xs >> sh, y >> sh):
+                assert mapping.setdefault(int(xi), int(yi)) == int(yi)
+            assert len(set(mapping.values())) == len(mapping)
+
+
+def test_owen_marginals_and_determinism():
+    sob = qmc.SobolNormal(owen=True)
+    z = np.asarray(sob.normal(jax.random.PRNGKey(0), 4096, 8, jnp.float64))
+    assert np.abs(z.mean(axis=0)).max() < 6e-3
+    assert np.abs(z.var(axis=0) - 1.0).max() < 8e-3
+    z2 = sob.normal(jax.random.PRNGKey(0), 4096, 8, jnp.float64)
+    assert bool(jnp.all(jnp.asarray(z) == z2))
+    z3 = sob.normal(jax.random.PRNGKey(1), 4096, 8, jnp.float64)
+    assert not bool(jnp.all(jnp.asarray(z) == z3))
+    # a different scramble family than the digital shift, same base net
+    zs = qmc.SobolNormal().normal(jax.random.PRNGKey(0), 4096, 8,
+                                  jnp.float64)
+    assert not bool(jnp.all(jnp.asarray(z) == zs))
+
+
+def test_owen_unbiased_elbo_value():
+    # the Owen-scrambled estimator agrees with plain MC in expectation
+    # (the test_qmc_unbiased_elbo_value pattern)
+    d = 4
+    model, tmu, tsd = _gaussian_model(d)
+    vp = jnp.concatenate([tmu, jnp.log(tsd)])
+    obj = ExclusiveKL(MFGaussian(d, base_sampler=qmc.SobolNormal(owen=True)),
+                      model, num_mc_samples=16)
+    val_fn = jax.jit(lambda k: obj.value_and_grad(vp, k)[0])
+    vals = np.array([float(val_fn(jax.random.PRNGKey(i)))
+                     for i in range(64)])
+    assert abs(vals.mean() + 0.5 * d * np.log(2 * np.pi)) < 0.05
+
+
+def test_owen_variance_not_worse_than_shift():
+    """Owen scrambling matches or beats the digital shift on the smooth
+    Gaussian ELBO-gradient integrand (its O(n^-1.5) regime); gate at
+    'not worse than 1.5x' to stay robust to seed noise — the measured
+    S=64/256 means are in docs/benchmarks.md."""
+    d = 10
+    model, tmu, tsd = _gaussian_model(d)
+    vp = jnp.concatenate([tmu + 0.3, jnp.log(tsd) + 0.2])
+    v_shift = _grad_variance(
+        MFGaussian(d, base_sampler=qmc.SobolNormal()), vp, model, 64, 100)
+    v_owen = _grad_variance(
+        MFGaussian(d, base_sampler=qmc.SobolNormal(owen=True)),
+        vp, model, 64, 100)
+    v_mc = _grad_variance(MFGaussian(d), vp, model, 64, 100)
+    assert v_owen < 0.5 * v_mc   # the QMC win holds under Owen
+    assert v_owen < 1.5 * v_shift
+
+
+# ---------------------------------------------------------------------------
 # family integration: statistical identities keep holding
 # ---------------------------------------------------------------------------
 

@@ -459,8 +459,13 @@ def pathfinder_init(family, model, key, *, init_point=None, n_paths=1,
     Runs ``n_paths`` single-path Pathfinders (vmapped into one program)
     from ``init_scale * N(0, I)`` starts (or rows of ``init_point``) and
     maps the ELBO-best local Gaussian onto ``family``'s flat parameter —
-    the standard warm start for BBVI that skips the long
-    mean/scale-finding phase of the optimization.
+    the standard warm start for BBVI that skips the mean/scale-finding
+    phase of the optimization.  Measured at d=1000 full-rank (TPU,
+    docs/benchmarks.md "Pathfinder"): the whole init costs ~3.5 ms and
+    cuts iterations-to-convergence 4.9x on a displaced-mode posterior;
+    on posteriors whose mode is within O(lr x first-window) of zero a
+    normalized optimizer erases the displacement before the detector
+    can resolve it, and the warm start is (only) free.
 
     With ``per_path=True`` returns the per-path best Gaussians as an
     ``(n_paths, D)`` array — distinct data-driven inits for a batched

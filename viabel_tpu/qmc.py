@@ -24,6 +24,12 @@ A digital shift preserves the (t, m, s)-net structure of the Sobol set
 exactly while making every marginal uniform, so the estimator stays
 unbiased and independent across steps (fresh key => fresh shift); FASO's
 convergence statistics (R-hat/MCSE over steps) remain valid.
+``SobolNormal(owen=True)`` upgrades the shift to Owen (nested-uniform)
+scrambling — a per-dimension random digit-permutation tree keyed on the
+step key (hash-based construction, Burley JCGT 2020) — which also
+preserves the net structure and exact uniform marginals but additionally
+attains the O(n^-1.5) scrambled-net RMSE rate on smooth integrands
+(Owen 1997).
 
 TPU notes: the per-step cost is one ``(width,)`` ``random_bits`` draw, a
 broadcast XOR, and an elementwise ``ndtri`` over ``(n, width)`` — all
@@ -54,8 +60,41 @@ __all__ = ["SobolNormal", "AntitheticNormal"]
 _SCIPY_SOBOL_MAXDIM = 21201
 
 
+def _reverse_bits32(x):
+    """Bit-reverse each uint32 lane (5 mask-shift rounds, elementwise)."""
+    x = (x >> 16) | (x << 16)
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+    return x
+
+
+def _owen_scramble32(bits, seed):
+    """Hash-based Owen (nested-uniform) scramble of uint32 lattice points.
+
+    Burley's practical Owen scrambling (JCGT 2020, "Practical Hash-Based
+    Owen Scrambling", listing 4): reverse the bits so the most-significant
+    digit becomes least significant, then apply a Laine-Karras-style hash
+    whose avalanche is strictly *upward* — every output bit is a function
+    of its own and LOWER input bits only — and reverse back.  In the
+    original orientation each digit is then permuted by a hash of the
+    digits ABOVE it, which is exactly the nested-uniform (Owen) tree
+    structure; the per-dimension ``seed`` selects the random tree.
+    Elementwise integer ops only — fuses into the step like the digital
+    shift.
+    """
+    x = _reverse_bits32(bits)
+    x = x ^ (x * jnp.uint32(0x3D20ADEA))
+    x = x + seed
+    x = x * ((seed >> 16) | jnp.uint32(1))
+    x = x ^ (x * jnp.uint32(0x05526C56))
+    x = x ^ (x * jnp.uint32(0x53A22864))
+    return _reverse_bits32(x)
+
+
 class SobolNormal:
-    """Digital-shift-scrambled Sobol standard-normal base sampler.
+    """Scrambled Sobol standard-normal base sampler.
 
     Parameters
     ----------
@@ -65,6 +104,16 @@ class SobolNormal:
         point is harmless (it lands exactly on the shift), so the
         default keeps the unskipped prefix, whose star discrepancy is
         better at power-of-two ``n``.
+    owen : bool, default False
+        Owen (nested-uniform) scrambling instead of the digital shift:
+        each dimension's digits are permuted by a random tree keyed on
+        the step key (hash-based construction, Burley JCGT 2020 — see
+        :func:`_owen_scramble32`).  Owen scrambling breaks up the
+        residual low-dimensional digital structure a shift preserves
+        and attains the O(n^-1.5) RMSE rate on smooth integrands
+        (Owen 1997); the digital shift only reaches O(n^-1).  Same
+        per-step cost shape (elementwise integer ops + ``ndtri``);
+        measured receipts in docs/benchmarks.md "Randomized QMC".
 
     Notes
     -----
@@ -75,8 +124,9 @@ class SobolNormal:
     up part of the discrepancy advantage.
     """
 
-    def __init__(self, skip_first=False):
+    def __init__(self, skip_first=False, owen=False):
         self._skip_first = bool(skip_first)
+        self._owen = bool(owen)
         self._cache = {}
 
     def _base_block(self, n, width):
@@ -112,8 +162,12 @@ class SobolNormal:
     def normal(self, key, n_samples, width, dtype):
         """Draw an ``(n_samples, width)`` scrambled-Sobol N(0, 1) block."""
         base = self._base_block(n_samples, width)
-        shift = jax.random.bits(key, (width,), dtype=jnp.uint32)
-        bits = base ^ shift[None, :]
+        seeds = jax.random.bits(key, (width,), dtype=jnp.uint32)
+        if self._owen:
+            # per-dimension nested-uniform permutation tree, fresh per key
+            bits = _owen_scramble32(base, seeds[None, :])
+        else:
+            bits = base ^ seeds[None, :]
         dtype = jnp.dtype(dtype)
         if dtype == jnp.dtype(jnp.float64) and jax.config.jax_enable_x64:
             # all 32 bits are exact in f64; without x64 the astype silently

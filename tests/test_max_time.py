@@ -182,3 +182,36 @@ def test_multistart_raabbvi_max_time(monkeypatch, schedule):
                                np.asarray(full["opt_param"]), rtol=1e-10)
     assert resumed["k_stopped_final"] == full["k_stopped_final"]
     assert resumed["conv_iters_hist"] == full["conv_iters_hist"]
+
+
+def test_multistart_raabbvi_async_init_rmsprop_prelude_timeout(monkeypatch):
+    """Wall-clock expiry INSIDE the async init_rmsprop warm round: the
+    partial result carries the warm round's own FASO flight
+    (``prelude_flight``), and resuming re-enters the warm round at the
+    interrupted segment and reproduces the unbudgeted run exactly."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    objective = DummyObjective(true_value, noise=0.2)
+    inits = jnp.asarray(true_value + 0.5)[None]
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10,
+                  schedule="async", init_rmsprop=True, verbose=False)
+    K = 3002
+    part = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                              jax.random.PRNGKey(3), max_time=0.05, **kwargs)
+    assert part["timed_out"]
+    assert "prelude_flight" in part["resume_state"]
+    assert part["k_stopped_final"] == [None]
+    full = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                              jax.random.PRNGKey(3), **kwargs)
+    assert not full["timed_out"]
+    resumed = multistart_raabbvi(AveragedRMSProp(0.01), K, objective, inits,
+                                 jax.random.PRNGKey(3),
+                                 resume_state=part["resume_state"], **kwargs)
+    assert not resumed["timed_out"]
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+    assert resumed["conv_iters_hist"] == full["conv_iters_hist"]

@@ -22,8 +22,8 @@ docs:
 test:
 	python -m pytest tests/ -q
 
-# curated fast tier (~3-4 min on the 1-core dev host): everything not
-# marked slow — the slow set
+# curated fast tier (measured ~8.5 min on the idle 1-core dev host,
+# round 4): everything not marked slow — the slow set
 # (statistical 1e6-sample checks, end-to-end convergence runs, bit-exact
 # resume comparisons) is maintained centrally in tests/conftest.py
 test-fast:

@@ -206,6 +206,35 @@ def test_lrgaussian_qmc_joint_draw_moments():
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.1)
 
 
+def test_multivariate_t_qmc_moments_and_validation():
+    """MultivariateT with an integer-df QMC net: the joint (dim + df)
+    block's tail builds the chi-square mixer exactly, so the sample
+    moments must match the closed form; fractional df is rejected."""
+    from viabel_tpu import MultivariateT
+
+    d, df = 4, 7
+    fam = MultivariateT(d, df, base_sampler=qmc.SobolNormal())
+    vp = fam.init_param().at[:d].set(jnp.arange(d, dtype=float))
+    mean_cf, cov_cf = fam.mean_and_cov(vp)
+    x = fam.sample(vp, 2**15, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(jnp.mean(x, axis=0)),
+                               np.asarray(mean_cf), atol=0.15)
+    emp_cov = np.cov(np.asarray(x).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov_cf),
+                               rtol=0.1, atol=0.5)
+    # log_density at the draws stays finite (the fused STL path shares
+    # _draw, so the scaled noise identity must hold under QMC too)
+    s, lq = fam.sample_and_stl_log_density(vp, 256, jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(lq)))
+    np.testing.assert_allclose(
+        np.asarray(lq), np.asarray(fam.log_density(vp, s)), rtol=1e-8)
+
+    with pytest.raises(ValueError, match="integer df"):
+        MultivariateT(d, 7.5, base_sampler=qmc.SobolNormal())
+    # pseudo-random path unchanged for fractional df
+    MultivariateT(d, 7.5)
+
+
 def test_lrgaussian_pseudo_stream_unchanged():
     # base_sampler=None must keep the original split-key draw structure
     # bit-exactly (goldens/resume tests depend on the stream)

@@ -73,7 +73,13 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     Large-``dimension`` guidance (measured, docs/benchmarks.md): with a
     full-rank family at d >= ~2000 the default ``num_mc_samples=10`` is
     noise-limited — raise it (samples are cheap relative to parameter
-    traffic) or use an ``ExclusiveKL(..., use_path_deriv=True)`` objective;
+    traffic) or use an ``ExclusiveKL(..., use_path_deriv=True)`` objective.
+    The CONVERGENCE GATES need the larger S too: RMSProp's normalized
+    steps make the stationary iterate autocorrelation learning-rate-
+    independent and set by gradient SNR alone, so at the d=1000
+    full-rank flagship S=10 never passes split-R-hat at ANY learning
+    rate while S=400 passes cleanly (docs/benchmarks.md "Pathfinder",
+    the gate-passing-config paragraph);
     and the max-over-coordinates convergence gates become very strict at
     1e6+ flat coordinates — ``FASO_kwargs/RAABBVI_kwargs = dict(
     max_history=..., rhat_quantile=0.999, rhat_backoff=1.4)`` bounds ring

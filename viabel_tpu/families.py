@@ -545,13 +545,29 @@ class MultivariateT(_CholeskyFamily):
     sqrt(chi2(df)/df)``.  The reference samples with a symmetric ``sqrtm``
     factor (approximations.py:348); a Cholesky factor yields the identical
     distribution with a cheaper, better-conditioned map.
+
+    ``base_sampler`` (integer ``df`` only): QMC base sampling — one joint
+    ``(dim + df)``-dimensional low-discrepancy block per draw, whose
+    first ``dim`` coordinates form ``z`` and whose last ``df`` form the
+    chi-square mixing variable as a sum of squared base normals (exact:
+    chi2(df) IS that sum, so the estimator stays unbiased; there is no
+    stable chi-square inverse-CDF primitive on TPU, which is why
+    fractional ``df`` is rejected rather than silently falling back).
+    :class:`MFStudentT` stays pseudo-random: its per-COORDINATE t draws
+    would need ``dim * df`` extra net dimensions.
     """
 
-    def __init__(self, dim, df):
+    def __init__(self, dim, df, base_sampler=None):
         if df <= 2:
             raise ValueError("df must be greater than 2")
+        if base_sampler is not None and float(df) != int(df):
+            raise ValueError(
+                "QMC base sampling for MultivariateT needs an integer df "
+                "(the chi-square mixing variable is built exactly as a sum "
+                f"of df squared base normals); got df={df}")
         self._df = float(df)
         super().__init__(dim, supports_entropy=True, supports_kl=False)
+        self._base_sampler = base_sampler
 
     @property
     def df(self):
@@ -563,9 +579,20 @@ class MultivariateT(_CholeskyFamily):
 
     def _draw(self, var_param, n_samples, key):
         mu, log_diag, L = self.unpack(var_param)
-        key_z, key_c = jax.random.split(key)
-        z = jax.random.normal(key_z, (n_samples, self.dim), dtype=var_param.dtype)
-        chi2 = jax.random.chisquare(key_c, self.df, (n_samples,), dtype=var_param.dtype)
+        if self._base_sampler is None:
+            key_z, key_c = jax.random.split(key)
+            z = jax.random.normal(key_z, (n_samples, self.dim),
+                                  dtype=var_param.dtype)
+            chi2 = jax.random.chisquare(key_c, self.df, (n_samples,),
+                                        dtype=var_param.dtype)
+        else:
+            # one joint (dim + df) net: z from the first dim coordinates,
+            # the chi-square mixer as the exact sum of df squared normals
+            joint = self._base_normal(key, n_samples,
+                                      self.dim + int(self.df),
+                                      var_param.dtype)
+            z = joint[:, :self.dim]
+            chi2 = jnp.sum(joint[:, self.dim:] ** 2, axis=-1)
         s = jnp.sqrt(chi2 / self.df)
         samples = mu + (z @ L.T) / s[:, None]
         return samples, z / s[:, None], mu, log_diag, L

@@ -44,8 +44,12 @@ Usage::
 Families accepting ``base_sampler``: ``MFGaussian``, ``FullRankGaussian``,
 ``LRGaussian`` (joint ``(k + dim)``-dimensional points so the low-rank
 and diagonal coordinates share one net), ``NeuralNet``/``NVPFlow``
-(pushforward base draws).  Student-t families keep pseudo-random draws
-(their chi-square mixing has no stable inverse-CDF primitive on TPU).
+(pushforward base draws), and ``MultivariateT`` at integer ``df`` (a
+joint ``(dim + df)`` net whose last ``df`` coordinates build the
+chi-square mixer exactly as a sum of squared normals — there is no
+stable chi-square inverse-CDF primitive on TPU, so fractional ``df`` is
+rejected).  ``MFStudentT`` keeps pseudo-random draws (per-coordinate
+mixers would need ``dim * df`` extra net dimensions).
 """
 
 import numpy as np

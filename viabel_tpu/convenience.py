@@ -85,7 +85,12 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     max_history=..., rhat_quantile=0.999, rhat_backoff=1.4)`` bounds ring
     memory, keeps the slowest few coordinates from holding the run
     hostage, and skips hopeless convergence checks far from the gate
-    (~1.5x throughput at the flagship scale).  Per-step grad/descent
+    (~1.5x throughput at the flagship scale).  On targets with strongly
+    heterogeneous per-coordinate scales, the weakly-curved
+    large-scale-row entries of the full-rank factor mix slowest and can
+    hold even the 0.999 quantile above the gate — standardize the target
+    (``viabel_tpu.transforms``) or drop to ``rhat_quantile=0.99``
+    (measured, docs/benchmarks.md "Pathfinder").  Per-step grad/descent
     histories are on by default like the reference — at d=1000 full-rank
     they cost 8 MB/step, so pass ``RMS_kwargs=dict(diagnostics=False)``
     unless you need them.

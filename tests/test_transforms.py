@@ -21,6 +21,9 @@ from viabel_tpu import transforms as tr
 
 BIJECTORS = [
     ("identity", tr.identity(), 4, 4),
+    ("affine", tr.affine(np.array([1.0, -2.0, 0.5]),
+                         np.array([0.3, 4.0, 1.7])), 3, 3),
+    ("affine_scalar", tr.affine(-1.5, 2.5), 3, 3),
     ("positive", tr.positive(), 3, 3),
     ("lower", tr.lower_bound(-2.5), 3, 3),
     ("upper", tr.upper_bound(1.5), 3, 3),

@@ -88,9 +88,12 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     (~1.5x throughput at the flagship scale).  On targets with strongly
     heterogeneous per-coordinate scales, the weakly-curved
     large-scale-row entries of the full-rank factor mix slowest and can
-    hold even the 0.999 quantile above the gate — standardize the target
-    (``viabel_tpu.transforms``) or drop to ``rhat_quantile=0.99``
-    (measured, docs/benchmarks.md "Pathfinder").  Per-step grad/descent
+    hold even the 0.999 quantile above the gate — run a quick mean-field
+    pilot and standardize via ``transforms.affine(mu_pilot,
+    sigma_pilot)`` + ``TransformedModel`` (measured: pilot scales to
+    0.4% in seconds, then the full-rank run converges at the detector
+    floor), or drop to ``rhat_quantile=0.99`` (docs/benchmarks.md
+    "Pathfinder").  Per-step grad/descent
     histories are on by default like the reference — at d=1000 full-rank
     they cost 8 MB/step, so pass ``RMS_kwargs=dict(diagnostics=False)``
     unless you need them.

@@ -26,16 +26,18 @@ coordinate scans, keeping the VPU busy at any block width.
 
 import math
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import nn as jnn
 
 from .models.base import Model
 
 __all__ = [
-    "Bijector", "Identity", "LowerBound", "UpperBound", "Interval",
-    "Simplex", "Ordered", "CorrCholesky",
-    "identity", "positive", "lower_bound", "upper_bound", "interval",
-    "unit_interval", "simplex", "ordered", "corr_cholesky",
+    "Bijector", "Identity", "Affine", "LowerBound", "UpperBound",
+    "Interval", "Simplex", "Ordered", "CorrCholesky",
+    "identity", "affine", "positive", "lower_bound", "upper_bound",
+    "interval", "unit_interval", "simplex", "ordered", "corr_cholesky",
     "ParamSpec", "TransformedModel",
 ]
 
@@ -80,6 +82,38 @@ class Identity(Bijector):
 
     def forward_log_det_jacobian(self, x):
         return jnp.zeros(x.shape[:-1], x.dtype)
+
+
+class Affine(Bijector):
+    """``y = loc + scale * x`` (Stan ``<offset=o, multiplier=m>``);
+    log|J| = sum log scale.
+
+    The standardization bijector: with ``loc``/``scale`` set to a rough
+    posterior center and spread (e.g. a Pathfinder sketch's moments),
+    BBVI optimizes in O(1)-scaled coordinates.  This is the first-line
+    fix for the heteroscedastic R-hat stall (docs/benchmarks.md
+    "Pathfinder": large-scale rows of the full-rank factor have ELBO
+    curvature ~1/scale^2 and mix arbitrarily slowly under a normalized
+    optimizer; after standardization every row is O(1)).
+    """
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = jnp.asarray(loc)
+        self.scale = jnp.asarray(scale)
+        scale_np = np.asarray(scale, dtype=float)
+        if np.any(scale_np <= 0.0):
+            raise ValueError("Affine needs strictly positive scales")
+
+    def forward(self, x):
+        return self.loc + self.scale * x
+
+    def inverse(self, y):
+        return (y - self.loc) / self.scale
+
+    def forward_log_det_jacobian(self, x):
+        # broadcast handles scalar or per-coordinate scales
+        return jnp.sum(jnp.broadcast_to(jnp.log(self.scale), x.shape),
+                       axis=-1).astype(x.dtype)
 
 
 class LowerBound(Bijector):
@@ -302,6 +336,11 @@ class CorrCholesky(Bijector):
 
 def identity():
     return Identity()
+
+
+def affine(loc=0.0, scale=1.0):
+    """Stan ``<offset=loc, multiplier=scale>`` — the standardizer."""
+    return Affine(loc, scale)
 
 
 def positive():

@@ -341,3 +341,38 @@ def test_vi_diagnostics_with_flow_family():
                                       n_samples=20000)
     assert float(diag["khat"]) < 0.7
     assert "d2" in diag
+
+
+def test_pilot_standardize_recovers_scales():
+    """The mean-field pilot's affine standardization recovers the target's
+    marginal location/scale (the measured fix for the heteroscedastic
+    full-rank R-hat stall, docs/benchmarks.md); the standardized model is
+    a proper pushforward (the pilot's own posterior re-fit on it sits at
+    ~N(0, I))."""
+    d = 6
+    rng = np.random.RandomState(2)
+    mean = 5.0 * rng.randn(d)
+    stdev = np.exp(1.0 * rng.randn(d))  # scales span ~0.1-10x
+    model, _ = zoo.diagonal_gaussian(mean, stdev)
+    std_model, spec, pilot = convenience.pilot_standardize(
+        d, model, n_iters=6000, key=jax.random.PRNGKey(4))
+    assert "opt_param" in pilot
+    # the affine parameters match the target's moments (read back through
+    # the spec's constrain map: loc = constrain(0), scale = its Jacobian)
+    import jax.numpy as jnp
+    zero = jnp.zeros((1, d))
+    loc = np.asarray(spec.constrain(zero)["x"])[0]
+    one_hot = np.asarray(spec.constrain(jnp.eye(d))["x"]) - loc
+    scale = np.diag(one_hot)
+    np.testing.assert_allclose(loc, mean, atol=0.1 * stdev.max())
+    np.testing.assert_allclose(scale, stdev, rtol=0.1)
+    # optimizing the standardized model from zero recovers ~N(0, I)
+    res = convenience.bbvi(d, log_density=std_model, adaptive=False,
+                           fixed_lr=True, n_iters=4000, num_mc_samples=40,
+                           learning_rate=0.03, key=jax.random.PRNGKey(5),
+                           RMS_kwargs=dict(diagnostics=False))
+    from viabel_tpu import MFGaussian
+    mu_s, log_sigma_s = MFGaussian(d).unpack(res["opt_param"])
+    np.testing.assert_allclose(np.asarray(mu_s), np.zeros(d), atol=0.15)
+    np.testing.assert_allclose(np.asarray(jnp.exp(log_sigma_s)),
+                               np.ones(d), atol=0.15)

@@ -55,7 +55,7 @@ from .distributions import multivariate_t_logpdf
 from .pathfinder import pathfinder, multipath_pathfinder, pathfinder_init
 from .transforms import ParamSpec, TransformedModel
 from .convenience import (bbvi, vi_diagnostics, elbo_estimates,
-                          select_best_restart)
+                          select_best_restart, pilot_standardize)
 from . import checkpoint, hmc, ops, parallel, qmc, transforms
 
 __version__ = "0.1.0"
@@ -85,4 +85,5 @@ __all__ = [
     "qmc",
     # convenience
     "bbvi", "vi_diagnostics", "elbo_estimates", "select_best_restart",
+    "pilot_standardize",
 ]

@@ -198,6 +198,53 @@ def test_ksd_subsampled_pairs_estimator():
         vt.ksd(true, model=logp, subsample_pairs=64)
 
 
+def test_ksd_pairs_chunking_matches_unchunked():
+    """The pair gathers are streamed through lax.map in chunks (all four
+    (m, d) gathered operands at once measured a 16.4 GB OOM at m = 2^20,
+    d = 1000 on 16 GB HBM); chunking — including a padded final chunk —
+    must not change the estimate."""
+    import jax
+
+    from viabel_tpu.diagnostics import _ksd_pairs_core
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 5))
+    s = -x  # standard-normal score
+    key = jax.random.PRNGKey(1)
+    ref = float(_ksd_pairs_core(x, s, key, 1000, c=1.0, beta=-0.5))
+    for chunk in (64, 250):  # padded (16 x 64 = 1024) and exact divisor
+        got = float(_ksd_pairs_core(x, s, key, 1000, c=1.0, beta=-0.5,
+                                    chunk=chunk))
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_ksd_large_n_traces_without_int32_overflow():
+    """n (n - 1) exceeds int32 at n ~ 46k; the U-statistic denominator
+    must embed as a float so the jitted program traces under x32 (the
+    TPU default — tests run x64, so check abstractly with x64 off)."""
+    import jax
+
+    n = 100352
+    try:
+        jax.config.update("jax_enable_x64", False)
+        out = jax.eval_shape(
+            lambda xx, ss: vt.ksd(xx, score_fn=lambda z: ss,
+                                  block_size=512),
+            jax.ShapeDtypeStruct((n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3), jnp.float32))
+        assert out.shape == ()
+        # the chunked pairs path at the measured-OOM config (shapes only)
+        out2 = jax.eval_shape(
+            lambda xx, ss, kk: vt.ksd(xx, score_fn=lambda z: ss,
+                                      subsample_pairs=1 << 20, key=kk,
+                                      squared=True),
+            jax.ShapeDtypeStruct((n, 1000), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1000), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32))
+        assert out2.shape == ()
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_ksd_test_calibrated_verdict():
     """The VERDICT done-criterion: at the same n and d, q = p passes the
     calibrated test and a mismatched q fails it."""

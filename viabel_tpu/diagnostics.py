@@ -183,13 +183,15 @@ def _ksd_core(x, s, *, c, beta, use_u_statistic, block_size):
         diag = (-2.0 * beta * d * c ** (2.0 * (beta - 1.0))
                 + (c ** (2.0 * beta)) * jnp.sum(s * s, axis=-1))
         total = total - jnp.sum(diag)
-        denom = n * (n - 1)
+        # static Python float: n (n - 1) exceeds int32 at n ~ 46k and
+        # would overflow when embedded in the jitted program under x32
+        denom = float(n) * float(n - 1)
     else:
-        denom = n * n
+        denom = float(n) * float(n)
     return total / denom
 
 
-def _ksd_pairs_core(x, s, key, m, *, c, beta):
+def _ksd_pairs_core(x, s, key, m, *, c, beta, chunk=None):
     """Incomplete (subsampled) U-statistic: the Stein-kernel average over
     ``m`` uniform ordered pairs i != j — unbiased for the squared KSD at
     O(m d) cost instead of O(n^2 d)."""
@@ -200,18 +202,40 @@ def _ksd_pairs_core(x, s, key, m, *, c, beta):
     # uniform over ordered pairs
     off = jax.random.randint(key_off, (m,), 1, n)
     j = (i + off) % n
-    xi, xj = x[i], x[j]
-    si, sj = s[i], s[j]
-    diff = xi - xj
-    r2 = jnp.sum(diff * diff, axis=-1)
-    base = c * c + r2
-    pow1 = base ** (beta - 1.0)
-    pow2 = base ** (beta - 2.0)
-    trace_term = -2.0 * beta * (d * pow1 + 2.0 * (beta - 1.0) * pow2 * r2)
-    ss = jnp.sum(si * sj, axis=-1) * base ** beta
-    cross = 2.0 * beta * pow1 * (jnp.sum(sj * diff, axis=-1)
-                                 - jnp.sum(si * diff, axis=-1))
-    return jnp.mean(trace_term + ss + cross)
+
+    def term(ii, jj):
+        xi, xj = x[ii], x[jj]
+        si, sj = s[ii], s[jj]
+        diff = xi - xj
+        r2 = jnp.sum(diff * diff, axis=-1)
+        base = c * c + r2
+        pow1 = base ** (beta - 1.0)
+        pow2 = base ** (beta - 2.0)
+        trace = -2.0 * beta * (d * pow1 + 2.0 * (beta - 1.0) * pow2 * r2)
+        ss = jnp.sum(si * sj, axis=-1) * base ** beta
+        cross = 2.0 * beta * pow1 * (jnp.sum(sj * diff, axis=-1)
+                                     - jnp.sum(si * diff, axis=-1))
+        return trace + ss + cross
+
+    # Chunk the pair gathers: materializing all four (m, d) gathered
+    # operands costs 16 m d bytes (17 GB at m = 2^20, d = 1000 — a
+    # measured OOM on 16 GB HBM).  lax.map over ~16 MB/operand chunks
+    # streams the same HBM traffic in bounded memory.
+    if chunk is None:
+        chunk = min(m, max(256, (1 << 22) // max(d, 1)))
+    n_chunks = -(-m // chunk)
+    if n_chunks <= 1:
+        return jnp.mean(term(i, j))
+    pad = n_chunks * chunk - m
+    # pad with an arbitrary valid pair (0, 1); masked out of the sum
+    i_p = jnp.concatenate([i, jnp.zeros(pad, i.dtype)])
+    j_p = jnp.concatenate([j, jnp.ones(pad, j.dtype)])
+    mask = (jnp.arange(n_chunks * chunk) < m).astype(x.dtype)
+    total = jnp.sum(lax.map(
+        lambda args: jnp.sum(term(args[0], args[1]) * args[2]),
+        (i_p.reshape(n_chunks, chunk), j_p.reshape(n_chunks, chunk),
+         mask.reshape(n_chunks, chunk))))
+    return total / float(m)
 
 
 def _batched_score(score_fn, model):

@@ -71,6 +71,25 @@ _ring_mean = jax.jit(ring_window_mean,
                                       "pallas_shards"))
 
 
+def _pad_tail(values, size):
+    """Last ``size`` entries, NaN-padded at the front to a fixed shape
+    (the Orbax checkpoint backend cannot write zero-size arrays)."""
+    out = np.full(max(size, 1), np.nan)
+    tail = list(values)[-size:]
+    if tail:
+        out[-len(tail):] = tail
+    return out
+
+
+def _pad_events(events, cap):
+    """(iteration, new_S) rows padded to a fixed ``cap`` with -1 rows."""
+    out = np.full((max(cap, 1), 2), -1, dtype=np.int64)
+    if events:
+        rows = np.asarray(events, dtype=np.int64).reshape(-1, 2)[:cap]
+        out[:len(rows)] = rows
+    return out
+
+
 def _largest_divisor_leq(n, cap):
     for g in range(min(cap, n), 0, -1):
         if n % g == 0:
@@ -276,13 +295,48 @@ class FASO(Optimizer):
         ``resume_state`` that continues the run (each resumed call gets a
         fresh allotment).  Complements checkpoint/resume for preemptible
         (elastic) capacity and fixed serving-latency budgets.
+    mc_escalation : float or None
+        Automatic gradient-SNR escalation (NEW — no reference
+        counterpart; off by default).  At large ``var_param_dim`` the
+        R-hat gate is set by the Monte Carlo gradient noise, not the
+        learning rate: with a normalized SGO the stationary iterate
+        autocorrelation is lr-independent, and at the d=1000 full-rank
+        flagship ``num_mc_samples=10`` plateaus at split-R-hat ~1.6 at
+        every learning rate while S=400 passes the gate
+        (docs/benchmarks.md "Full RAABBVI / FASO at the flagship
+        scale").  With ``mc_escalation=F`` (> 1, e.g. ``4``), FASO
+        watches the failing R-hat verdicts — and, once the averaging
+        window is ring-capped, the failing MCSE/ESS gates, which hit the
+        same SNR wall when the stationary autocorrelation keeps the
+        capped-window ESS below ``ESS_min`` — and, when the binding
+        statistic has plateaued (relative improvement below
+        ``mc_plateau_rtol`` across ``mc_patience`` consecutive
+        verdicts), multiplies the objective's ``num_mc_samples`` by
+        ``F`` — so the long approach
+        phase runs at the cheap S and only the detection endgame pays
+        for variance reduction.  Each escalation recompiles the segment
+        program once (new static sample count) and resets the check
+        cadence; events are reported in
+        ``results["mc_escalation_history"]`` as ``(iteration, new_S)``
+        rows.  Requires an objective with a settable ``num_mc_samples``
+        and no estimator state (DIS manages its own sample machinery).
+    mc_max_samples : int or None
+        Escalation ceiling; default ``40 * num_mc_samples`` at entry
+        (the measured flagship stall needed 10 -> 400).
+    mc_patience : int
+        Failing verdicts (since the last escalation) that must show no
+        progress before escalating (default 3).
+    mc_plateau_rtol : float
+        Relative best-R-hat improvement across the patience window below
+        which the gate counts as stalled (default 0.05).
     """
 
     def __init__(self, sgo, *, mcse_threshold=0.1, W_min=200, ESS_min=None,
                  k_check=None, max_history=None, rhat_threshold=1.1,
                  rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                  check_pipeline=4, mesh=None, shard_axis="mc",
-                 max_time=None):
+                 max_time=None, mc_escalation=None, mc_max_samples=None,
+                 mc_patience=3, mc_plateau_rtol=0.05):
         if not isinstance(sgo, StochasticGradientOptimizer):
             raise ValueError("sgo must be a subclass of StochasticGradientOptimizer")
         self._sgo = sgo
@@ -299,6 +353,20 @@ class FASO(Optimizer):
         self._mesh = mesh
         self._shard_axis = shard_axis
         self._max_time = None if max_time is None else float(max_time)
+        self._mc_escalation = (None if mc_escalation is None
+                               else float(mc_escalation))
+        self._mc_max_samples = (None if mc_max_samples is None
+                                else int(mc_max_samples))
+        self._mc_patience = int(mc_patience)
+        self._mc_plateau_rtol = float(mc_plateau_rtol)
+        if self._mc_escalation is not None and self._mc_escalation <= 1.0:
+            raise ValueError('"mc_escalation" must be greater than one')
+        if self._mc_max_samples is not None and self._mc_max_samples <= 0:
+            raise ValueError('"mc_max_samples" must be positive')
+        if self._mc_patience < 2:
+            raise ValueError('"mc_patience" must be at least two')
+        if self._mc_plateau_rtol <= 0.0:
+            raise ValueError('"mc_plateau_rtol" must be greater than zero')
         if self._max_time is not None and self._max_time < 0:
             raise ValueError('"max_time" must be non-negative')
         if self._check_pipeline < 0:
@@ -330,7 +398,11 @@ class FASO(Optimizer):
         cache = getattr(self, "_runner_cache", None)
         if cache is None:
             cache = self._runner_cache = {}
-        key = (id(objective), diagnostics)
+        # num_mc_samples is read by the objective at TRACE time, so an
+        # mc_escalation bump must key a fresh closure + jit (the same
+        # callable would silently reuse the old-S executable)
+        key = (id(objective), diagnostics,
+               getattr(objective, "num_mc_samples", None))
         if key not in cache:
             cache[key] = self._build_segment_runner(objective, diagnostics)
         return cache[key]
@@ -481,11 +553,40 @@ class FASO(Optimizer):
         lr = jnp.asarray(self._sgo._learning_rate if learning_rate is None
                          else learning_rate, dtype=var_param.dtype)
 
-        scannable = getattr(objective, "scannable", True)
-        if scannable:
-            runner = self._segment_runner(objective, diagnostics)
+        mc_escalation = self._mc_escalation
+        mc_max = None
+        if mc_escalation is not None:
+            S0 = getattr(objective, "num_mc_samples", None)
+            if S0 is None:
+                raise ValueError(
+                    "mc_escalation needs an objective exposing a settable "
+                    "num_mc_samples (got {})".format(type(objective).__name__))
+            if jax.tree_util.tree_leaves(obj_state):
+                raise ValueError(
+                    "mc_escalation does not support objectives with "
+                    "estimator state (DISInclusiveKL manages its own sample "
+                    "machinery); escalate its samples explicitly instead")
+            mc_max = (self._mc_max_samples if self._mc_max_samples is not None
+                      else 40 * int(S0))
+            # every escalation multiplies S by >= mc_escalation until the
+            # ceiling, so the event log is bounded by the geometric ladder
+            mc_event_cap = 1 + max(0, int(math.ceil(
+                math.log(max(mc_max / max(int(S0), 1), 1.0))
+                / math.log(mc_escalation) + 1e-9)))
         else:
-            runner = partial(self._run_segment_host, objective, diagnostics)
+            mc_event_cap = 1
+        mc_plateau = []       # failing R-hat stats since the last escalation
+        mc_plateau_mcse = []  # failing ring-capped MCSE/ESS gate ratios
+        mc_events = []        # (iteration, new_S) escalation records
+        mc_escalated_at = -1
+        mc_dirty = False      # segment runner must be re-fetched (new S)
+
+        scannable = getattr(objective, "scannable", True)
+
+        def fetch_runner():
+            if scannable:
+                return self._segment_runner(objective, diagnostics)
+            return partial(self._run_segment_host, objective, diagnostics)
 
         history = defaultdict(list)
         iterate_average = var_param
@@ -537,6 +638,25 @@ class FASO(Optimizer):
             next_check_at = int(resume_state.get("next_check_at", 0))
             interval_adjusted_at = int(
                 resume_state.get("interval_adjusted_at", -1))
+            if mc_escalation is not None:
+                rs_S = int(resume_state.get("mc_samples", -1))
+                if rs_S > 0:
+                    objective.num_mc_samples = rs_S
+                mc_escalated_at = int(resume_state.get("mc_escalated_at", -1))
+                mc_plateau = [float(v) for v in np.asarray(
+                    resume_state.get("mc_plateau", ())).ravel()
+                    if np.isfinite(v)]
+                mc_plateau_mcse = [float(v) for v in np.asarray(
+                    resume_state.get("mc_plateau_mcse", ())).ravel()
+                    if np.isfinite(v)]
+                mc_events = [(int(a), int(b)) for a, b in np.asarray(
+                    resume_state.get("mc_events",
+                                     np.zeros((0, 2)))).reshape(-1, 2)
+                    if a >= 0]
+
+        # fetched AFTER the resume restore: a resumed run's escalated
+        # num_mc_samples must key the segment program it actually traces
+        runner = fetch_runner()
 
         # Speculative check pipelining: fixed-lr segments are identical
         # whatever a pending R-hat check concludes, so checks are dispatched
@@ -564,6 +684,7 @@ class FASO(Optimizer):
         def process_check(ck):
             nonlocal k_Rhat, k_conv, W_check, last_best_W, iterate_average
             nonlocal check_interval, next_check_at, interval_adjusted_at
+            nonlocal mc_escalated_at, mc_dirty
             ck_k = int(ck["k"])
             r_hats = np.asarray(ck["r_hats"])
             best = int(np.argmin(r_hats))
@@ -605,9 +726,55 @@ class FASO(Optimizer):
                 k_Rhat = ck_k
                 k_conv = ck_k - best_W
                 W_check = best_W  # immediately check MCSE
+            elif (mc_escalation is not None and ck_k > mc_escalated_at
+                    and int(objective.num_mc_samples) < mc_max):
+                # gradient-SNR escalation: the gate is failing and the best
+                # statistic has stopped improving — raise num_mc_samples so
+                # the detection endgame sees less MC gradient noise
+                # (verdicts dispatched before the last escalation are the
+                # old noise regime; they may pass above but never trigger)
+                mc_plateau.append(float(r_hats[best]))
+                if _plateaued(mc_plateau):
+                    escalate(mc_plateau[-1])
             return passed
 
+        def _plateaued(stats):
+            if len(stats) < self._mc_patience:
+                return False
+            w = stats[-self._mc_patience:]
+            return w[0] - w[-1] < self._mc_plateau_rtol * abs(w[0])
+
+        def escalate(stat):
+            nonlocal mc_escalated_at, mc_dirty, check_interval
+            nonlocal next_check_at, interval_adjusted_at, W_check
+            new_S = min(int(math.ceil(objective.num_mc_samples
+                                      * mc_escalation)), mc_max)
+            objective.num_mc_samples = new_S
+            mc_escalated_at = k
+            mc_events.append((k, new_S))
+            mc_plateau.clear()
+            mc_plateau_mcse.clear()
+            mc_dirty = True
+            # watch the new noise regime at full cadence
+            check_interval = 1
+            next_check_at = 0
+            interval_adjusted_at = k
+            if k_conv is not None:
+                # the multiplicative MCSE recheck schedule (reference
+                # optimization.py:601-605) was calibrated to the OLD noise
+                # regime and may have grown past the horizon — recheck one
+                # W_min after the escalation instead
+                W_check = (k - k_conv) + self._W_min
+            print("MC escalation: convergence gate stalled at {:.3g}; "
+                  "num_mc_samples -> {} at iteration {}".format(
+                      float(stat), new_S, k))
+
         while k < n_iters:
+            if mc_dirty:
+                # an escalation bumped num_mc_samples: the next segment
+                # must trace (and compile, once per S) the new sample count
+                runner = fetch_runner()
+                mc_dirty = False
             # wall-clock budget: enforced at segment boundaries, so a
             # timed-out run stops exactly where a resume can continue it
             if max_time is not None and _now() - loop_start >= max_time:
@@ -702,19 +869,33 @@ class FASO(Optimizer):
                     history["ess_history"].append(eff)
                     history["mcse_history"].append(mcse)
                 if self._rhat_quantile is None:
-                    gates_pass = (np.max(mcse) < mcse_threshold
-                                  and np.min(eff) > self._ESS_min)
+                    mcse_stat = float(np.max(mcse))
+                    ess_stat = float(np.min(eff))
                 else:
                     # quantile gates over the real (unpadded) coordinates;
                     # packing pads are constant zero (mcse 0 / ess inf), so
                     # they must be excluded from low quantiles
                     q = self._rhat_quantile
-                    gates_pass = (
-                        float(np.quantile(mcse[:D], q)) < mcse_threshold
-                        and float(np.quantile(eff[:D], 1.0 - q)) > self._ESS_min)
+                    mcse_stat = float(np.quantile(mcse[:D], q))
+                    ess_stat = float(np.quantile(eff[:D], 1.0 - q))
+                gates_pass = (mcse_stat < mcse_threshold
+                              and ess_stat > self._ESS_min)
                 if gates_pass:
                     k_stopped = k
                     break
+                if (mc_escalation is not None and W >= R
+                        and int(objective.num_mc_samples) < mc_max):
+                    # the averaging window is ring-capped: more iterations
+                    # cannot widen it further, so a stalled MCSE/ESS gate
+                    # here is a gradient-SNR wall exactly like a stalled
+                    # R-hat gate (the synthetic SNR test stalls at THIS
+                    # gate: stationary-iterate autocorrelation keeps the
+                    # capped-window ESS below ESS_min at any run length)
+                    mc_plateau_mcse.append(
+                        max(mcse_stat / mcse_threshold,
+                            self._ESS_min / max(ess_stat, 1e-300)))
+                    if _plateaued(mc_plateau_mcse):
+                        escalate(mc_plateau_mcse[-1])
                 # adaptive cost-aware recheck growth (reference 601-605).
                 # Optimization time is wall-clock minus check time — the
                 # pipelined loop never blocks on segments individually.
@@ -744,6 +925,18 @@ class FASO(Optimizer):
             "pending_checks": [
                 {"k": int(ck["k"]), "windows": np.asarray(ck["windows"]),
                  "r_hats": np.asarray(ck["r_hats"])} for ck in pending],
+            "mc_samples": (int(objective.num_mc_samples)
+                           if mc_escalation is not None else -1),
+            "mc_escalated_at": mc_escalated_at,
+            # fixed-size encodings (the Orbax backend refuses zero-size
+            # arrays): the plateau trackers keep their last mc_patience
+            # entries — all that any future decision reads — NaN-padded
+            # at the front, and the event log pads to its config-bounded
+            # maximum with -1 rows
+            "mc_plateau": _pad_tail(mc_plateau, self._mc_patience),
+            "mc_plateau_mcse": _pad_tail(mc_plateau_mcse,
+                                         self._mc_patience),
+            "mc_events": _pad_events(mc_events, mc_event_cap),
         }
         while pending:
             if process_check(pending.popleft()):
@@ -787,6 +980,9 @@ class FASO(Optimizer):
         results["k_Rhat"] = k_Rhat
         results["k_stopped"] = k_stopped
         results["timed_out"] = timed_out
+        if mc_escalation is not None:
+            results["mc_escalation_history"] = np.asarray(
+                mc_events, dtype=np.int64).reshape(-1, 2)
         results["opt_param"] = iterate_average
         results["opt_state"] = opt_state
         results["resume_state"] = {

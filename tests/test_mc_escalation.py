@@ -141,6 +141,104 @@ def test_mc_escalation_resume_matches_uninterrupted(monkeypatch, tmp_path):
     assert obj2.num_mc_samples == int(full["mc_escalation_history"][-1, 1])
 
 
+def _stub_dense_clock_everywhere(monkeypatch):
+    import viabel_tpu.faso as faso_mod
+    import viabel_tpu.parallel.multistart as ms_mod
+
+    _stub_dense_clock(monkeypatch)
+    monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
+    monkeypatch.setattr(ms_mod, "Timer", faso_mod.Timer)
+
+
+def test_multistart_b1_escalation_matches_faso(monkeypatch):
+    """B=1 multistart_faso reproduces single FASO's escalation exactly —
+    same ladder iterations, same final S, same opt_param (requires the
+    batched MCSE timer to be the SAME stubbed Timer as FASO's: the
+    measured interval feeds the recheck growth factor)."""
+    from viabel_tpu.parallel import multistart_faso
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              mc_escalation=4.0, mc_max_samples=256)
+    init = jnp.full(4, 3.0)
+    key = jax.random.PRNGKey(0)
+
+    obj_s = SNRObjective(4)
+    res_s = FASO(RMSProp(0.05), **kw).optimize(
+        8000, obj_s, init, key=jax.random.split(key, 1)[0])
+    obj_m = SNRObjective(4)
+    res_m = multistart_faso(RMSProp(0.05), 8000, obj_m, init[None], key,
+                            **kw)
+    assert res_m["k_stopped"][0] == res_s["k_stopped"] is not None
+    np.testing.assert_array_equal(res_m["mc_escalation_history"],
+                                  res_s["mc_escalation_history"])
+    assert obj_m.num_mc_samples == obj_s.num_mc_samples > 4
+    np.testing.assert_allclose(np.asarray(res_m["opt_param"][0]),
+                               np.asarray(res_s["opt_param"]), rtol=1e-8)
+
+
+def test_multistart_shared_escalation_gate_and_resume(monkeypatch,
+                                                      tmp_path):
+    """B=2: the shared ladder climbs only when BOTH restarts' gates have
+    plateaued (the first rung fires later than a B=1 run's 1800), both
+    then converge at the escalated S — and an interrupt mid-ladder
+    resumes bit-exactly through an .npz round trip."""
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_faso
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              mc_escalation=4.0, mc_max_samples=256)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    key = jax.random.PRNGKey(0)
+
+    obj = SNRObjective(4)
+    full = multistart_faso(RMSProp(0.05), 8000, obj, inits, key, **kw)
+    events = full["mc_escalation_history"]
+    assert len(events) >= 2 and all(v >= 0 for v in full["k_stopped"])
+    assert int(events[0, 0]) > 800  # both rings capped before any climb
+
+    k_cut = int(events[0, 0]) + 400
+    obj2 = SNRObjective(4)
+    part = multistart_faso(RMSProp(0.05), k_cut, obj2, inits, key, **kw)
+    assert len(part["mc_escalation_history"]) >= 1
+    path = str(tmp_path / "ms_esc.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+
+    obj3 = SNRObjective(4)  # resume restores the escalated S
+    res = multistart_faso(RMSProp(0.05), 8000, obj3, inits, key,
+                          resume_state=restored, **kw)
+    assert res["k_stopped"] == full["k_stopped"]
+    np.testing.assert_array_equal(res["mc_escalation_history"], events)
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-8)
+    assert obj3.num_mc_samples == int(events[-1, 1])
+
+
+def test_multistart_escalation_validation():
+    from viabel_tpu.parallel import multistart_faso
+
+    inits = jnp.zeros((2, 2))
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="mc_escalation"):
+        multistart_faso(RMSProp(0.05), 400, SNRObjective(4), inits, key,
+                        mc_escalation=1.0)
+
+    class NoKnob:
+        scannable = True
+
+        def value_and_grad(self, vp, key):
+            return jnp.sum(vp), vp
+
+        def update(self, vp, direction):
+            return vp - direction
+
+    with pytest.raises(ValueError, match="num_mc_samples"):
+        multistart_faso(RMSProp(0.05), 400, NoKnob(), inits, key,
+                        mc_escalation=4.0)
+
+
 def test_mc_escalation_validation():
     with pytest.raises(ValueError, match="mc_escalation"):
         _make_opt(mc_escalation=1.0)

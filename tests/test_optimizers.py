@@ -539,6 +539,9 @@ def _stub_clock_everywhere(monkeypatch):
     import viabel_tpu.parallel.raabbvi as mr_mod
     _stub_clock(monkeypatch)
     monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
+    # the batched MCSE check times itself with the same Timer as FASO
+    # (its interval feeds the recheck growth — B=1 parity needs the stub)
+    monkeypatch.setattr(ms_mod, "Timer", faso_mod.Timer)
     monkeypatch.setattr(mr_mod, "_now", faso_mod._now)
 
 

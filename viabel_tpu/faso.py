@@ -890,12 +890,13 @@ class FASO(Optimizer):
                     # here is a gradient-SNR wall exactly like a stalled
                     # R-hat gate (the synthetic SNR test stalls at THIS
                     # gate: stationary-iterate autocorrelation keeps the
-                    # capped-window ESS below ESS_min at any run length)
+                    # capped-window ESS below ESS_min at any run length).
+                    # Escalation is evaluated AFTER the recheck growth
+                    # below, so its recheck-horizon reset wins (the batched
+                    # engine orders the two the same way).
                     mc_plateau_mcse.append(
                         max(mcse_stat / mcse_threshold,
                             self._ESS_min / max(ess_stat, 1e-300)))
-                    if _plateaued(mc_plateau_mcse):
-                        escalate(mc_plateau_mcse[-1])
                 # adaptive cost-aware recheck growth (reference 601-605).
                 # Optimization time is wall-clock minus check time — the
                 # pipelined loop never blocks on segments individually.
@@ -904,6 +905,8 @@ class FASO(Optimizer):
                 W_check = int(_recheck_scale(total_opt_time / k,
                                              mcse_timer.interval / W)
                               * W_check + 1)
+                if _plateaued(mc_plateau_mcse):
+                    escalate(mc_plateau_mcse[-1])
 
         total_opt_time = resumed_opt_time + (
             _now() - loop_start - mcse_time_total)

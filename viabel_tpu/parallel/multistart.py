@@ -39,6 +39,8 @@ from ..faso import (
     _detection_geometry,
     _mcse_check,
     _now,
+    _pad_events,
+    _pad_tail,
     _recheck_scale,
 )
 from ..families import MFGaussian
@@ -49,7 +51,7 @@ from ..optimizers import (
     _obj_init_state,
     _obj_step_fn,
 )
-from ..utils import pack_rows, packed_width, unpack_rows
+from ..utils import Timer, pack_rows, packed_width, unpack_rows
 
 __all__ = ["multistart_faso"]
 
@@ -236,10 +238,16 @@ class _BatchedEngine:
         self.mcse_b = cache["mcse_b"]
 
     def runner(self, steps):
-        """The jitted ``steps``-step batched segment runner (cached)."""
-        if steps not in self._runner_cache:
-            self._runner_cache[steps] = self._make_runner(steps)
-        return self._runner_cache[steps]
+        """The jitted ``steps``-step batched segment runner (cached).
+
+        Keyed by the objective's CURRENT num_mc_samples too: a shared
+        mc_escalation bump must trace a fresh segment program (the
+        sample count is read at trace time), both within a run and
+        across a round-driving caller's shared ``_jit_cache``."""
+        key = (steps, getattr(self._objective, "num_mc_samples", None))
+        if key not in self._runner_cache:
+            self._runner_cache[key] = self._make_runner(steps)
+        return self._runner_cache[key]
 
     def unbatch_shared(self, states):
         """Collapse shared-axis leaves of a batched state to one copy."""
@@ -293,7 +301,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                     check_pipeline=4, diagnostics=None, resume_state=None,
                     mesh=None, restart_axis="restart", keys=None,
-                    init_opt_states=None, max_time=None, _jit_cache=None):
+                    init_opt_states=None, max_time=None,
+                    mc_escalation=None, mc_max_samples=None, mc_patience=3,
+                    mc_plateau_rtol=0.05, _jit_cache=None):
     """Run ``B = init_params.shape[0]`` FASO optimizations in one program.
 
     Semantics per restart match ``FASO.optimize``
@@ -348,6 +358,18 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     expiry the run returns partial results with ``timed_out`` True and
     a ``resume_state`` that continues every restart (each call gets a
     fresh allotment).
+
+    ``mc_escalation`` / ``mc_max_samples`` / ``mc_patience`` /
+    ``mc_plateau_rtol``: FASO's automatic gradient-SNR escalation (see
+    :class:`FASO`), SHARED across the batch — ``num_mc_samples`` is one
+    static shape in the single compiled program, so the ladder climbs
+    only when EVERY still-running restart's binding gate statistic has
+    plateaued (a restart still trending, or whose averaging window is
+    not yet ring-capped, holds the rung); each climb recompiles the
+    batched segment once and resets the shared check cadence and every
+    live restart's MCSE recheck horizon.  Requires a settable
+    ``objective.num_mc_samples`` and a stateless objective, like FASO.
+    Events land in ``results["mc_escalation_history"]``.
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached),
@@ -404,6 +426,39 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         rhat_allowed=rhat_allowed, rhat_threshold=rhat_threshold,
         mesh=mesh, restart_axis=restart_axis, cache=_jit_cache)
     stateful = engine.stateful
+    mc_escalation = None if mc_escalation is None else float(mc_escalation)
+    mc_max = None
+    mc_event_cap = 1
+    if mc_escalation is not None:
+        if mc_escalation <= 1.0:
+            raise ValueError('"mc_escalation" must be greater than one')
+        if int(mc_patience) < 2:
+            raise ValueError('"mc_patience" must be at least two')
+        if float(mc_plateau_rtol) <= 0.0:
+            raise ValueError('"mc_plateau_rtol" must be greater than zero')
+        S0 = getattr(objective, "num_mc_samples", None)
+        if S0 is None:
+            raise ValueError(
+                "mc_escalation needs an objective exposing a settable "
+                "num_mc_samples (got {})".format(type(objective).__name__))
+        if stateful:
+            raise ValueError(
+                "mc_escalation does not support objectives with estimator "
+                "state (DISInclusiveKL manages its own sample machinery); "
+                "escalate its samples explicitly instead")
+        if mc_max_samples is not None and int(mc_max_samples) <= 0:
+            raise ValueError('"mc_max_samples" must be positive')
+        mc_max = (int(mc_max_samples) if mc_max_samples is not None
+                  else 40 * int(S0))
+        mc_event_cap = 1 + max(0, int(np.ceil(
+            np.log(max(mc_max / max(int(S0), 1), 1.0))
+            / np.log(mc_escalation) + 1e-9)))
+    mc_patience = int(mc_patience)
+    mc_plateau_rtol = float(mc_plateau_rtol)
+    mc_plateau_r = [[] for _ in range(B)]  # failing R-hat stats per restart
+    mc_plateau_m = [[] for _ in range(B)]  # ring-capped MCSE/ESS gate ratios
+    mc_events = []
+    mc_escalated_at = -1
     rhat_b = engine.rhat_b
     mean_b = engine.mean_b
     mean_one = engine.mean_one
@@ -515,6 +570,19 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         next_check_at = int(rs["next_check_at"])
         interval_adjusted_at = int(rs["interval_adjusted_at"])
         resumed_opt_time = float(rs["total_opt_time"])
+        if mc_escalation is not None:
+            rs_S = int(rs.get("mc_samples", -1))
+            if rs_S > 0:
+                objective.num_mc_samples = rs_S
+            mc_escalated_at = int(rs.get("mc_escalated_at", -1))
+            if "mc_plateau_r" in rs:
+                mc_plateau_r = [[float(v) for v in row if np.isfinite(v)]
+                                for row in np.asarray(rs["mc_plateau_r"])]
+                mc_plateau_m = [[float(v) for v in row if np.isfinite(v)]
+                                for row in np.asarray(rs["mc_plateau_m"])]
+            mc_events = [(int(a), int(b)) for a, b in np.asarray(
+                rs.get("mc_events", np.zeros((0, 2)))).reshape(-1, 2)
+                if a >= 0]
     max_interval = max(1, R // k_check)
     if diagnostics:
         # the 0-entry records the caller's init_params (FASO's trail starts
@@ -523,6 +591,51 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         iter_avg_k_hist.append(0)
         iter_avg_hist.append(np.asarray(init_params).copy())
     loop_start = _now()
+
+    def _plateaued(stats):
+        if len(stats) < mc_patience:
+            return False
+        w = stats[-mc_patience:]
+        return w[0] - w[-1] < mc_plateau_rtol * abs(w[0])
+
+    def maybe_escalate():
+        # shared gradient-SNR escalation: num_mc_samples is one static
+        # shape in the batched program, so the rung climbs only when
+        # EVERY still-running restart's binding gate statistic has
+        # plateaued (FASO's per-phase rule, evaluated per restart)
+        nonlocal mc_escalated_at, check_interval, next_check_at
+        nonlocal interval_adjusted_at
+        if mc_escalation is None or int(objective.num_mc_samples) >= mc_max:
+            return
+        live = [b for b in range(B) if k_stopped[b] < 0]
+        if not live:
+            return
+        stats = []
+        for b in live:
+            tr = mc_plateau_r[b] if k_conv[b] < 0 else mc_plateau_m[b]
+            if not _plateaued(tr):
+                return
+            stats.append(tr[-1])
+        new_S = min(int(np.ceil(objective.num_mc_samples * mc_escalation)),
+                    mc_max)
+        objective.num_mc_samples = new_S
+        mc_escalated_at = k
+        mc_events.append((k, new_S))
+        for b in range(B):
+            mc_plateau_r[b].clear()
+            mc_plateau_m[b].clear()
+        # watch the new noise regime at full cadence; converged restarts
+        # recheck one W_min after the climb (their multiplicative recheck
+        # schedule was calibrated to the old regime)
+        check_interval = 1
+        next_check_at = 0
+        interval_adjusted_at = k
+        for b in live:
+            if k_conv[b] >= 0:
+                W_check[b] = (k - k_conv[b]) + W_min
+        print("MC escalation: convergence gates stalled (worst {:.3g}); "
+              "num_mc_samples -> {} at iteration {}".format(
+                  max(stats), new_S, k))
 
     def process_check(ck, final=False):
         nonlocal check_interval, next_check_at, interval_adjusted_at
@@ -572,6 +685,11 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     w_eff = min(int(windows[best]) + (k - ck_k), R, k)
                     last_checked_avg[b] = mean_one(rings[b], t,
                                                    jnp.asarray(w_eff))
+            elif (mc_escalation is not None and ck_k > mc_escalated_at
+                    and int(objective.num_mc_samples) < mc_max):
+                # verdicts dispatched before the last climb are the old
+                # noise regime — they may pass above but never track
+                mc_plateau_r[b].append(float(r_hats[b, best]))
         if (rhat_backoff is not None and best_stats
                 and ck_k > interval_adjusted_at):
             check_interval, pull = _backoff_adjust(
@@ -619,17 +737,21 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 pending.append({"k": k, "windows": windows, "r_hats": r_hats})
         while pending and k - int(pending[0]["k"]) >= pipeline * k_check:
             process_check(pending.popleft())
+            maybe_escalate()
 
         due = [b for b in range(B)
                if k_conv[b] >= 0 and k_stopped[b] < 0
                and k - k_conv[b] >= W_check[b]]
         if due:
             W = np.minimum(np.maximum(k - k_conv, 1), min(R, k))
-            with_timer_start = _now()
-            effs, mcses = mcse_b(rings, jnp.asarray(W), t)
-            effs = np.asarray(effs)
-            mcses = np.asarray(mcses)
-            mcse_interval = _now() - with_timer_start
+            # Timer (not a raw _now() pair) so the deterministic-clock
+            # tests stub the MCSE cost identically to single-run FASO —
+            # the recheck growth factor must match for B=1 parity
+            with Timer() as mcse_timer:
+                effs, mcses = mcse_b(rings, jnp.asarray(W), t)
+                effs = np.asarray(effs)
+                mcses = np.asarray(mcses)
+            mcse_interval = mcse_timer.interval
             mcse_time_total += mcse_interval
             # one batched window-mean pass per MCSE check: stopping
             # restarts freeze it, non-stopping due restarts keep it as
@@ -652,15 +774,16 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     iter_avg_hist.append(avg_snapshot.copy())
             for b in due:
                 if rhat_allowed is None:
-                    gates_pass = (np.max(mcses[b]) < mcse_thresholds[b]
-                                  and np.min(effs[b]) > ESS_min)
+                    mcse_stat = float(np.max(mcses[b]))
+                    ess_stat = float(np.min(effs[b]))
                 else:
                     # quantile gates over the real (unpadded) coordinates,
                     # like FASO's (pads are constant: mcse 0 / ess inf)
                     q = float(rhat_quantile)
-                    gates_pass = (
-                        float(np.quantile(mcses[b][:D], q)) < mcse_thresholds[b]
-                        and float(np.quantile(effs[b][:D], 1.0 - q)) > ESS_min)
+                    mcse_stat = float(np.quantile(mcses[b][:D], q))
+                    ess_stat = float(np.quantile(effs[b][:D], 1.0 - q))
+                gates_pass = (mcse_stat < mcse_thresholds[b]
+                              and ess_stat > ESS_min)
                 if gates_pass:
                     k_stopped[b] = k
                     frozen[b] = jnp.asarray(avgs[b])
@@ -668,11 +791,20 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                         lambda x: x[b], opt_states)
                 else:
                     last_checked_avg[b] = jnp.asarray(avgs[b])
+                    if (mc_escalation is not None and int(W[b]) >= R
+                            and int(objective.num_mc_samples) < mc_max):
+                        # ring-capped window: more iterations cannot widen
+                        # it — a stalled MCSE/ESS gate here is an SNR wall
+                        # (FASO's rule, per restart)
+                        mc_plateau_m[b].append(
+                            max(mcse_stat / mcse_thresholds[b],
+                                ESS_min / max(ess_stat, 1e-300)))
                     total_opt = resumed_opt_time + max(
                         _now() - loop_start - mcse_time_total, 1e-9)
                     W_check[b] = int(_recheck_scale(
                         total_opt / k, mcse_interval / int(W[b]))
                         * W_check[b] + 1)
+            maybe_escalate()
 
     # batched optimizer state with every stopped restart's row back-dated
     # to ITS OWN stop (non-averaged SGO state would otherwise carry the
@@ -727,9 +859,20 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "interval_adjusted_at": interval_adjusted_at,
         "total_opt_time": resumed_opt_time + (
             _now() - loop_start - mcse_time_total),
+        # fixed-size escalation-state encodings (FASO's, per restart; the
+        # Orbax backend refuses zero-size arrays)
+        "mc_samples": (int(objective.num_mc_samples)
+                       if mc_escalation is not None else -1),
+        "mc_escalated_at": mc_escalated_at,
+        "mc_plateau_r": np.stack([_pad_tail(tr, mc_patience)
+                                  for tr in mc_plateau_r]),
+        "mc_plateau_m": np.stack([_pad_tail(tr, mc_patience)
+                                  for tr in mc_plateau_m]),
+        "mc_events": _pad_events(mc_events, mc_event_cap),
     }
     while pending:
         process_check(pending.popleft(), final=True)
+        maybe_escalate()
 
     # final averages, per restart (matching FASO's non-diagnostics
     # opt_param semantics): frozen at its own stop; else the average from
@@ -776,6 +919,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         "opt_states_at_stop": opt_states_at_stop,
         "resume_state": resume_snapshot,
     }
+    if mc_escalation is not None:
+        results["mc_escalation_history"] = np.asarray(
+            mc_events, dtype=np.int64).reshape(-1, 2)
     if stateful:
         results["obj_state_errors"] = list(obj_errors)
     if diagnostics:

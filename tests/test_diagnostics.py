@@ -288,3 +288,32 @@ def test_ksd_test_calibrated_verdict():
                               lambda x: jnp.sum(logp(x - 1.5))),
                           key=key, n_null=19, subsample_pairs=8192)
     assert bool(bad_sub["reject"])
+
+
+def test_ksd_test_invalid_on_nonfinite_statistic():
+    """ADVICE r4: a NaN/inf observed statistic once compared False against
+    every null replicate and reported the SMALLEST p-value with
+    reject=True; it must surface as an invalid result instead."""
+    import jax
+
+    logp, sd = _aniso_gaussian()
+    score_p = jax.grad(lambda x: jnp.sum(logp(x)))
+    n, d = 64, 3
+
+    def sample_p(k):
+        return jax.random.normal(k, (n, d)) * sd
+
+    draws = np.array(sample_p(jax.random.PRNGKey(5)))
+    draws[0, 0] = np.nan  # degenerate draw -> non-finite KSD
+    res = vt.ksd_test(jnp.asarray(draws), score_fn=score_p,
+                      null_sampler=sample_p, null_score_fn=score_p,
+                      key=jax.random.PRNGKey(6), n_null=19)
+    assert not res["valid"]
+    assert np.isnan(res["p_value"])
+    assert not res["reject"]
+
+    # a healthy run is explicitly valid
+    ok = vt.ksd_test(sample_p(jax.random.PRNGKey(7)), score_fn=score_p,
+                     null_sampler=sample_p, null_score_fn=score_p,
+                     key=jax.random.PRNGKey(8), n_null=19)
+    assert ok["valid"]

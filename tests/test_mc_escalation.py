@@ -262,14 +262,251 @@ def test_mc_escalation_validation():
     with pytest.raises(ValueError, match="num_mc_samples"):
         _make_opt(mc_escalation=4.0).optimize(400, NoKnob(), jnp.zeros(2))
 
-    # stateful objectives manage their own sample machinery
+    # single-run FASO ACCEPTS stateful objectives since round 5 (the rung
+    # boundary re-derives the threaded state; see the DIS tests below) —
+    # the BATCHED engine still rejects them with migration guidance
     class Stateful(SNRObjective):
         def init_obj_state(self, vp):
-            return jnp.zeros(1)
+            return {"calls": jnp.zeros(1)}
 
         def value_and_grad_with_state(self, vp, key, state):
             v, g = self.value_and_grad(vp, key)
-            return v, g, state
+            return v, g, {"calls": state["calls"] + 1}
 
-    with pytest.raises(ValueError, match="estimator state"):
-        _make_opt(mc_escalation=4.0).optimize(400, Stateful(4), jnp.zeros(2))
+    from viabel_tpu.parallel import multistart_faso
+    with pytest.raises(ValueError, match="set_num_mc_samples"):
+        multistart_faso(RMSProp(0.05), 400, Stateful(4), jnp.zeros((2, 2)),
+                        jax.random.PRNGKey(0), mc_escalation=4.0)
+
+
+def test_infinite_plateau_stats_survive_resume_roundtrip():
+    """ADVICE r4: resume restores plateau trackers through an isfinite
+    filter (NaN pads), so a legitimately infinite gate statistic (an
+    MCSE/ESS ratio overflowing) once vanished across a checkpoint round
+    trip, resetting the plateau clock.  Appends now clamp to a large
+    finite value that survives the filter — and two clamped entries
+    correctly read as a plateau."""
+    from viabel_tpu.faso import _clamp_stat, _pad_tail
+
+    assert _clamp_stat(np.inf) == 1e300
+    assert _clamp_stat(np.nan) == 1e300
+    assert _clamp_stat(2.5) == 2.5
+    assert _clamp_stat(1e305) == 1e300
+
+    # the persisted tail restores every clamped entry (the exact filter
+    # FASO.optimize applies on resume, faso.py resume_state restore)
+    tracker = [_clamp_stat(np.inf), _clamp_stat(1.7)]
+    restored = [float(v) for v in _pad_tail(tracker, 3) if np.isfinite(v)]
+    assert restored == tracker
+
+    # plateau detection is well-defined on clamped walls
+    def plateaued(stats, patience=2, rtol=0.05):
+        w = stats[-patience:]
+        return len(stats) >= patience and w[0] - w[-1] < rtol * abs(w[0])
+
+    assert plateaued([_clamp_stat(np.inf), _clamp_stat(np.inf)])
+
+
+class SNRApprox:
+    supports_kl = True
+    dim = 1
+
+    def kl(self, p1, p2):
+        return jnp.mean((p1 - p2) ** 2)
+
+
+class SNRObjectiveKL(SNRObjective):
+    """SNRObjective with a KL-supporting dummy family so RAABBVI's SKL
+    regression machinery runs."""
+
+    def __init__(self, S, sigma=4.0):
+        super().__init__(S, sigma)
+        self.approx = SNRApprox()
+
+
+def test_raabbvi_inherits_mc_escalation(monkeypatch):
+    """VERDICT r4 item 2: an SNR-wall target converges under
+    RAABBVI(mc_escalation=F) only via the inherited ladder — the climbed
+    S persists on the shared objective across learning-rate-decay rounds
+    (each round re-arms fresh plateau trackers against its rho-tightened
+    mcse_threshold), and the cumulative event log lands in the results."""
+    from viabel_tpu import RAABBVI
+
+    _stub_dense_clock(monkeypatch)
+    init = jnp.full(4, 3.0)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1)
+
+    # without escalation round one can never pass the gate: no round ever
+    # completes, no lr decay happens, the budget exhausts
+    stalled = RAABBVI(RMSProp(0.05), **kw).optimize(
+        12000, SNRObjectiveKL(4), init, key=jax.random.PRNGKey(0))
+    assert stalled["k_stopped_final"] is None
+    assert len(stalled.get("learning_rate_hist", ())) == 0
+
+    obj = SNRObjectiveKL(4)
+    res = RAABBVI(RMSProp(0.05), mc_escalation=4.0, mc_max_samples=1024,
+                  **kw).optimize(20000, obj, init,
+                                 key=jax.random.PRNGKey(0))
+    events = res["mc_escalation_history"]
+    assert len(events) >= 2
+    # the ladder is monotone in S and on the cumulative iteration axis
+    assert all(events[i, 1] < events[i + 1, 1] for i in range(len(events) - 1))
+    assert all(events[i, 0] <= events[i + 1, 0] for i in range(len(events) - 1))
+    # at least one lr decay happened at the escalated S (rounds completed)
+    assert len(res["learning_rate_hist"]) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 4
+    np.testing.assert_allclose(np.asarray(res["opt_param"]), 0.0, atol=0.05)
+
+
+def test_raabbvi_escalation_resume_across_round_boundary(monkeypatch,
+                                                         tmp_path):
+    """VERDICT r4 item 2: whole-run resume carries the escalated S and
+    the cumulative event log across a ROUND boundary — a fresh
+    objective constructed at the ORIGINAL S must be re-armed by the
+    snapshot, and the resumed run must reproduce the uninterrupted one."""
+    from viabel_tpu import RAABBVI
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+
+    _stub_dense_clock(monkeypatch)
+    init = jnp.full(4, 3.0)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1,
+              mc_escalation=4.0, mc_max_samples=1024)
+
+    def make_opt():
+        return RAABBVI(RMSProp(0.05), **kw)
+
+    K = 20000
+    full = make_opt().optimize(K, SNRObjectiveKL(4), init,
+                               key=jax.random.PRNGKey(0))
+    assert len(full["mc_escalation_history"]) >= 1
+    assert len(full["k_mcse"]) >= 2 and full["k_mcse"][1] is not None
+
+    # budget = exactly round one's spend: exhaustion lands BETWEEN rounds
+    K1 = int(full["k_mcse"][1]) + 1
+    obj = SNRObjectiveKL(4)
+    part = make_opt().optimize(K1, obj, init, key=jax.random.PRNGKey(0))
+    assert part["k_stopped_final"] is None
+    assert obj.num_mc_samples > 4
+    rs = part["resume_state"]
+    assert rs is not None and not isinstance(rs.get("flight"), dict)
+
+    path = str(tmp_path / "raabbvi_esc.npz")
+    save_pytree(path, rs)
+    restored = load_pytree(path, like=rs)
+
+    obj2 = SNRObjectiveKL(4)  # resume must restore the escalated S
+    resumed = make_opt().optimize(K, obj2, init, key=jax.random.PRNGKey(0),
+                                  resume_state=restored)
+    assert resumed["k_stopped_final"] == full["k_stopped_final"]
+    np.testing.assert_array_equal(resumed["mc_escalation_history"],
+                                  full["mc_escalation_history"])
+    np.testing.assert_allclose(np.asarray(resumed["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    np.testing.assert_allclose(resumed["SKL_history"], full["SKL_history"],
+                               rtol=1e-8)
+
+
+def test_dis_set_num_mc_samples_and_resize():
+    """VERDICT r4 item 5: DISInclusiveKL exposes a supported mid-run
+    sample-count change — set_num_mc_samples rebuilds the step closures,
+    and resize_obj_state re-derives the threaded state at the new count
+    while preserving the tempering eps and the degeneracy flag."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 16, ess_target=8,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim))
+    vp = approx.init_param()
+    state = obj.init_obj_state(vp)
+    assert state["samples"].shape == (16, dim)
+    for i in range(3):
+        _, _, state = obj.value_and_grad_with_state(
+            vp, jax.random.PRNGKey(i), state)
+    eps_before = float(state["eps"])
+
+    obj.set_num_mc_samples(48)
+    state2 = obj.resize_obj_state(state, vp)
+    assert state2["samples"].shape == (48, dim)
+    assert state2["w_norm"].shape == (48,)
+    assert float(state2["eps"]) == eps_before  # annealing progress kept
+    assert bool(state2["ok"])
+    assert int(state2["step"]) == 0  # next step takes the refresh branch
+    v, g, state2 = obj.value_and_grad_with_state(
+        vp, jax.random.PRNGKey(9), state2)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    obj.check_obj_state(state2)
+
+
+@pytest.mark.parametrize("use_resampling", [True, False])
+def test_dis_composes_with_mc_escalation(monkeypatch, use_resampling):
+    """VERDICT r4 item 5: FASO(mc_escalation=...) drives DISInclusiveKL —
+    the rung boundary calls set_num_mc_samples + resize_obj_state, the
+    scan re-traces at the new count, and the run keeps stepping with a
+    valid estimator state.  A permissive plateau rule (rtol=0.9,
+    patience=2) forces climbs without SNR-physics calibration."""
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+
+    _stub_dense_clock(monkeypatch)
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    obj = DISInclusiveKL(approx, model, 8, ess_target=4,
+                         temper_prior=MFGaussian(dim),
+                         temper_prior_params=np.zeros(2 * dim),
+                         use_resampling=use_resampling)
+    opt = FASO(RMSProp(0.05), W_min=200, ESS_min=60, mcse_threshold=1e-4,
+               max_history=400, mc_escalation=4.0, mc_max_samples=128,
+               mc_patience=2, mc_plateau_rtol=0.9)
+    res = opt.optimize(4000, obj, approx.init_param(),
+                       key=jax.random.PRNGKey(0))
+    events = res["mc_escalation_history"]
+    assert len(events) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 8
+    # the resumable snapshot carries the resized state (new-S shapes)
+    if use_resampling:
+        assert res["resume_state"]["obj_state"]["samples"].shape == (
+            obj.num_mc_samples, dim)
+    # the estimator stayed healthy through every rung
+    obj.check_obj_state(res["resume_state"]["obj_state"])
+
+
+def test_multistart_raabbvi_lockstep_inherits_escalation(monkeypatch):
+    """Lockstep multistart_raabbvi inherits the shared ladder through its
+    rounds: both restarts' SNR walls climb the shared S, rounds then
+    complete at the escalated count, the ceiling stays pinned to the
+    RUN-entry 40*S, and events land on the k_global_steps axis.  The
+    async schedule rejects the knob explicitly."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1)
+
+    obj = SNRObjectiveKL(4)
+    res = multistart_raabbvi(RMSProp(0.05), 20000, obj, inits,
+                             jax.random.PRNGKey(0), mc_escalation=4.0,
+                             verbose=False, **kw)
+    events = res["mc_escalation_history"]
+    assert len(events) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 4
+    assert obj.num_mc_samples <= 40 * 4  # run-entry ceiling, no creep
+    # events are cumulative across rounds (monotone batched-step axis)
+    assert all(events[i, 0] <= events[i + 1, 0]
+               for i in range(len(events) - 1))
+    # rounds completed at the escalated S: every restart decayed its lr
+    assert all(len(h) >= 1 for h in res["learning_rate_hist"])
+    # the snapshot carries the escalated S for round-boundary resume
+    assert int(res["resume_state"]["mc_samples"]) == obj.num_mc_samples
+
+    with pytest.raises(ValueError, match="async"):
+        multistart_raabbvi(RMSProp(0.05), 1000, SNRObjectiveKL(4), inits,
+                           jax.random.PRNGKey(0), schedule="async",
+                           mc_escalation=4.0, **kw)

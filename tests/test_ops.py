@@ -148,3 +148,32 @@ def test_ring_stats_pallas_path_matches_jnp_path():
     finally:
         set_pallas_enabled(None)
     np.testing.assert_allclose(forced, base, rtol=1e-9)
+
+
+def test_packed_width_always_chunks_evenly():
+    """ADVICE r4: a prime (or divisor-poor) 128-lane block count once
+    degraded the streamed MCSE check to 128-lane slabs; packed_width now
+    pads minimally so the block count always splits into ceil(blocks/8)
+    equal chunks of <= 8 blocks."""
+    from viabel_tpu.utils import _LANES, pack_rows, packed_width, unpack_rows
+
+    for dim in [1, 100, 1024, 1025, 8192, 9216,          # small / boundary
+                11 * 1024, 13 * 1024 - 5, 17 * 1024,     # prime blocks
+                1009 * 1024, 127 * 1024 + 1, 1000000]:
+        C = packed_width(dim)
+        assert C % 128 == 0
+        assert 8 * C >= dim
+        blocks = C // 128
+        base_blocks = -(-dim // _LANES)
+        ideal_chunks = -(-base_blocks // 8)
+        cb = max(v for v in range(1, 9) if blocks % v == 0)
+        # the streamed check's chunk count equals the ideal (no cliff) and
+        # padding stays under one extra chunk's worth of blocks
+        assert blocks // cb == ideal_chunks, dim
+        assert blocks - base_blocks < ideal_chunks, dim
+
+    # round-trip through the padded layout is exact
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, 11 * 1024)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rows(pack_rows(jnp.asarray(x)), x.shape[1])), x)

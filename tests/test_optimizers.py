@@ -419,17 +419,19 @@ def test_progress_partial_segment_matches_across_paths():
 
 def _stub_clock(monkeypatch):
     """Deterministic stand-ins for the wall-clock-driven MCSE recheck
-    schedule (the pattern of test_raabbvi_is_reusable)."""
+    schedule (the pattern of test_raabbvi_is_reusable).
+
+    The Timer stub must be FAITHFUL: in production ``Timer`` and ``_now``
+    read the same ``perf_counter``, so the stub's Timer ticks the same
+    FakeClock that ``_now`` reads (one tick on enter, one on exit — bit-
+    equivalent to the ``_now()`` pair the code once used).  A constant-
+    interval Timer that does NOT tick the shared clock lets the fake
+    ``total_opt`` accounting collapse to its 1e-9 floor, which saturates
+    ``_recheck_scale`` at 2.0 (recheck-horizon doubling every failing
+    MCSE check) — a regime no real clock produces, and the cause of the
+    round-4 ``test_multistart_raabbvi_per_restart_termination`` red run
+    (see docs/benchmarks.md, "Deterministic-clock test calibration")."""
     import viabel_tpu.faso as faso_mod
-
-    class FixedTimer:
-        interval = 1.0
-
-        def __enter__(self):
-            return self
-
-        def __exit__(self, *exc):
-            return False
 
     class FakeClock:
         _t = 0.0
@@ -439,7 +441,18 @@ def _stub_clock(monkeypatch):
             cls._t += 1.0
             return cls._t
 
-    monkeypatch.setattr(faso_mod, "Timer", FixedTimer)
+    class TickingTimer:
+        interval = 1.0
+
+        def __enter__(self):
+            self.start = FakeClock.perf_counter()
+            return self
+
+        def __exit__(self, *exc):
+            self.interval = FakeClock.perf_counter() - self.start
+            return False
+
+    monkeypatch.setattr(faso_mod, "Timer", TickingTimer)
     monkeypatch.setattr(faso_mod, "_now", FakeClock.perf_counter)
 
 
@@ -718,6 +731,44 @@ def test_multistart_raabbvi_async_init_rmsprop_multi_restart(monkeypatch):
     assert all(r >= 2 for r in res["n_rounds_per_restart"])
     np.testing.assert_allclose(np.asarray(res["opt_param"]),
                                np.tile(true_value, (B, 1)), atol=0.05)
+
+
+def test_async_warm_prelude_budget_exhaustion_keeps_lr_bookkeeping(
+        monkeypatch):
+    """ADVICE r4: a restart whose budget runs out exactly after the warm
+    round must still get its round-one lr decay / lr_hist append (the
+    lockstep schedule books those unconditionally before retiring the
+    restart at the next loop top); the async prelude once skipped them,
+    reporting an empty learning_rate_hist for such a restart."""
+    from viabel_tpu.parallel import multistart_raabbvi
+    from viabel_tpu.parallel.raabbvi import _async_warm_prelude
+
+    _stub_clock_everywhere(monkeypatch)
+    true_value = np.arange(2, dtype=float)
+    init = jnp.asarray(true_value + 0.5)[None]
+    kwargs = dict(rho=0.5, mcse_threshold=0.01, inefficiency_threshold=1.0,
+                  accuracy_threshold=0.01, max_history=2000, ESS_min=10,
+                  init_rmsprop=True)
+    probe = _async_warm_prelude(
+        AveragedRMSProp(0.01), 3002, DummyObjective(true_value, noise=0.2),
+        init, jax.random.PRNGKey(3), rho=0.5, learning_rate=None,
+        mcse_threshold=0.01, max_history=2000, mesh=None,
+        restart_axis="restart", max_time=None)
+    ks = int(probe["k_total"][0])
+    assert ks > 0 and probe["lr_hist"][0] == [0.01 * 0.5]
+    K = ks + 1  # K_rem hits exactly 0 right after the warm round
+    lock = multistart_raabbvi(AveragedRMSProp(0.01), K,
+                              DummyObjective(true_value, noise=0.2), init,
+                              jax.random.PRNGKey(3), verbose=False, **kwargs)
+    asy = multistart_raabbvi(AveragedRMSProp(0.01), K,
+                             DummyObjective(true_value, noise=0.2), init,
+                             jax.random.PRNGKey(3), schedule="async",
+                             verbose=False, **kwargs)
+    assert lock["k_stopped_final"] == [None]
+    assert asy["k_stopped_final"] == [None]
+    # the one round-one lr*rho entry is reported on BOTH schedules
+    assert lock["learning_rate_hist"][0] == [0.01 * 0.5]
+    assert asy["learning_rate_hist"][0] == lock["learning_rate_hist"][0]
 
 
 def test_multistart_raabbvi_b1_nonaveraged_matches_single(monkeypatch):

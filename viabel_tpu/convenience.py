@@ -216,6 +216,17 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     # makes RMS_kwargs=dict(diagnostics=False) a TypeError landmine
     RMS_kwargs.setdefault("diagnostics", True)
     base_opt = RMSProp(learning_rate, **RMS_kwargs)
+    # the SNR-wall cure is ON by default on the adaptive paths (measured,
+    # docs/benchmarks.md "Automatic gradient-SNR escalation"): at the
+    # d=1000 full-rank flagship the default num_mc_samples=10 NEVER
+    # passes the detection gate at any learning rate — a defaults-only
+    # run would silently never converge.  Escalation only fires when a
+    # gate statistic has provably plateaued, so well-conditioned runs
+    # are untouched; disable with
+    # FASO_kwargs/RAABBVI_kwargs=dict(mc_escalation=None).
+    if adaptive and getattr(objective, "num_mc_samples", None) is not None:
+        RAABBVI_kwargs.setdefault("mc_escalation", 4.0)
+        FASO_kwargs.setdefault("mc_escalation", 4.0)
     if adaptive and not fixed_lr:
         opt = RAABBVI(base_opt, **RAABBVI_kwargs)
     elif adaptive and fixed_lr:
@@ -282,17 +293,35 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
     sgo = RMSProp(float(lr.mean()), **RMS_kwargs)
     lr_kwarg = lr if lr.ndim == 1 else None
 
+    def _arm_default_escalation(kwargs):
+        # same defaults-must-converge rationale as the single-run paths;
+        # the batched engines additionally need a stateless objective and
+        # (for multistart_raabbvi) the lockstep schedule
+        if ("mc_escalation" in kwargs
+                or kwargs.get("schedule", "lockstep") == "async"
+                or getattr(objective, "num_mc_samples", None) is None):
+            return kwargs
+        state_shape = jax.eval_shape(
+            lambda vp: (objective.init_obj_state(vp)
+                        if hasattr(objective, "init_obj_state") else ()),
+            init_var_params[0])
+        if not jax.tree_util.tree_leaves(state_shape):
+            kwargs["mc_escalation"] = 4.0
+        return kwargs
+
     key, run_key, select_key = jax.random.split(key, 3)
     if adaptive and not fixed_lr:
         kwargs = {**RAABBVI_kwargs, **multistart_kwargs}
         # single-run FASO/RAABBVI kwargs may carry the coordinate-sharding
         # knob; the multistart engines shard the RESTART axis instead
         kwargs.pop("shard_axis", None)
+        kwargs = _arm_default_escalation(kwargs)
         results = multistart_raabbvi(sgo, n_iters, objective, init_var_params,
                                      run_key, learning_rate=lr_kwarg, **kwargs)
     elif adaptive and fixed_lr:
         kwargs = {**FASO_kwargs, **multistart_kwargs}
         kwargs.pop("shard_axis", None)
+        kwargs = _arm_default_escalation(kwargs)
         results = multistart_faso(sgo, n_iters, objective, init_var_params,
                                   run_key, learning_rate=lr_kwarg, **kwargs)
     elif not adaptive and fixed_lr:
@@ -475,11 +504,16 @@ def _vi_diagnostics(var_param, model, approx, n_samples, key, ksd_samples=0,
             results["ksd"] = test["ksd"]
             results["ksd_p_value"] = test["p_value"]
             results["ksd_reject"] = test["reject"]
+            results["ksd_valid"] = test["valid"]
             print("kernelized Stein discrepancy (IMQ, n = {}): ksd = {:.3g}, "
                   "p = {:.3g} against the q = p null ({} replicates)"
                   .format(n_ksd, float(test["ksd"]), test["p_value"],
                           ksd_null))
-            if test["reject"]:
+            if not test["valid"]:
+                print("WARNING: the KSD statistic is non-finite (degenerate "
+                      "draws or score overflow) — the test is invalid, not "
+                      "a rejection")
+            elif test["reject"]:
                 print("WARNING: the KSD test rejects q = p at the {:.0%} "
                       "level — the approximation is detectably off even "
                       "before importance weighting".format(

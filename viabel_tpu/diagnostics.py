@@ -386,12 +386,24 @@ def ksd_test(samples, *, score_fn=None, model=None, null_sampler,
 
     null_keys = jax.random.split(key_null, int(n_null))
     nulls = jax.jit(lambda ks: lax.map(one_null, ks))(null_keys)
-    n_ge = int(jnp.sum(nulls >= obs))
-    p_value = (1.0 + n_ge) / (int(n_null) + 1.0)
+    # A non-finite observed statistic (NaN from degenerate draws, inf from
+    # score overflow) makes every `nulls >= obs` comparison False — which
+    # would report the SMALLEST possible p-value with reject=True, i.e. a
+    # broken statistic masquerading as the strongest rejection.  Surface it
+    # as an explicitly invalid result instead.
+    finite = bool(jnp.isfinite(obs)) and bool(jnp.all(jnp.isfinite(nulls)))
+    if finite:
+        n_ge = int(jnp.sum(nulls >= obs))
+        p_value = (1.0 + n_ge) / (int(n_null) + 1.0)
+        reject = n_ge == 0
+    else:
+        p_value = float("nan")
+        reject = False
     return {
         "ksd": jnp.sqrt(jnp.maximum(obs, 0.0)),
         "ksd_squared": obs,
         "null_squared": nulls,
         "p_value": p_value,
-        "reject": n_ge == 0,
+        "reject": reject,
+        "valid": finite,
     }

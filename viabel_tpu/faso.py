@@ -71,6 +71,20 @@ _ring_mean = jax.jit(ring_window_mean,
                                       "pallas_shards"))
 
 
+def _clamp_stat(value):
+    """Plateau-tracker entries clamped to a large finite value.
+
+    Gate statistics can overflow to inf (an MCSE/ESS ratio with a
+    denormal ESS) or degenerate to NaN; resume persists the trackers
+    NaN-padded and restores them through an ``isfinite`` filter, so a
+    non-finite LIVE entry would silently vanish across a checkpoint
+    round-trip and reset the plateau clock.  Clamping at append time
+    keeps resume bit-faithful, and two consecutive clamped entries
+    correctly read as a plateau (an overflowing gate IS an SNR wall)."""
+    v = float(value)
+    return min(v, 1e300) if math.isfinite(v) else 1e300
+
+
 def _pad_tail(values, size):
     """Last ``size`` entries, NaN-padded at the front to a fixed shape
     (the Orbax checkpoint backend cannot write zero-size arrays)."""
@@ -185,7 +199,9 @@ def _mcse_check(ring, t, w, mf_dim):
     idx = (t + jnp.arange(R)) % R
     # largest chunk of 128-lane blocks that divides C and keeps the
     # per-chunk slab <= 1024 lanes (8192 coordinates, the ESS kernel's
-    # one-pass width); C is always a multiple of 128 (packed_width)
+    # one-pass width).  packed_width GUARANTEES the block count splits
+    # into ceil(blocks/8) equal chunks of <= 8 blocks (it pads prime /
+    # divisor-poor counts), so this never degrades to 128-lane slabs.
     blocks = C // 128
     cb = max(v for v in range(1, 9) if blocks % v == 0)
     chunk = cb * 128
@@ -318,8 +334,18 @@ class FASO(Optimizer):
         program once (new static sample count) and resets the check
         cadence; events are reported in
         ``results["mc_escalation_history"]`` as ``(iteration, new_S)``
-        rows.  Requires an objective with a settable ``num_mc_samples``
-        and no estimator state (DIS manages its own sample machinery).
+        rows.  Requires an objective with a settable ``num_mc_samples``;
+        objectives with estimator state must expose
+        ``set_num_mc_samples`` (``DISInclusiveKL`` does — the rung
+        boundary resets its estimator state through it).
+        :class:`RAABBVI` inherits the ladder through its rounds: the
+        climbed ``num_mc_samples`` persists on the shared objective
+        across learning-rate decays (each round re-arms fresh plateau
+        trackers against its own ``rho``-tightened ``mcse_threshold``),
+        events accumulate on the cumulative iteration axis in the same
+        results key, and whole-run resume restores the escalated S at
+        round boundaries (mid-round, the in-flight FASO state carries
+        it).
     mc_max_samples : int or None
         Escalation ceiling; default ``40 * num_mc_samples`` at entry
         (the measured flagship stall needed 10 -> 400).
@@ -561,11 +587,12 @@ class FASO(Optimizer):
                 raise ValueError(
                     "mc_escalation needs an objective exposing a settable "
                     "num_mc_samples (got {})".format(type(objective).__name__))
-            if jax.tree_util.tree_leaves(obj_state):
-                raise ValueError(
-                    "mc_escalation does not support objectives with "
-                    "estimator state (DISInclusiveKL manages its own sample "
-                    "machinery); escalate its samples explicitly instead")
+            # objectives with estimator state escalate too: the rung
+            # boundary re-derives the threaded state at the new sample
+            # count (resize_obj_state preserves what must carry over —
+            # DIS keeps its tempering eps and degeneracy flag — with
+            # init_obj_state as the from-scratch fallback)
+            mc_stateful = bool(jax.tree_util.tree_leaves(obj_state))
             mc_max = (self._mc_max_samples if self._mc_max_samples is not None
                       else 40 * int(S0))
             # every escalation multiplies S by >= mc_escalation until the
@@ -733,7 +760,7 @@ class FASO(Optimizer):
                 # the detection endgame sees less MC gradient noise
                 # (verdicts dispatched before the last escalation are the
                 # old noise regime; they may pass above but never trigger)
-                mc_plateau.append(float(r_hats[best]))
+                mc_plateau.append(_clamp_stat(r_hats[best]))
                 if _plateaued(mc_plateau):
                     escalate(mc_plateau[-1])
             return passed
@@ -746,10 +773,16 @@ class FASO(Optimizer):
 
         def escalate(stat):
             nonlocal mc_escalated_at, mc_dirty, check_interval
-            nonlocal next_check_at, interval_adjusted_at, W_check
+            nonlocal next_check_at, interval_adjusted_at, W_check, obj_state
             new_S = min(int(math.ceil(objective.num_mc_samples
                                       * mc_escalation)), mc_max)
             objective.num_mc_samples = new_S
+            if mc_stateful:
+                # re-derive the threaded estimator state at the new count
+                resize = getattr(objective, "resize_obj_state", None)
+                obj_state = (resize(obj_state, var_param)
+                             if resize is not None
+                             else _obj_init_state(objective, var_param))
             mc_escalated_at = k
             mc_events.append((k, new_S))
             mc_plateau.clear()
@@ -894,9 +927,9 @@ class FASO(Optimizer):
                     # Escalation is evaluated AFTER the recheck growth
                     # below, so its recheck-horizon reset wins (the batched
                     # engine orders the two the same way).
-                    mc_plateau_mcse.append(
+                    mc_plateau_mcse.append(_clamp_stat(
                         max(mcse_stat / mcse_threshold,
-                            self._ESS_min / max(ess_stat, 1e-300)))
+                            self._ESS_min / max(ess_stat, 1e-300))))
                 # adaptive cost-aware recheck growth (reference 601-605).
                 # Optimization time is wall-clock minus check time — the
                 # pipelined loop never blocks on segments individually.
@@ -1263,6 +1296,11 @@ class RAABBVI(FASO):
         relative_skl = relative_iters = None
         flight = None          # in-flight FASO round state being resumed
         resume_payload = None  # what results["resume_state"] will carry
+        # cumulative (iteration, new_S) escalation events across rounds:
+        # each round's FASO re-arms fresh plateau trackers but the climbed
+        # num_mc_samples persists on the shared objective, so the ladder
+        # spans rounds (RAABBVI inherits FASO's mc_escalation)
+        mc_events_outer = []
 
         if resume_state is not None:
             rs = resume_state
@@ -1290,6 +1328,18 @@ class RAABBVI(FASO):
                 else:
                     history[name] = [float(v) for v in vals]
             flight = rs["flight"] if isinstance(rs["flight"], dict) else None
+            if self._mc_escalation is not None:
+                # round-boundary resume must re-arm the escalated sample
+                # count (mid-round resume restores it through the flight's
+                # own FASO state; between rounds only this snapshot has it)
+                rs_S = int(rs.get("mc_samples", -1))
+                if rs_S > 0:
+                    objective.num_mc_samples = rs_S
+                mc_events_outer = [
+                    (int(a), int(b)) for a, b in np.asarray(
+                        rs.get("mc_events_outer",
+                               np.zeros((0, 2)))).reshape(-1, 2)
+                    if a >= 0]
             # remaining budget for the in-flight (or next) round — matches
             # what an uninterrupted run with this K_max would have given it
             K_max -= budget_spent
@@ -1326,6 +1376,12 @@ class RAABBVI(FASO):
                 "iterate_average_curr_hist": jnp.stack(
                     history["iterate_average_curr_hist"]),
                 "hists": hists,
+                # escalated sample count + cumulative event log (both -1
+                # padded: the Orbax backend refuses zero-size arrays)
+                "mc_samples": (int(objective.num_mc_samples)
+                               if self._mc_escalation is not None else -1),
+                "mc_events_outer": _pad_events(
+                    mc_events_outer, max(len(mc_events_outer), 1)),
             }
 
         while not stopped and not budget_spent_on_resume:
@@ -1346,6 +1402,7 @@ class RAABBVI(FASO):
             # only post-resume value_history, so count the difference here
             # to keep the cross-round progress offset monotone
             flight_presteps = int(flight["k"]) if flight is not None else 0
+            round_steps_offset = steps_run_total  # cumulative axis anchor
             key, key_round, key_reg = jax.random.split(key, 3)
             round_cb = None
             if progress_callback is not None:
@@ -1385,6 +1442,14 @@ class RAABBVI(FASO):
             iterate_average_curr = opt["opt_param"]
             history["iterate_average_curr_hist"].append(iterate_average_curr)
             k_new = opt["k_stopped"]
+            if len(opt.get("mc_escalation_history", ())):
+                # round-local event iterations shifted onto the cumulative
+                # steps-run axis (the round's FASO counts k from the round
+                # start — including any pre-interrupt flight steps, which
+                # round_steps_offset deliberately excludes)
+                mc_events_outer.extend(
+                    (int(ev_k) + round_steps_offset, int(ev_S))
+                    for ev_k, ev_S in np.asarray(opt["mc_escalation_history"]))
 
             history["k_Rhat"].append(
                 opt["k_Rhat"] + k_add
@@ -1484,6 +1549,9 @@ class RAABBVI(FASO):
         results["opt_param"] = iterate_average_curr
         results["k_stopped_final"] = k_stopped_final
         results["timed_out"] = timed_out
+        if self._mc_escalation is not None:
+            results["mc_escalation_history"] = np.asarray(
+                mc_events_outer, dtype=np.int64).reshape(-1, 2)
         results["k_Rhat"] = history["k_Rhat"]
         results["k_mcse"] = history["k_mcse"]
         results["k_conv"] = history["k_conv"]

@@ -177,6 +177,22 @@ class StochasticVariationalObjective(VariationalObjective):
         self._num_mc_samples = int(value)
         self._update_objective_and_grad()
 
+    def set_num_mc_samples(self, value):
+        """Change the Monte Carlo sample count mid-run (the explicit API
+        behind ``FASO(mc_escalation=...)``'s rung climbs).
+
+        Rebuilds the estimator closures so the new count takes effect at
+        the next trace.  Objectives with per-step estimator state (e.g.
+        :class:`DISInclusiveKL`) additionally reset their host-side state
+        mirror here — an optimizer threading the state explicitly must
+        re-derive it at the rung boundary via
+        :meth:`DISInclusiveKL.resize_obj_state` (FASO's escalation does).
+        """
+        self.num_mc_samples = int(value)
+        if getattr(self, "_obj_state", None) is not None:
+            # stale host-side mirror would feed old-S shapes to the new step
+            self._obj_state = None
+
 
 class ExclusiveKL(StochasticVariationalObjective):
     """Exclusive KL / negative ELBO (reference objectives.py:108-277).
@@ -770,6 +786,26 @@ class DISInclusiveKL(StochasticVariationalObjective):
             # non-finite log-weights instead
             raise ValueError("Non-finite importance weights! "
                              "Suggests overflow in importance density.")
+
+    def resize_obj_state(self, obj_state, var_param):
+        """Re-derive the threaded estimator state after a
+        ``num_mc_samples`` change (FASO's ``mc_escalation`` rung
+        boundary).
+
+        The tempering progress (``eps``) and the degeneracy flag (``ok``)
+        carry over — escalation must not restart the annealing schedule
+        or mask an already-detected weight blow-up.  Everything whose
+        shape depends on the sample count (the resampling mode's sample
+        cache and normalized weights) is rebuilt at the NEW count, and
+        the refresh clock zeroes so the next step takes the refresh
+        branch and fills the cache with new-S draws before anything
+        reads it (the same overwrite-before-read argument as
+        :meth:`reset_obj_state_rows`).
+        """
+        fresh = self.init_obj_state(var_param)
+        fresh["eps"] = obj_state["eps"]
+        fresh["ok"] = obj_state["ok"]
+        return fresh
 
     def reset_obj_state_rows(self, obj_state, idx):
         """Reset restarts ``idx`` of a BATCHED estimator state to fresh

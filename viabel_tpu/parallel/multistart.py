@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..faso import (
     _backoff_adjust,
     _candidate_windows,
+    _clamp_stat,
     _detection_geometry,
     _mcse_check,
     _now,
@@ -443,9 +444,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                 "num_mc_samples (got {})".format(type(objective).__name__))
         if stateful:
             raise ValueError(
-                "mc_escalation does not support objectives with estimator "
-                "state (DISInclusiveKL manages its own sample machinery); "
-                "escalate its samples explicitly instead")
+                "the BATCHED engine's shared mc_escalation does not yet "
+                "support objectives with estimator state (the rung "
+                "boundary would need a batched resize of every restart's "
+                "state rows); single-run FASO(mc_escalation=...) supports "
+                "DISInclusiveKL — or ladder manually between calls via "
+                "objective.set_num_mc_samples(new_S)")
         if mc_max_samples is not None and int(mc_max_samples) <= 0:
             raise ValueError('"mc_max_samples" must be positive')
         mc_max = (int(mc_max_samples) if mc_max_samples is not None
@@ -689,7 +693,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                     and int(objective.num_mc_samples) < mc_max):
                 # verdicts dispatched before the last climb are the old
                 # noise regime — they may pass above but never track
-                mc_plateau_r[b].append(float(r_hats[b, best]))
+                mc_plateau_r[b].append(_clamp_stat(r_hats[b, best]))
         if (rhat_backoff is not None and best_stats
                 and ck_k > interval_adjusted_at):
             check_interval, pull = _backoff_adjust(
@@ -796,9 +800,9 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
                         # ring-capped window: more iterations cannot widen
                         # it — a stalled MCSE/ESS gate here is an SNR wall
                         # (FASO's rule, per restart)
-                        mc_plateau_m[b].append(
+                        mc_plateau_m[b].append(_clamp_stat(
                             max(mcse_stat / mcse_thresholds[b],
-                                ESS_min / max(ess_stat, 1e-300)))
+                                ESS_min / max(ess_stat, 1e-300))))
                     total_opt = resumed_opt_time + max(
                         _now() - loop_start - mcse_time_total, 1e-9)
                     W_check[b] = int(_recheck_scale(

@@ -58,6 +58,7 @@ from ..faso import (
     _candidate_windows,
     _detection_geometry,
     _now,
+    _pad_events,
     _recheck_scale,
 )
 from ..optimizers import StochasticGradientOptimizer
@@ -76,7 +77,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                        rhat_quantile=None, rhat_backoff=None, rhat_group=None,
                        check_pipeline=4, mesh=None, restart_axis="restart",
                        resume_state=None, round_callback=None,
-                       schedule="lockstep", verbose=True, max_time=None):
+                       schedule="lockstep", verbose=True, max_time=None,
+                       mc_escalation=None, mc_max_samples=None,
+                       mc_patience=3, mc_plateau_rtol=0.05):
     """Run ``B = init_params.shape[0]`` RAABBVI optimizations batched.
 
     Parameters mirror :class:`viabel_tpu.RAABBVI` (rho / iters0 /
@@ -116,6 +119,19 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     deterministic given the snapshot; as everywhere, the wall-clock
     MCSE *recheck* schedule is the one nondeterministic input).
     ``results["resume_state"]`` carries the final snapshot.
+
+    ``mc_escalation`` / ``mc_max_samples`` / ``mc_patience`` /
+    ``mc_plateau_rtol``: the shared gradient-SNR ladder
+    (:func:`multistart_faso`), inherited through the rounds exactly like
+    single-run :class:`~viabel_tpu.RAABBVI` — the climbed
+    ``num_mc_samples`` persists on the shared objective across every
+    restart's learning-rate decays, the ceiling is pinned to
+    ``40 * S`` at RUN entry (not per round), events accumulate in
+    ``results["mc_escalation_history"]`` on the ``k_global_steps`` axis,
+    and round-boundary resume re-arms the escalated S.  Lockstep
+    schedule only (the async continuous program has no shared
+    escalation loop yet) and stateless objectives only (the batched
+    engine's restriction).
 
     ``schedule``: ``"lockstep"`` (default) or ``"async"`` — see the
     module docstring.  Async removes the per-round barrier (early
@@ -162,6 +178,11 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                          "KL (approx.supports_kl); use multistart_faso")
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
+    if mc_escalation is not None and schedule == "async":
+        raise ValueError(
+            "mc_escalation is not supported on the async schedule yet (the "
+            "continuous per-restart-clock program has no shared escalation "
+            "loop); use schedule='lockstep'")
     if schedule == "async":
         init_params = jnp.asarray(init_params)
         prelude_state = None
@@ -227,6 +248,19 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         dtype=float), (B,)).copy()
     mcse = np.broadcast_to(np.asarray(mcse_threshold, dtype=float), (B,)).copy()
 
+    if mc_escalation is not None and mc_max_samples is None:
+        # pin the escalation ceiling to the RUN's entry sample count:
+        # each round's multistart_faso would otherwise re-derive
+        # 40 * (current S) and the ceiling would creep up per round (and
+        # a resume, restoring the escalated S below, would creep it too)
+        S0 = getattr(objective, "num_mc_samples", None)
+        if S0 is None:
+            raise ValueError(
+                "mc_escalation needs an objective exposing a settable "
+                "num_mc_samples (got {})".format(type(objective).__name__))
+        mc_max_samples = 40 * int(S0)
+    mc_events_outer = []
+
     # per-restart outer state (host side; the reference's loop variables
     # optimization.py:812-917, one copy per restart)
     K_rem = np.full(B, K_max)
@@ -276,6 +310,17 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
         budget_overrun = np.asarray(
             rs.get("budget_overrun", np.zeros(B, dtype=int))).copy()
+        if mc_escalation is not None:
+            # a round-boundary resume must re-arm the escalated sample
+            # count and the cumulative event log on the fresh objective
+            rs_S = int(rs.get("mc_samples", -1))
+            if rs_S > 0:
+                objective.num_mc_samples = rs_S
+            mc_events_outer = [
+                (int(a), int(b)) for a, b in np.asarray(
+                    rs.get("mc_events_outer",
+                           np.zeros((0, 2)))).reshape(-1, 2)
+                if a >= 0]
 
     def outer_snapshot():
         """Round-boundary state: fixed-structure pytree (ragged per-
@@ -300,6 +345,12 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             "c_hist": [list(h) for h in c_hist],
             "predicted_iters_hist": [list(h) for h in pred_hist],
             "stopping_crt": [list(h) for h in crt_hist],
+            # round-boundary escalation state (-1 padded; the Orbax
+            # backend refuses zero-size arrays)
+            "mc_samples": (int(objective.num_mc_samples)
+                           if mc_escalation is not None else -1),
+            "mc_events_outer": _pad_events(
+                mc_events_outer, max(len(mc_events_outer), 1)),
         }
 
     detection_kwargs = dict(
@@ -308,6 +359,8 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         rhat_quantile=rhat_quantile, rhat_backoff=rhat_backoff,
         rhat_group=rhat_group, check_pipeline=check_pipeline,
         diagnostics=False, mesh=mesh, restart_axis=restart_axis,
+        mc_escalation=mc_escalation, mc_max_samples=mc_max_samples,
+        mc_patience=mc_patience, mc_plateau_rtol=mc_plateau_rtol,
         # every round shares one trace/compile of the segment runners and
         # batched statistics (a fresh closure per round would retrace)
         _jit_cache={})
@@ -386,6 +439,12 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             break
         n_rounds += 1
         round_len = int(opt["value_history"].shape[1])
+        if len(opt.get("mc_escalation_history", ())):
+            # round-local event iterations shifted onto the cumulative
+            # batched-step axis (k_global_steps before this round)
+            mc_events_outer.extend(
+                (int(ev_k) + k_global_steps, int(ev_S))
+                for ev_k, ev_S in np.asarray(opt["mc_escalation_history"]))
         k_global_steps += round_len
         if not averaged and not warm_round:
             # persist non-averaged SGO state across rounds (the reference
@@ -457,7 +516,7 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             print("WARNING: restarts", unfinished, "reached the iteration "
                   "budget before their stopping rule was triggered")
 
-    return {
+    results = {
         "opt_param": avg_curr,
         "k_stopped_final": k_stopped_final,
         "timed_out": timed_out,
@@ -474,6 +533,11 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         "k_global_steps": k_global_steps,
         "resume_state": snapshot,
     }
+    if mc_escalation is not None:
+        # (batched-step, new_S) rows on the cumulative k_global_steps axis
+        results["mc_escalation_history"] = np.asarray(
+            mc_events_outer, dtype=np.int64).reshape(-1, 2)
+    return results
 
 
 def _pack_optional_rows(rows, shape, dtype):
@@ -602,15 +666,19 @@ def _async_warm_prelude(sgo, K_max, objective, init_params, key, *, rho,
         n_rounds_b[b] = 1
         mcse[b] *= rho
         avg_prev[b] = avg_b
+        # end-of-round lr bookkeeping happens UNCONDITIONALLY, matching
+        # the lockstep schedule (which decays and appends before retiring
+        # an exhausted restart at the next loop top) — a restart whose
+        # budget runs out exactly after the warm round must still report
+        # the one lr*rho entry in learning_rate_hist
+        lr_hist[b].append(lr[b] * rho)
+        lr[b] *= rho
+        k_dec[b] = 1
         if K_rem[b] <= 0:
             # budget exhausted exactly between rounds
             active[b] = False
             lr[b] = 0.0
             final_avg[b] = avg_b
-            continue
-        lr_hist[b].append(lr[b] * rho)
-        lr[b] *= rho
-        k_dec[b] = 1
     return {
         "lr": lr, "mcse": mcse, "K_rem": K_rem, "k_total": k_total,
         "k_dec": k_dec, "active": active, "final_avg": final_avg,

@@ -73,8 +73,23 @@ _LANES = 1024  # 8 sublanes x 128 lanes
 
 
 def packed_width(dim):
-    """Packed minor width C: rows pack as (8, C) with 8*C = ceil(dim/1024)*1024."""
-    return ((int(dim) + _LANES - 1) // _LANES) * (_LANES // 8)
+    """Packed minor width C: rows pack as (8, C), C a multiple of 128.
+
+    The base width is ``ceil(dim/1024) * 128`` (one 128-lane block per
+    1024 coordinates).  The block count is then padded — minimally — so
+    it splits into ``ceil(blocks/8)`` equal chunks of at most 8 blocks:
+    the streamed ring statistics (``faso._mcse_check``) process the
+    minor axis in equal slabs of up to 1024 lanes, and a block count
+    with no divisor <= 8 (e.g. a prime) would otherwise degrade them to
+    128-lane slabs — hundreds of tiny sequential FFT passes under
+    ``lax.map``.  Pads are at most ``ceil(blocks/8) - 1`` blocks, are
+    constant zero, and are masked everywhere by the constant-coordinate
+    rule / ``unpack_rows``.
+    """
+    blocks = (int(dim) + _LANES - 1) // _LANES
+    n_chunks = (blocks + 7) // 8
+    per_chunk = (blocks + n_chunks - 1) // n_chunks
+    return n_chunks * per_chunk * (_LANES // 8)
 
 
 def pack_rows(x):

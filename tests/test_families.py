@@ -340,3 +340,75 @@ def test_neuralnet_elbo_recovers_gaussian():
     samples = net.sample(res["opt_param"], 200000, jax.random.PRNGKey(9))
     np.testing.assert_allclose(np.asarray(samples).mean(0), mean, atol=0.1)
     np.testing.assert_allclose(np.asarray(samples).std(0), stdev, atol=0.1)
+
+
+# ---------------------------------------------------------------------------
+# fold_affine: closed-form affine pushforward (bbvi(standardize=True) fold-back)
+# ---------------------------------------------------------------------------
+
+
+def _fold_cases():
+    d = 5
+    rng = np.random.RandomState(7)
+    mf = families.MFGaussian(d)
+    mft = families.MFStudentT(d, 20)
+    fr = families.FullRankGaussian(d)
+    mvt = families.MultivariateT(d, 30)
+    lr = families.LRGaussian(d, k=2)
+    loc_scale = rng.randn(d)
+    # order-of-magnitude heteroscedastic scales: the standardize use case
+    scale = np.exp(1.5 * rng.randn(d))
+    cases = []
+    for fam in (mf, mft):
+        vp = jnp.asarray(np.concatenate([rng.randn(d), 0.4 * rng.randn(d)]))
+        cases.append((fam, vp))
+    for fam in (fr, mvt):
+        theta = 0.3 * rng.randn(d, d)
+        vp = jnp.asarray(np.concatenate([rng.randn(d), theta.reshape(-1)]))
+        cases.append((fam, vp))
+    vp = jnp.asarray(np.concatenate([rng.randn(d), 0.4 * rng.randn(d),
+                                     0.5 * rng.randn(d * 2)]))
+    cases.append((lr, vp))
+    return [(fam, vp, jnp.asarray(loc_scale), jnp.asarray(scale))
+            for fam, vp in cases]
+
+
+@pytest.mark.parametrize("fam,vp,loc,scale", _fold_cases(),
+                         ids=lambda c: type(c).__name__
+                         if isinstance(c, families.ApproximationFamily)
+                         else None)
+def test_fold_affine_is_exact_pushforward(fam, vp, loc, scale):
+    """``fold_affine`` is the EXACT affine pushforward: the folded family's
+    reparameterized draws equal ``loc + scale * draws`` of the original
+    family under the same key (same base draws), its moments are the
+    affine-transformed moments, and the inverse affine is its own inverse."""
+    key = jax.random.PRNGKey(11)
+    folded = fam.fold_affine(vp, loc, scale)
+    x = fam.sample(vp, 64, key)
+    y = fam.sample(folded, 64, key)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(loc + scale * x),
+                               rtol=1e-10, atol=1e-10)
+    m, c = fam.mean_and_cov(vp)
+    m2, c2 = fam.mean_and_cov(folded)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(loc + scale * m),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(c2), np.asarray(scale[:, None] * c * scale[None, :]),
+        rtol=1e-10, atol=1e-12)
+    # densities transform with the |Jacobian| of the affine map
+    lp = fam.log_density(vp, x)
+    lp2 = fam.log_density(folded, loc + scale * x)
+    np.testing.assert_allclose(np.asarray(lp2),
+                               np.asarray(lp - jnp.sum(jnp.log(scale))),
+                               rtol=1e-9, atol=1e-9)
+    # unfolding restores the parameters (strict-upper Cholesky scratch is
+    # unused and untouched, so the whole flat vector round-trips)
+    back = fam.fold_affine(folded, -loc / scale, 1.0 / scale)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(vp),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fold_affine_unsupported_families_raise():
+    net = families.NeuralNet([(2, 2)], last=lambda x: x)
+    with pytest.raises(NotImplementedError, match="affine pushforward"):
+        net.fold_affine(jnp.zeros(net.var_param_dim), 0.0, 1.0)

@@ -79,7 +79,7 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
          init_var_param=None, learning_rate=0.01, key=None,
          progress_callback=None, num_restarts=None, init_var_params=None,
          init_jitter=0.0, init_method=None, pathfinder_kwargs=None,
-         multistart_kwargs=None,
+         multistart_kwargs=None, standardize=False, pilot_kwargs=None,
          RMS_kwargs=None, FASO_kwargs=None, RAABBVI_kwargs=None):
     """Fit a model using black-box variational inference
     (reference convenience.py:14-94).
@@ -148,6 +148,26 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     histories are on by default like the reference — at d=1000 full-rank
     they cost 8 MB/step, so pass ``RMS_kwargs=dict(diagnostics=False)``
     unless you need them.
+
+    Standardization (no reference counterpart): ``standardize=True`` runs
+    the :func:`pilot_standardize` mean-field pilot (tune with
+    ``pilot_kwargs``), optimizes against the pilot-standardized target,
+    and then FOLDS the fitted affine back into the family's parameters in
+    closed form (``mu = loc + scale*mu_std``, ``L = diag(scale) @ L_std``
+    — :meth:`~viabel_tpu.families.ApproximationFamily.fold_affine`), so
+    the returned ``opt_param`` and the results ``objective`` live in the
+    user's ORIGINAL coordinates and ``vi_diagnostics`` diagnoses the
+    user's target, not the pilot's.  This is the measured cure for
+    scale-heterogeneous targets where the full-rank R-hat gate stalls on
+    the weakly-curved large-scale rows (docs/benchmarks.md).  The family
+    must support ``fold_affine`` (every loc-scale family does; NeuralNet/
+    NVPFlow do not — use :func:`pilot_standardize` manually there).
+    Explicit ``init_var_param``/``init_var_params`` are interpreted in
+    the ORIGINAL space and unfolded for the standardized run; the
+    returned per-step histories (and the multistart ``opt_params``
+    companions ``init_var_params``/``restart_elbos``) remain in PILOT
+    coordinates — map a history row back with
+    ``approx.fold_affine(row, *results["standardization"]["affine"])``.
     """
     RMS_kwargs = dict(RMS_kwargs or {})
     FASO_kwargs = dict(FASO_kwargs or {})
@@ -176,6 +196,40 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
         if approx is None:
             approx = MFGaussian(dimension)
         objective = ExclusiveKL(approx, model, num_mc_samples)
+    standardization = orig_model = None
+    if standardize:
+        try:
+            jax.eval_shape(lambda vp: approx.fold_affine(
+                vp, jnp.zeros(approx.dim), jnp.ones(approx.dim)),
+                approx.init_param())
+        except NotImplementedError as exc:
+            raise ValueError(
+                "standardize=True needs a family with a closed-form affine "
+                f"pushforward; {type(approx).__name__} has none — run "
+                "pilot_standardize yourself and map draws back through "
+                "spec.constrain") from exc
+        key, pilot_key = jax.random.split(key)
+        std_model, spec, pilot_results = pilot_standardize(
+            approx.dim, model, key=pilot_key, **dict(pilot_kwargs or {}))
+        p_mu, p_log_sigma = MFGaussian(approx.dim).unpack(
+            jnp.asarray(pilot_results["opt_param"]))
+        p_scale = jnp.exp(p_log_sigma)
+        standardization = dict(affine=(p_mu, p_scale), spec=spec,
+                               pilot_results=pilot_results)
+        orig_model, model = model, std_model
+        objective.model = std_model  # setter rebuilds the grad closures
+        # explicit inits arrive in the ORIGINAL space: unfold them into
+        # pilot coordinates (the inverse affine is itself an affine)
+        inv = (-p_mu / p_scale, 1.0 / p_scale)
+        if init_var_param is not None:
+            init_var_param = approx.fold_affine(
+                jnp.asarray(init_var_param), *inv)
+        if init_var_params is not None:
+            init_var_params = jax.vmap(
+                lambda vp: approx.fold_affine(vp, *inv))(
+                    jnp.asarray(init_var_params))
+    elif pilot_kwargs is not None:
+        raise ValueError("pilot_kwargs needs standardize=True")
     if init_method is not None:
         if init_method != "pathfinder":
             raise ValueError(f"unknown init_method {init_method!r}; the one "
@@ -196,12 +250,42 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
                                              **pf_kwargs)
     elif pathfinder_kwargs is not None:
         raise ValueError("pathfinder_kwargs needs init_method='pathfinder'")
-    if num_restarts is not None or init_var_params is not None:
-        return _bbvi_multistart(
-            objective, approx, n_iters, num_restarts, init_var_params,
-            init_var_param, init_jitter, learning_rate, key, adaptive,
-            fixed_lr, progress_callback, multistart_kwargs, RMS_kwargs,
-            FASO_kwargs, RAABBVI_kwargs)
+    try:
+        if num_restarts is not None or init_var_params is not None:
+            opt_results = _bbvi_multistart(
+                objective, approx, n_iters, num_restarts, init_var_params,
+                init_var_param, init_jitter, learning_rate, key, adaptive,
+                fixed_lr, progress_callback, multistart_kwargs, RMS_kwargs,
+                FASO_kwargs, RAABBVI_kwargs)
+        else:
+            opt_results = _bbvi_single(
+                objective, approx, n_iters, init_var_param, init_jitter,
+                learning_rate, key, adaptive, fixed_lr, progress_callback,
+                RMS_kwargs, FASO_kwargs, RAABBVI_kwargs)
+    finally:
+        if standardization is not None:
+            # the results objective diagnoses the USER's target (a
+            # prebuilt objective is also restored on error)
+            objective.model = orig_model
+    if standardization is not None:
+        p_mu, p_scale = standardization["affine"]
+        if "opt_params" in opt_results:
+            opt_results["opt_params"] = jax.vmap(
+                lambda vp: approx.fold_affine(vp, p_mu, p_scale))(
+                    opt_results["opt_params"])
+            opt_results["opt_param"] = (
+                opt_results["opt_params"][opt_results["best_restart"]])
+        else:
+            opt_results["opt_param"] = approx.fold_affine(
+                jnp.asarray(opt_results["opt_param"]), p_mu, p_scale)
+        opt_results["standardization"] = standardization
+    return opt_results
+
+
+def _bbvi_single(objective, approx, n_iters, init_var_param, init_jitter,
+                 learning_rate, key, adaptive, fixed_lr, progress_callback,
+                 RMS_kwargs, FASO_kwargs, RAABBVI_kwargs):
+    """Single-restart leg of :func:`bbvi` — see its docstring."""
     if init_jitter:
         raise ValueError("init_jitter only applies to a multistart run: "
                          "pass num_restarts")

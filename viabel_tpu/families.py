@@ -196,6 +196,37 @@ class ApproximationFamily:
     def _pth_moment(self, var_param, p):
         raise NotImplementedError()
 
+    def _broadcast_affine(self, loc, scale):
+        """Validate and broadcast ``(loc, scale)`` to ``(d,)`` vectors."""
+        loc = jnp.broadcast_to(jnp.asarray(loc, dtype=jnp.result_type(float)),
+                               (self.dim,))
+        scale = jnp.broadcast_to(jnp.asarray(scale,
+                                             dtype=jnp.result_type(float)),
+                                 (self.dim,))
+        return loc, scale
+
+    def fold_affine(self, var_param, loc, scale):
+        """Parameters of the pushforward of ``q`` through ``x -> loc + scale*x``.
+
+        For location-scale families the elementwise affine map has a
+        closed-form action on the variational parameters: if ``X ~
+        q(var_param)`` then ``loc + scale * X ~ q(fold_affine(var_param,
+        loc, scale))`` EXACTLY (same family).  This is what lets
+        ``bbvi(standardize=True)`` optimize against a pilot-standardized
+        target and still return ``opt_param`` in the user's original
+        coordinates.  ``scale`` must be positive; ``loc``/``scale`` may be
+        scalars or ``(dim,)`` vectors.
+
+        No reference counterpart (the reference has no standardization
+        pipeline); the inverse map is ``fold_affine(vp, -loc/scale,
+        1/scale)``.  Families without a closed-form affine action
+        (NeuralNet, NVPFlow) raise ``NotImplementedError``.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} has no closed-form affine pushforward; "
+            "optimize in the standardized space and map draws back with "
+            "spec.constrain instead")
+
 
 # ---------------------------------------------------------------------------
 # Mean-field location/scale families: var_param = [mu (d), log_sigma (d)]
@@ -219,6 +250,13 @@ class _MeanFieldLocScale(ApproximationFamily):
     def init_param(self):
         # mu = 0, log_sigma = 2 (reference approximations.py:207-210)
         return jnp.concatenate([jnp.zeros(self.dim), 2.0 * jnp.ones(self.dim)])
+
+    def fold_affine(self, var_param, loc, scale):
+        """Exact affine pushforward: ``mu' = loc + scale*mu``,
+        ``log_sigma' = log_sigma + log scale`` (see the ABC docstring)."""
+        loc, scale = self._broadcast_affine(loc, scale)
+        mu, log_sigma = self.unpack(var_param)
+        return jnp.concatenate([loc + scale * mu, log_sigma + jnp.log(scale)])
 
     # Subclasses define mean_and_stdevs(var_param) -> (mean, stdevs), the
     # O(d) capability hook for estimators that only need marginal scales
@@ -401,6 +439,23 @@ class _CholeskyFamily(ApproximationFamily):
         positive diagonal."""
         theta = jnp.tril(L, -1) + jnp.diag(jnp.log(jnp.diagonal(L)))
         return jnp.concatenate([mu, theta.reshape(-1)])
+
+    def fold_affine(self, var_param, loc, scale):
+        """Exact affine pushforward: ``mu' = loc + scale*mu``,
+        ``L' = diag(scale) @ L`` — i.e. the stored ``theta`` gets
+        ``log scale_r`` added on the diagonal and row ``r`` of the strict
+        lower triangle scaled by ``scale_r`` (the unused strict upper is
+        left untouched).  See the ABC docstring."""
+        loc, scale = self._broadcast_affine(loc, scale)
+        d = self.dim
+        mu = var_param[:d]
+        theta = var_param[d:].reshape(d, d)
+        rows, cols = self._row_col_ids(d)
+        log_scale_r = jnp.log(scale)[:, None]
+        theta = jnp.where(rows == cols, theta + log_scale_r,
+                          jnp.where(cols < rows, theta * scale[:, None],
+                                    theta))
+        return jnp.concatenate([loc + scale * mu, theta.reshape(-1)])
 
     def _init_chol_param(self, init_log_diag):
         d = self.dim
@@ -719,6 +774,16 @@ class LRGaussian(ApproximationFamily):
         d, k = self.dim, self._k
         B = jax.random.normal(key, (d, k))
         return jnp.concatenate([jnp.zeros(d), jnp.ones(d), B.reshape(-1)])
+
+    def fold_affine(self, var_param, loc, scale):
+        """Exact affine pushforward: ``mu' = loc + scale*mu``,
+        ``log_sigma' = log_sigma + log scale``, ``B' = diag(scale) @ B``
+        (see the ABC docstring)."""
+        loc, scale = self._broadcast_affine(loc, scale)
+        mu, log_sigma, B = self.unpack(var_param)
+        return jnp.concatenate([loc + scale * mu,
+                                log_sigma + jnp.log(scale),
+                                (scale[:, None] * B).reshape(-1)])
 
     def sample(self, var_param, n_samples, key):
         mu, log_sigma, B = self.unpack(var_param)

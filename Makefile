@@ -1,6 +1,6 @@
 # Development targets (reference Makefile:1-12 parity: lint + test).
 
-.PHONY: lint test test-fast bench native notebooks docs clean
+.PHONY: lint test test-fast bench native notebooks examples docs clean
 
 # enforced (non-zero exit on findings) — unlike the reference's advisory gate.
 # check_docs.py is the sphinx-free docs gate: RST structure + import-resolved
@@ -11,6 +11,12 @@ lint:
 
 notebooks:
 	python tools/run_notebooks.py
+
+# execution receipts for examples/*.py: each script RUNS in a subprocess at
+# a smoke budget (VIABEL_EXAMPLES_SCALE, examples/_smoke.py); also in the
+# slow test tier (tests/test_examples.py)
+examples:
+	python tools/run_examples.py
 
 # Sphinx docs (reference docs/source + RTD parity).  sphinx is not in the
 # dev image; install docs/requirements.txt first.

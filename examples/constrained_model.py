@@ -23,6 +23,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget, full
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,13 +66,13 @@ model = tr.TransformedModel(log_density, spec)
 print(f"unconstrained dimension: {spec.dim}  (blocks: {spec.names})")
 
 results = bbvi(spec.dim, log_density=model, num_mc_samples=20,
-               learning_rate=0.1, n_iters=20000,
+               learning_rate=0.1, n_iters=budget(20000, 1500),
                key=jax.random.PRNGKey(1))
 
 # --- report in the CONSTRAINED space ------------------------------------
 from viabel_tpu import MFGaussian
 
-draws = MFGaussian(spec.dim).sample(results["opt_param"], 50_000,
+draws = MFGaussian(spec.dim).sample(results["opt_param"], budget(50_000, 2000),
                                     key=jax.random.PRNGKey(2))
 post = spec.constrain(draws)
 w_mean = np.asarray(jnp.mean(post["w"], axis=0))
@@ -78,6 +80,7 @@ sigma_mean = float(jnp.mean(post["sigma"]))
 
 print(f"posterior mean weights: {np.round(w_mean, 3)}  (true {TRUE_W})")
 print(f"posterior mean sigma:   {sigma_mean:.3f}        (true {TRUE_SIGMA})")
-assert abs(sigma_mean - TRUE_SIGMA) < 0.3
-assert np.all(np.abs(w_mean - TRUE_W) < 0.1)
+if full():  # accuracy gates only at the full documented budget
+    assert abs(sigma_mean - TRUE_SIGMA) < 0.3
+    assert np.all(np.abs(w_mean - TRUE_W) < 0.1)
 print("OK")

@@ -29,6 +29,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget, full
+
 import time
 
 import jax
@@ -46,7 +48,7 @@ from viabel_tpu.parallel import (
 
 
 def main():
-    d = 1000
+    d = 1000 if full() else 64  # smoke runs shrink the flagship dim
     approx = FullRankGaussian(d)
     model, _ = zoo.logistic_regression(dim=d, n_data=512)
 
@@ -54,10 +56,11 @@ def main():
     objective = ExclusiveKL(approx, model, 10)
     opt = RMSProp(0.001)
     t0 = time.perf_counter()
-    results = opt.optimize(2000, objective, approx.init_param().astype(jnp.float32),
+    results = opt.optimize(budget(2000, 100), objective,
+                           approx.init_param().astype(jnp.float32),
                            key=jax.random.PRNGKey(0))
     dt = time.perf_counter() - t0
-    print(f"single chip: 2000 iters in {dt:.2f}s "
+    print(f"single chip: {budget(2000, 100)} iters in {dt:.2f}s "
           f"(final ELBO {-float(results['value_history'][-1]):.1f})")
 
     # -- sharded MC gradient ---------------------------------------------------
@@ -73,13 +76,13 @@ def main():
     small_model, _ = zoo.logistic_regression(dim=32, n_data=128)
     obj_small = ExclusiveKL(small, small_model, 16)
     inits = jnp.tile(small.init_param(), (8, 1))
-    res = multistart_optimize(RMSProp(0.05), 1000, obj_small, inits,
+    res = multistart_optimize(RMSProp(0.05), budget(1000, 200), obj_small, inits,
                               jax.random.PRNGKey(1))
     finals = np.asarray(res["value_history"][:, -1])
     print("8 restarts, final losses:", np.round(finals, 2))
 
     # -- multistart with per-restart convergence detection ---------------------
-    res = multistart_faso(RMSProp(0.05), 4000, obj_small, inits,
+    res = multistart_faso(RMSProp(0.05), budget(4000, 600), obj_small, inits,
                           jax.random.PRNGKey(2), W_min=200,
                           mcse_threshold=0.2, max_history=1000)
     print("detected multistart, k_stopped per restart:", res["k_stopped"])
@@ -87,7 +90,7 @@ def main():
     # diagnostics=True streams FASO's full history contract batched over
     # restarts (per-step grads, per-check iterate averages and ESS/MCSE);
     # costly at large d — demonstrated here at the small config
-    res = multistart_faso(RMSProp(0.05), 1500, obj_small, inits,
+    res = multistart_faso(RMSProp(0.05), budget(1500, 400), obj_small, inits,
                           jax.random.PRNGKey(2), W_min=200,
                           mcse_threshold=0.2, max_history=1000,
                           diagnostics=True)

@@ -29,6 +29,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget
+
 import time
 
 import jax
@@ -65,7 +67,7 @@ def log_lik(beta, batch):
 
 
 def main():
-    n_data = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_data = int(sys.argv[1]) if len(sys.argv) > 1 else budget(200_000, 5_000)
     dim, batch_size, S = 50, 512, 10
     x, y, beta_true = make_data(n_data, dim)
     approx = MFGaussian(dim)
@@ -74,7 +76,7 @@ def main():
     # -- exact full-data objective (every step reads all n rows) -----------
     full_model = Model(lambda b: log_prior(b) + log_lik(b, (x, y)))
     obj_full = ExclusiveKL(approx, full_model, S, use_path_deriv=True)
-    n_iters = 2000
+    n_iters = budget(2000, 200)
     t0 = time.perf_counter()
     res = RMSProp(0.02).optimize(n_iters, obj_full, init,
                                  key=jax.random.PRNGKey(0))
@@ -99,9 +101,10 @@ def main():
           f"max |diff| = {np.abs(mean_full - mean_sub).max():.3f}")
 
     # -- convergence detection on the minibatch objective -------------------
-    res = FASO(RMSProp(0.02), W_min=200, mcse_threshold=0.3,
-               max_history=4000).optimize(20_000, obj_sub, init,
-                                          key=jax.random.PRNGKey(1))
+    faso = FASO(RMSProp(0.02), W_min=200, mcse_threshold=0.3,
+                max_history=min(4000, budget(4000, 800)))
+    res = faso.optimize(budget(20_000, 800), obj_sub, init,
+                        key=jax.random.PRNGKey(1))
     if res["k_stopped"] is not None:
         stop = f"termination rule reached at k={res['k_stopped']}"
     else:

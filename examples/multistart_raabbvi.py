@@ -25,6 +25,13 @@ Run: ``python examples/multistart_raabbvi.py`` (a few minutes on CPU;
 seconds on a TPU chip).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from _smoke import budget
+
 import numpy as np
 
 import jax
@@ -49,8 +56,10 @@ def main():
     lr_grid = jnp.asarray(np.geomspace(0.1, 0.4, B))
 
     results = multistart_raabbvi(
-        AveragedRMSProp(0.2), 20000, objective, inits, jax.random.PRNGKey(0),
-        learning_rate=lr_grid, mcse_threshold=0.1, max_history=2000,
+        AveragedRMSProp(0.2), budget(20000, 1000), objective, inits,
+        jax.random.PRNGKey(0),
+        learning_rate=lr_grid, mcse_threshold=0.1,
+        max_history=min(2000, budget(2000, 500)),
         schedule="async")
 
     print("\nper-restart outcomes "

@@ -22,6 +22,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget
+
 import numpy as np
 
 import jax
@@ -48,7 +50,7 @@ print("pathfinder sketch: best path point", int(res["best_l"]),
 # -- 2. the warm start vs the zero init -------------------------------------
 for label, init_method in (("zero init", None), ("pathfinder", "pathfinder")):
     out = bbvi(d, log_density=model, approx=FullRankGaussian(d),
-               adaptive=True, fixed_lr=True, n_iters=20000,
+               adaptive=True, fixed_lr=True, n_iters=budget(20000, 1500),
                num_mc_samples=100, learning_rate=0.02,
                key=jax.random.PRNGKey(1), init_method=init_method,
                RMS_kwargs=dict(diagnostics=False))

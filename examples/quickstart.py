@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget  # smoke-budget knob (see examples/_smoke.py)
+
 import jax
 
 from viabel_tpu import bbvi, vi_diagnostics
@@ -24,7 +26,8 @@ def main():
 
     # RAABBVI (the default): decays the learning rate until the predicted
     # accuracy gain no longer justifies the predicted iteration cost.
-    results = bbvi(dim, log_density=model, learning_rate=0.5, n_iters=30000,
+    results = bbvi(dim, log_density=model, learning_rate=0.5,
+                   n_iters=budget(30000, 1000),
                    key=jax.random.PRNGKey(0))
     print("\noptimal variational parameter:", results["opt_param"])
 
@@ -33,7 +36,7 @@ def main():
     # notebook reports 0.77).
     diagnostics = vi_diagnostics(results["opt_param"],
                                  objective=results["objective"],
-                                 n_samples=100000)
+                                 n_samples=budget(100000, 5000))
     print("\nkhat =", float(diagnostics["khat"]))
 
 

@@ -15,6 +15,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from _smoke import budget
+
 import jax
 import numpy as np
 
@@ -27,15 +29,17 @@ def main():
 
     print("=== mean-field Gaussian ===")
     mf_results = bbvi(dim, log_density=model, num_mc_samples=50,
-                      n_iters=10000, key=jax.random.PRNGKey(0))
-    vi_diagnostics(mf_results["opt_param"], objective=mf_results["objective"])
+                      n_iters=budget(10000, 800), key=jax.random.PRNGKey(0))
+    vi_diagnostics(mf_results["opt_param"], objective=mf_results["objective"],
+                   n_samples=budget(100000, 5000))
 
     print("\n=== full-rank multivariate-t (df=100) ===")
     t_results = bbvi(dim, log_density=model, approx=MultivariateT(dim, 100),
-                     num_mc_samples=100, n_iters=2500, adaptive=True,
+                     num_mc_samples=100, n_iters=budget(2500, 400), adaptive=True,
                      fixed_lr=True, key=jax.random.PRNGKey(1))
     diag = vi_diagnostics(t_results["opt_param"],
-                          objective=t_results["objective"])
+                          objective=t_results["objective"],
+                          n_samples=budget(100000, 5000))
 
     approx = t_results["objective"].approx
     mean, cov = approx.mean_and_cov(t_results["opt_param"])

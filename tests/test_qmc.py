@@ -356,5 +356,12 @@ def test_antithetic_parity_tradeoff():
     mc_mu, mc_ls = block_vars(MFGaussian(d))
     a_mu, a_ls = block_vars(
         MFGaussian(d, base_sampler=qmc.AntitheticNormal()))
-    assert a_mu < 1e-12 * mc_mu          # measured: exact cancellation
+    # cancellation is exact up to floating-point association, so the gate
+    # must track the dtype: 1e-12 relative holds in the suite's x64
+    # config but NOT under f32 (a bare run without tests/conftest.py —
+    # e.g. on the TPU backend — rounds at ~1e-7 per term, which is how
+    # this test once landed in .pytest_cache/v/cache/lastfailed while
+    # passing every in-suite rerun; root-caused round 5)
+    cancel_tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+    assert a_mu < cancel_tol * mc_mu     # measured: exact cancellation
     assert a_ls < 3.0 * mc_ls            # measured: ~2.0x, never free

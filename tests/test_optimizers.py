@@ -1134,3 +1134,28 @@ def test_multistart_raabbvi_async_resume_matches_uninterrupted(
             == full["n_rounds_per_restart"])
     # k is global: the resumed run reports the cumulative step count
     assert resumed["k_global_steps"] == full["k_global_steps"]
+
+
+def test_rhat_backoff_detection_equivalence_fast_targets():
+    """Pins the round-5 equivalence receipt (docs/benchmarks.md "Adaptive
+    check cadence — equivalence experiment"): on fast-approach targets the
+    opt-in ``rhat_backoff`` cadence leaves ``(k_conv, k_stopped)``
+    IDENTICAL to the reference every-``k_check`` cadence at every factor —
+    the first verdict already lands near the gate, so the interval never
+    doubles.  (On slow approaches it is NOT equivalent — measured 7-35%
+    later stops — which is exactly why the knob stays opt-in; see the
+    roadmap decision entry.)"""
+    true_value = np.arange(3, dtype=float)
+    rng = np.random.RandomState(0)
+    init = jnp.asarray(true_value + rng.randn(3))
+
+    outcomes = {}
+    for backoff in (None, 2.0, 1.4, 1.1):
+        opt = FASO(RMSProp(0.05, diagnostics=False), W_min=200,
+                   mcse_threshold=0.1, rhat_backoff=backoff)
+        res = opt.optimize(6000, DummyObjective(true_value, noise=0.2),
+                           init, key=jax.random.PRNGKey(0))
+        outcomes[backoff] = (res["k_conv"], res["k_stopped"])
+    assert outcomes[None][1] is not None  # the base run terminates
+    for backoff, outcome in outcomes.items():
+        assert outcome == outcomes[None], (backoff, outcomes)

@@ -408,12 +408,13 @@ def test_bbvi_arms_mc_escalation_by_default():
                            num_restarts=2)
     assert "mc_escalation_history" in res
 
-    # ... but never on the async schedule (no shared escalation loop)
+    # ... and the async schedule's continuous program (round 5)
     res = convenience.bbvi(2, **common, adaptive=True, fixed_lr=False,
                            num_restarts=2,
                            multistart_kwargs=dict(schedule="async",
                                                   verbose=False))
-    assert "mc_escalation_history" not in res
+    assert "mc_escalation_history" in res
+    assert len(res["mc_escalation_history"]) == 0  # healthy: no climbs
 
 
 def test_bbvi_standardize_folds_back_to_original_space():

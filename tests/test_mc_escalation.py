@@ -144,10 +144,13 @@ def test_mc_escalation_resume_matches_uninterrupted(monkeypatch, tmp_path):
 def _stub_dense_clock_everywhere(monkeypatch):
     import viabel_tpu.faso as faso_mod
     import viabel_tpu.parallel.multistart as ms_mod
+    import viabel_tpu.parallel.raabbvi as mr_mod
 
     _stub_dense_clock(monkeypatch)
     monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
     monkeypatch.setattr(ms_mod, "Timer", faso_mod.Timer)
+    monkeypatch.setattr(mr_mod, "_now", faso_mod._now)
+    monkeypatch.setattr(mr_mod, "Timer", faso_mod.Timer)
 
 
 def test_multistart_b1_escalation_matches_faso(monkeypatch):
@@ -262,21 +265,131 @@ def test_mc_escalation_validation():
     with pytest.raises(ValueError, match="num_mc_samples"):
         _make_opt(mc_escalation=4.0).optimize(400, NoKnob(), jnp.zeros(2))
 
-    # single-run FASO ACCEPTS stateful objectives since round 5 (the rung
-    # boundary re-derives the threaded state; see the DIS tests below) —
-    # the BATCHED engine still rejects them with migration guidance
+
+def test_batched_resize_falls_back_to_init_without_hook(monkeypatch):
+    """A stateful objective WITHOUT a resize_obj_state hook escalates in
+    the batched engine too — the rung boundary falls back to a
+    from-scratch ``init_obj_state`` per restart (single-run FASO's
+    fallback, batched), so the ladder still climbs and the state shapes
+    stay consistent with the new count."""
+    from viabel_tpu.parallel import multistart_faso
+
     class Stateful(SNRObjective):
         def init_obj_state(self, vp):
-            return {"calls": jnp.zeros(1)}
+            # shape tracks the sample count, like DIS's caches
+            return {"calls": jnp.zeros(()),
+                    "buf": jnp.zeros(self.num_mc_samples)}
 
         def value_and_grad_with_state(self, vp, key, state):
             v, g = self.value_and_grad(vp, key)
-            return v, g, {"calls": state["calls"] + 1}
+            return v, g, {"calls": state["calls"] + 1, "buf": state["buf"]}
 
+    _stub_dense_clock_everywhere(monkeypatch)
+    obj = Stateful(4)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    res = multistart_faso(RMSProp(0.05), 8000, obj, inits,
+                          jax.random.PRNGKey(0), W_min=200, ESS_min=60,
+                          mcse_threshold=0.2, max_history=800,
+                          mc_escalation=4.0, mc_max_samples=256)
+    events = res["mc_escalation_history"]
+    assert len(events) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 4
+    # the snapshot's state rides at the NEW count's shapes
+    assert res["resume_state"]["obj_states"]["buf"].shape == (
+        2, obj.num_mc_samples)
+    assert res["obj_state_errors"] == [None, None]
+
+
+def _make_dis(S):
+    from viabel_tpu import DISInclusiveKL, MFGaussian
+    from viabel_tpu.models import zoo
+
+    dim = 2
+    model, _ = zoo.diagonal_gaussian(np.zeros(dim), np.ones(dim))
+    approx = MFGaussian(dim)
+    return approx, DISInclusiveKL(approx, model, S, ess_target=S // 2,
+                                  temper_prior=MFGaussian(dim),
+                                  temper_prior_params=np.zeros(2 * dim))
+
+
+def test_multistart_b1_dis_escalation_matches_faso(monkeypatch):
+    """B=1 multistart_faso with a STATEFUL objective (DIS) reproduces
+    single FASO's escalation exactly — the batched rung-boundary resize
+    (engine.resize_obj_states) is single-run FASO's resize_obj_state per
+    restart, so the ladder, the re-derived estimator state, and the
+    iterates all agree.  A permissive plateau rule forces climbs
+    without SNR-physics calibration (the DIS-composes test's recipe)."""
     from viabel_tpu.parallel import multistart_faso
-    with pytest.raises(ValueError, match="set_num_mc_samples"):
-        multistart_faso(RMSProp(0.05), 400, Stateful(4), jnp.zeros((2, 2)),
-                        jax.random.PRNGKey(0), mc_escalation=4.0)
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=1e-4, max_history=400,
+              mc_escalation=4.0, mc_max_samples=128, mc_patience=2,
+              mc_plateau_rtol=0.9)
+    key = jax.random.PRNGKey(0)
+
+    approx, obj_s = _make_dis(8)
+    res_s = FASO(RMSProp(0.05), **kw).optimize(
+        3000, obj_s, approx.init_param(), key=jax.random.split(key, 1)[0])
+    _, obj_m = _make_dis(8)
+    res_m = multistart_faso(RMSProp(0.05), 3000, obj_m,
+                            approx.init_param()[None], key, **kw)
+    assert len(res_s["mc_escalation_history"]) >= 1
+    np.testing.assert_array_equal(res_m["mc_escalation_history"],
+                                  res_s["mc_escalation_history"])
+    assert obj_m.num_mc_samples == obj_s.num_mc_samples > 8
+    np.testing.assert_allclose(np.asarray(res_m["opt_param"][0]),
+                               np.asarray(res_s["opt_param"]), rtol=1e-8)
+    # the resized states agree too (per-restart leaves vs single run)
+    st_m = res_m["resume_state"]["obj_states"]
+    st_s = res_s["resume_state"]["obj_state"]
+    assert st_m["samples"].shape == (1,) + st_s["samples"].shape
+    np.testing.assert_allclose(np.asarray(st_m["eps"][0]),
+                               np.asarray(st_s["eps"]), rtol=1e-12)
+
+
+def test_multistart_dis_escalation_and_resume(monkeypatch, tmp_path):
+    """B=2 DIS restarts under the shared ladder: each rung re-derives
+    BOTH restarts' estimator-state rows at the new count (per-restart
+    tempering eps preserved, caches rebuilt at new-S shapes), and an
+    interrupt mid-ladder resumes bit-exactly through an .npz round trip
+    (the resized state rides the snapshot)."""
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_faso
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=1e-4, max_history=400,
+              mc_escalation=4.0, mc_max_samples=128, mc_patience=2,
+              mc_plateau_rtol=0.9)
+    key = jax.random.PRNGKey(0)
+    approx, obj = _make_dis(8)
+    rng = np.random.RandomState(3)
+    inits = jnp.asarray(approx.init_param()
+                        + 0.1 * rng.randn(2, approx.var_param_dim))
+
+    full = multistart_faso(RMSProp(0.05), 3000, obj, inits, key, **kw)
+    events = full["mc_escalation_history"]
+    assert len(events) >= 2
+    st = full["resume_state"]["obj_states"]
+    assert st["samples"].shape == (2, obj.num_mc_samples, 2)
+    assert st["eps"].shape == (2,)  # per-restart eps survives every rung
+    assert full["obj_state_errors"] == [None, None]
+
+    k_cut = int(events[0, 0]) + 400
+    _, obj2 = _make_dis(8)
+    part = multistart_faso(RMSProp(0.05), k_cut, obj2, inits, key, **kw)
+    assert len(part["mc_escalation_history"]) >= 1
+    assert obj2.num_mc_samples > 8
+    path = str(tmp_path / "dis_esc.npz")
+    save_pytree(path, part["resume_state"])
+    restored = load_pytree(path, like=part["resume_state"])
+
+    _, obj3 = _make_dis(8)  # resume restores the escalated S + state
+    res = multistart_faso(RMSProp(0.05), 3000, obj3, inits, key,
+                          resume_state=restored, **kw)
+    np.testing.assert_array_equal(res["mc_escalation_history"], events)
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-8)
+    assert obj3.num_mc_samples == obj.num_mc_samples
 
 
 def test_infinite_plateau_stats_survive_resume_roundtrip():
@@ -481,8 +594,7 @@ def test_multistart_raabbvi_lockstep_inherits_escalation(monkeypatch):
     """Lockstep multistart_raabbvi inherits the shared ladder through its
     rounds: both restarts' SNR walls climb the shared S, rounds then
     complete at the escalated count, the ceiling stays pinned to the
-    RUN-entry 40*S, and events land on the k_global_steps axis.  The
-    async schedule rejects the knob explicitly."""
+    RUN-entry 40*S, and events land on the k_global_steps axis."""
     from viabel_tpu.parallel import multistart_raabbvi
 
     _stub_dense_clock_everywhere(monkeypatch)
@@ -506,7 +618,74 @@ def test_multistart_raabbvi_lockstep_inherits_escalation(monkeypatch):
     # the snapshot carries the escalated S for round-boundary resume
     assert int(res["resume_state"]["mc_samples"]) == obj.num_mc_samples
 
-    with pytest.raises(ValueError, match="async"):
-        multistart_raabbvi(RMSProp(0.05), 1000, SNRObjectiveKL(4), inits,
-                           jax.random.PRNGKey(0), schedule="async",
-                           mc_escalation=4.0, **kw)
+
+def test_multistart_raabbvi_async_escalation(monkeypatch):
+    """The ASYNC schedule ladders too (round 5): the continuous program's
+    shared S climbs when every live restart's round-local gate tracker
+    has plateaued, both restarts then terminate at the escalated count,
+    the ceiling stays pinned to the run-entry 40*S, and events land on
+    the global step axis in the results."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1)
+
+    obj = SNRObjectiveKL(4)
+    res = multistart_raabbvi(RMSProp(0.05), 20000, obj, inits,
+                             jax.random.PRNGKey(0), schedule="async",
+                             mc_escalation=4.0, verbose=False, **kw)
+    events = res["mc_escalation_history"]
+    assert len(events) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 4
+    assert obj.num_mc_samples <= 40 * 4  # run-entry ceiling, no creep
+    assert all(events[i, 0] <= events[i + 1, 0]
+               for i in range(len(events) - 1))
+    # rounds completed at the escalated S: every restart decayed its lr
+    assert all(len(h) >= 1 for h in res["learning_rate_hist"])
+    # the segment-granular snapshot carries the whole ladder state
+    assert int(res["resume_state"]["mc_samples"]) == obj.num_mc_samples
+
+
+def test_multistart_raabbvi_async_escalation_resume(monkeypatch, tmp_path):
+    """Resume the async continuous program from a mid-run
+    ``round_callback`` snapshot (the async elastic-recovery surface),
+    round-tripped through .npz: the resumed run must reproduce the full
+    run's ladder and iterates exactly — the segment-granular snapshot
+    carries the plateau trackers, the escalated S, and the event log,
+    and a fresh objective constructed at the ORIGINAL S is re-armed."""
+    from viabel_tpu.checkpoint import load_pytree, save_pytree
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1,
+              schedule="async", mc_escalation=4.0, verbose=False)
+
+    snapshots = []
+    obj = SNRObjectiveKL(4)
+    full = multistart_raabbvi(
+        RMSProp(0.05), 20000, obj, inits, jax.random.PRNGKey(0),
+        round_callback=lambda n, snap: snapshots.append(
+            (n, jax.tree_util.tree_map(lambda x: x, snap))), **kw)
+    events = full["mc_escalation_history"]
+    assert len(events) >= 1 and snapshots
+
+    # resume from the FIRST round-advancement snapshot (taken while the
+    # ladder was still mid-climb for at least one restart)
+    snap = snapshots[0][1]
+    path = str(tmp_path / "async_esc.npz")
+    save_pytree(path, snap)
+    restored = load_pytree(path, like=snap)
+
+    obj2 = SNRObjectiveKL(4)  # resume restores the escalated S
+    res = multistart_raabbvi(RMSProp(0.05), 20000, obj2, inits,
+                             jax.random.PRNGKey(0),
+                             resume_state=restored, **kw)
+    np.testing.assert_array_equal(res["mc_escalation_history"], events)
+    assert res["k_stopped_final"] == full["k_stopped_final"]
+    np.testing.assert_allclose(np.asarray(res["opt_param"]),
+                               np.asarray(full["opt_param"]), rtol=1e-10)
+    assert obj2.num_mc_samples == obj.num_mc_samples

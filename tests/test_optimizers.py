@@ -552,10 +552,13 @@ def _stub_clock_everywhere(monkeypatch):
     import viabel_tpu.parallel.raabbvi as mr_mod
     _stub_clock(monkeypatch)
     monkeypatch.setattr(ms_mod, "_now", faso_mod._now)
-    # the batched MCSE check times itself with the same Timer as FASO
-    # (its interval feeds the recheck growth — B=1 parity needs the stub)
+    # the batched MCSE checks time themselves with the same Timer as
+    # FASO (the interval feeds the recheck growth — B=1 parity needs the
+    # stub); the TickingTimer is bit-equivalent to the _now() pair the
+    # async driver once used, so this changes nothing for those tests
     monkeypatch.setattr(ms_mod, "Timer", faso_mod.Timer)
     monkeypatch.setattr(mr_mod, "_now", faso_mod._now)
+    monkeypatch.setattr(mr_mod, "Timer", faso_mod.Timer)
 
 
 def test_multistart_raabbvi_b1_matches_single(monkeypatch):

@@ -379,17 +379,10 @@ def _bbvi_multistart(objective, approx, n_iters, num_restarts, init_var_params,
 
     def _arm_default_escalation(kwargs):
         # same defaults-must-converge rationale as the single-run paths;
-        # the batched engines additionally need a stateless objective and
-        # (for multistart_raabbvi) the lockstep schedule
-        if ("mc_escalation" in kwargs
-                or kwargs.get("schedule", "lockstep") == "async"
-                or getattr(objective, "num_mc_samples", None) is None):
-            return kwargs
-        state_shape = jax.eval_shape(
-            lambda vp: (objective.init_obj_state(vp)
-                        if hasattr(objective, "init_obj_state") else ()),
-            init_var_params[0])
-        if not jax.tree_util.tree_leaves(state_shape):
+        # every batched engine (lockstep AND async schedules, stateful
+        # objectives included) carries the shared ladder since round 5
+        if ("mc_escalation" not in kwargs
+                and getattr(objective, "num_mc_samples", None) is not None):
             kwargs["mc_escalation"] = 4.0
         return kwargs
 

@@ -269,6 +269,33 @@ class _BatchedEngine:
         return self.unbatch_shared(
             jax.vmap(partial(_obj_init_state, self._objective))(init_params))
 
+    def resize_obj_states(self, obj_states, var_params):
+        """Batched re-derivation of the estimator state at the objective's
+        NEW sample count (the shared ``mc_escalation`` rung boundary).
+
+        Each restart's row goes through the objective's single-run
+        ``resize_obj_state`` hook — exactly what single-run FASO's
+        escalate does, so B=1 reproduces it (``init_obj_state`` from
+        scratch when the objective has no hook) — then the rows restack
+        and shared-axis leaves collapse back to one copy (for DIS that
+        shared leaf is the refresh clock, which every resized row zeroes
+        anyway so the next batched step refills the caches with new-S
+        draws before anything reads them).  Host-side per-restart loop:
+        rung climbs are rare and B is small, so B tiny dispatches beat
+        threading a shape-CHANGING resize through the jitted path."""
+        if not self.stateful:
+            return ()
+        resize = getattr(self._objective, "resize_obj_state", None)
+        rows = []
+        for b in range(self.B):
+            state_b = self.per_restart_state(obj_states, b)
+            rows.append(resize(state_b, var_params[b])
+                        if resize is not None
+                        else _obj_init_state(self._objective, var_params[b]))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *rows)
+        return self.unbatch_shared(stacked)
+
     def check_obj_states(self, obj_states, obj_errors, k):
         """Host validity hook per restart (DIS raises on degenerate
         weights at segment boundaries).  Fetch only the small (<= 1-D,
@@ -369,8 +396,12 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
     not yet ring-capped, holds the rung); each climb recompiles the
     batched segment once and resets the shared check cadence and every
     live restart's MCSE recheck horizon.  Requires a settable
-    ``objective.num_mc_samples`` and a stateless objective, like FASO.
-    Events land in ``results["mc_escalation_history"]``.
+    ``objective.num_mc_samples``, like FASO; objectives with estimator
+    state work too — the rung boundary re-derives every restart's state
+    row through the objective's ``resize_obj_state`` hook
+    (:class:`~viabel_tpu.DISInclusiveKL` keeps its per-restart tempering
+    ``eps`` and degeneracy flag across climbs).  Events land in
+    ``results["mc_escalation_history"]``.
 
     Returns a dict with ``opt_param`` (B, D), per-restart ``k_conv`` /
     ``k_Rhat`` / ``k_stopped`` lists (None where not reached),
@@ -442,14 +473,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
             raise ValueError(
                 "mc_escalation needs an objective exposing a settable "
                 "num_mc_samples (got {})".format(type(objective).__name__))
-        if stateful:
-            raise ValueError(
-                "the BATCHED engine's shared mc_escalation does not yet "
-                "support objectives with estimator state (the rung "
-                "boundary would need a batched resize of every restart's "
-                "state rows); single-run FASO(mc_escalation=...) supports "
-                "DISInclusiveKL — or ladder manually between calls via "
-                "objective.set_num_mc_samples(new_S)")
+        # objectives with estimator state escalate too: the rung boundary
+        # re-derives every restart's state row at the new sample count
+        # (engine.resize_obj_states — DIS keeps its tempering eps and
+        # degeneracy flag per restart, like single-run FASO's escalate)
         if mc_max_samples is not None and int(mc_max_samples) <= 0:
             raise ValueError('"mc_max_samples" must be positive')
         mc_max = (int(mc_max_samples) if mc_max_samples is not None
@@ -608,7 +635,7 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         # EVERY still-running restart's binding gate statistic has
         # plateaued (FASO's per-phase rule, evaluated per restart)
         nonlocal mc_escalated_at, check_interval, next_check_at
-        nonlocal interval_adjusted_at
+        nonlocal interval_adjusted_at, obj_states
         if mc_escalation is None or int(objective.num_mc_samples) >= mc_max:
             return
         live = [b for b in range(B) if k_stopped[b] < 0]
@@ -623,6 +650,10 @@ def multistart_faso(sgo, n_iters, objective, init_params, key, *,
         new_S = min(int(np.ceil(objective.num_mc_samples * mc_escalation)),
                     mc_max)
         objective.num_mc_samples = new_S
+        if stateful:
+            # re-derive every restart's estimator-state row at the new
+            # count (single-run FASO's escalate, batched)
+            obj_states = engine.resize_obj_states(obj_states, var_params)
         mc_escalated_at = k
         mc_events.append((k, new_S))
         for b in range(B):

@@ -56,13 +56,15 @@ from ..faso import (
     RAABBVI,
     _backoff_adjust,
     _candidate_windows,
+    _clamp_stat,
     _detection_geometry,
     _now,
     _pad_events,
+    _pad_tail,
     _recheck_scale,
 )
 from ..optimizers import StochasticGradientOptimizer
-from ..utils import packed_width, unpack_rows
+from ..utils import Timer, packed_width, unpack_rows
 from .multistart import _BatchedEngine, multistart_faso
 
 __all__ = ["multistart_raabbvi"]
@@ -128,10 +130,18 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
     restart's learning-rate decays, the ceiling is pinned to
     ``40 * S`` at RUN entry (not per round), events accumulate in
     ``results["mc_escalation_history"]`` on the ``k_global_steps`` axis,
-    and round-boundary resume re-arms the escalated S.  Lockstep
-    schedule only (the async continuous program has no shared
-    escalation loop yet) and stateless objectives only (the batched
-    engine's restriction).
+    and round-boundary resume re-arms the escalated S.  The async
+    schedule ladders too: plateau trackers are per restart and
+    ROUND-LOCAL (cleared when a restart advances its round, the
+    continuous-program analogue of each round's FASO re-arming fresh
+    trackers), the climb rule stays "every live restart's binding gate
+    has plateaued", events land on the same global-step axis, and the
+    segment-granular snapshot carries the whole ladder state so resume
+    is bit-exact mid-ladder.  With ``init_rmsprop`` the warm lockstep
+    round ladders as well, and its climbed S seeds the continuous
+    program.  Stateful objectives ride along on both schedules — each
+    rung re-derives every restart's estimator-state row through
+    ``resize_obj_state`` (the batched engine's resize).
 
     ``schedule``: ``"lockstep"`` (default) or ``"async"`` — see the
     module docstring.  Async removes the per-round barrier (early
@@ -178,11 +188,18 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                          "KL (approx.supports_kl); use multistart_faso")
     if schedule not in ("lockstep", "async"):
         raise ValueError('"schedule" must be "lockstep" or "async"')
-    if mc_escalation is not None and schedule == "async":
-        raise ValueError(
-            "mc_escalation is not supported on the async schedule yet (the "
-            "continuous per-restart-clock program has no shared escalation "
-            "loop); use schedule='lockstep'")
+    if mc_escalation is not None and mc_max_samples is None:
+        # pin the escalation ceiling to the RUN's entry sample count
+        # (shared by both schedules): each lockstep round's
+        # multistart_faso would otherwise re-derive 40 * (current S) and
+        # the ceiling would creep up per round (and a resume, restoring
+        # the escalated S, would creep it too)
+        S0 = getattr(objective, "num_mc_samples", None)
+        if S0 is None:
+            raise ValueError(
+                "mc_escalation needs an objective exposing a settable "
+                "num_mc_samples (got {})".format(type(objective).__name__))
+        mc_max_samples = 40 * int(S0)
     if schedule == "async":
         init_params = jnp.asarray(init_params)
         prelude_state = None
@@ -200,7 +217,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
                 max_history=(int(K_max) if max_history is None
                              else int(max_history)),
                 mesh=mesh, restart_axis=restart_axis,
-                max_time=max_time, resume_state=resume_state)
+                max_time=max_time, resume_state=resume_state,
+                mc_escalation=mc_escalation, mc_max_samples=mc_max_samples,
+                mc_patience=mc_patience, mc_plateau_rtol=mc_plateau_rtol)
             if out.get("timed_out"):
                 return out
             prelude_state = out
@@ -219,7 +238,9 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
             mesh=mesh, restart_axis=restart_axis,
             resume_state=async_resume, prelude_state=prelude_state,
             round_callback=round_callback,
-            verbose=verbose, max_time=async_max_time)
+            verbose=verbose, max_time=async_max_time,
+            mc_escalation=mc_escalation, mc_max_samples=mc_max_samples,
+            mc_patience=mc_patience, mc_plateau_rtol=mc_plateau_rtol)
     init_params = jnp.asarray(init_params)
     B, D = init_params.shape
     K_max = int(K_max)
@@ -248,17 +269,6 @@ def multistart_raabbvi(sgo, K_max, objective, init_params, key, *,
         dtype=float), (B,)).copy()
     mcse = np.broadcast_to(np.asarray(mcse_threshold, dtype=float), (B,)).copy()
 
-    if mc_escalation is not None and mc_max_samples is None:
-        # pin the escalation ceiling to the RUN's entry sample count:
-        # each round's multistart_faso would otherwise re-derive
-        # 40 * (current S) and the ceiling would creep up per round (and
-        # a resume, restoring the escalated S below, would creep it too)
-        S0 = getattr(objective, "num_mc_samples", None)
-        if S0 is None:
-            raise ValueError(
-                "mc_escalation needs an objective exposing a settable "
-                "num_mc_samples (got {})".format(type(objective).__name__))
-        mc_max_samples = 40 * int(S0)
     mc_events_outer = []
 
     # per-restart outer state (host side; the reference's loop variables
@@ -558,7 +568,9 @@ def _unpack_optional_rows(d):
 
 def _async_warm_prelude(sgo, K_max, objective, init_params, key, *, rho,
                         learning_rate, mcse_threshold, max_history, mesh,
-                        restart_axis, max_time, resume_state=None):
+                        restart_axis, max_time, resume_state=None,
+                        mc_escalation=None, mc_max_samples=None,
+                        mc_patience=3, mc_plateau_rtol=0.05):
     """Round one of an async ``init_rmsprop`` run: one LOCKSTEP batched
     FASO round on a plain RMSProp rule at each restart's starting
     learning rate with DEFAULT detection settings (single-run RAABBVI's
@@ -610,11 +622,22 @@ def _async_warm_prelude(sgo, K_max, objective, init_params, key, *, rho,
         learning_rate=jnp.asarray(lr, dtype=init_params.dtype),
         max_history=max_history, diagnostics=False, mesh=mesh,
         restart_axis=restart_axis, resume_state=flight,
-        max_time=max_time, _jit_cache={})
+        max_time=max_time, mc_escalation=mc_escalation,
+        mc_max_samples=mc_max_samples, mc_patience=mc_patience,
+        mc_plateau_rtol=mc_plateau_rtol, _jit_cache={})
+    # warm-round ladder events ride into the continuous program (the
+    # warm round starts the global step axis, so they carry unshifted);
+    # the climbed S already persists on the shared objective
+    mc_events = [(int(a), int(b)) for a, b in
+                 np.asarray(opt.get("mc_escalation_history",
+                                    np.zeros((0, 2)))).reshape(-1, 2)]
     round_len = int(opt["value_history"].shape[1])
     if opt.get("timed_out"):
         return {
             "timed_out": True,
+            **({"mc_escalation_history": np.asarray(
+                mc_events, dtype=np.int64).reshape(-1, 2)}
+               if mc_escalation is not None else {}),
             "opt_param": opt["opt_param"],
             "k_stopped_final": [None] * B,
             "budget_overrun": [0] * B,
@@ -686,6 +709,7 @@ def _async_warm_prelude(sgo, K_max, objective, init_params, key, *, rho,
         "n_rounds_b": n_rounds_b, "outer_keys": outer_keys,
         "key_regs": key_regs, "var_params": jnp.asarray(var_rows),
         "k_global_offset": round_len,
+        "mc_events": mc_events,
     }
 
 
@@ -698,7 +722,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                               mesh=None, restart_axis="restart",
                               resume_state=None, prelude_state=None,
                               round_callback=None,
-                              verbose=True, max_time=None):
+                              verbose=True, max_time=None,
+                              mc_escalation=None, mc_max_samples=None,
+                              mc_patience=3, mc_plateau_rtol=0.05):
     """Asynchronous per-restart rounds: one continuous batched program.
 
     The lockstep schedule runs each outer round as its own
@@ -848,6 +874,44 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     outer_keys = list(key[None] if B == 1 else jax.random.split(key, B))
     key_regs = [None] * B
 
+    # shared gradient-SNR ladder over the continuous program: one static
+    # sample count for the whole batch (engine.runner retraces on a
+    # climb), per-restart ROUND-LOCAL plateau trackers (cleared when a
+    # restart advances a round — each round re-arms against its own
+    # rho-tightened threshold, like the single-run inheritance), and the
+    # lockstep rule that the rung climbs only when EVERY live restart's
+    # binding gate statistic has plateaued (a restart early in a fresh
+    # round holds it — conservatively correct)
+    mc_escalation = None if mc_escalation is None else float(mc_escalation)
+    mc_max = None
+    mc_event_cap = 1
+    if mc_escalation is not None:
+        if mc_escalation <= 1.0:
+            raise ValueError('"mc_escalation" must be greater than one')
+        if int(mc_patience) < 2:
+            raise ValueError('"mc_patience" must be at least two')
+        if float(mc_plateau_rtol) <= 0.0:
+            raise ValueError('"mc_plateau_rtol" must be greater than zero')
+        if int(mc_max_samples) <= 0:
+            raise ValueError('"mc_max_samples" must be positive')
+        mc_max = int(mc_max_samples)
+        S_entry = max(int(objective.num_mc_samples), 1)
+        mc_event_cap = 1 + max(0, int(np.ceil(
+            np.log(max(mc_max / S_entry, 1.0))
+            / np.log(mc_escalation) + 1e-9)))
+    mc_patience = int(mc_patience)
+    mc_plateau_rtol = float(mc_plateau_rtol)
+    mc_plateau_r = [[] for _ in range(B)]  # failing R-hat stats, round-local
+    mc_plateau_m = [[] for _ in range(B)]  # ring-capped MCSE/ESS ratios
+    mc_events = []
+    mc_escalated_at = -1
+
+    def _plateaued(stats):
+        if len(stats) < mc_patience:
+            return False
+        w = stats[-mc_patience:]
+        return w[0] - w[-1] < mc_plateau_rtol * abs(w[0])
+
     k_offset = 0  # warm-prelude steps, counted into k_global_steps
     if prelude_state is not None:
         # init_rmsprop: the warm round already ran as a lockstep batched
@@ -869,6 +933,11 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         key_regs = list(ps["key_regs"])
         init_params = jnp.asarray(ps["var_params"])
         k_offset = int(ps["k_global_offset"])
+        if mc_escalation is not None:
+            # warm-round ladder events (already on the global axis); the
+            # climbed S rides on the shared objective itself
+            mc_events = [(int(a), int(b))
+                         for a, b in ps.get("mc_events", [])]
 
     def _next_round_keys(b):
         outer_keys[b], key_round, key_regs[b] = jax.random.split(
@@ -968,6 +1037,20 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         crt_hist = [[float(v) for v in h] for h in rs["stopping_crt"]]
         budget_overrun = np.asarray(
             rs.get("budget_overrun", np.zeros(B, dtype=int))).copy()
+        if mc_escalation is not None:
+            rs_S = int(rs.get("mc_samples", -1))
+            if rs_S > 0:
+                objective.num_mc_samples = rs_S
+            mc_escalated_at = int(rs.get("mc_escalated_at", -1))
+            if "mc_plateau_r" in rs:
+                # NaN pads filtered; live entries survive (appends clamp)
+                mc_plateau_r = [[float(v) for v in row if np.isfinite(v)]
+                                for row in np.asarray(rs["mc_plateau_r"])]
+                mc_plateau_m = [[float(v) for v in row if np.isfinite(v)]
+                                for row in np.asarray(rs["mc_plateau_m"])]
+            mc_events = [(int(a), int(b)) for a, b in np.asarray(
+                rs.get("mc_events", np.zeros((0, 2)))).reshape(-1, 2)
+                if a >= 0]
 
     def outer_snapshot():
         """Segment-boundary state of the continuous program: a
@@ -1023,6 +1106,16 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
             "c_hist": [list(h) for h in c_hist],
             "predicted_iters_hist": [list(h) for h in pred_hist],
             "stopping_crt": [list(h) for h in crt_hist],
+            # fixed-size escalation-state encodings (multistart_faso's;
+            # the Orbax backend refuses zero-size arrays)
+            "mc_samples": (int(objective.num_mc_samples)
+                           if mc_escalation is not None else -1),
+            "mc_escalated_at": mc_escalated_at,
+            "mc_plateau_r": np.stack([_pad_tail(tr, mc_patience)
+                                      for tr in mc_plateau_r]),
+            "mc_plateau_m": np.stack([_pad_tail(tr, mc_patience)
+                                      for tr in mc_plateau_m]),
+            "mc_events": _pad_events(mc_events, mc_event_cap),
         }
 
     def process_check(ck):
@@ -1046,6 +1139,12 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
                 ck_kb = int(ck["k"]) - round_start[b]
                 k_conv[b] = ck_kb - int(windows[best])
                 W_check[b] = int(windows[best])
+            elif (mc_escalation is not None
+                    and int(ck["k"]) > mc_escalated_at
+                    and int(objective.num_mc_samples) < mc_max):
+                # verdicts dispatched before the last climb are the old
+                # noise regime — they may pass above but never track
+                mc_plateau_r[b].append(_clamp_stat(r[best]))
         if (rhat_backoff is not None and best_stats
                 and int(ck["k"]) > interval_adjusted_at):
             check_interval, pull = _backoff_adjust(
@@ -1167,7 +1266,59 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         last_best_W[b] = -1
         frozen[b] = None
         last_checked_avg[b] = None
+        # fresh round, fresh plateau trackers (the single-run
+        # inheritance: each round's FASO re-arms against its own
+        # rho-tightened threshold; the climbed shared S persists)
+        mc_plateau_r[b].clear()
+        mc_plateau_m[b].clear()
         return avg_unpacked
+
+    def maybe_escalate():
+        # shared gradient-SNR escalation over the continuous program:
+        # num_mc_samples is one static shape, so the rung climbs only
+        # when EVERY live restart's binding gate statistic has plateaued
+        # — each evaluated against ITS current round's tracker (cleared
+        # on round advancement, so a restart early in a fresh round
+        # holds the rung until its own gate provably stalls)
+        nonlocal mc_escalated_at, check_interval, next_check_at
+        nonlocal interval_adjusted_at, obj_states
+        if mc_escalation is None or int(objective.num_mc_samples) >= mc_max:
+            return
+        live = [b for b in range(B) if active[b] and k_stopped[b] < 0]
+        if not live:
+            return
+        stats = []
+        for b in live:
+            tr = mc_plateau_r[b] if k_conv[b] < 0 else mc_plateau_m[b]
+            if not _plateaued(tr):
+                return
+            stats.append(tr[-1])
+        new_S = min(int(np.ceil(objective.num_mc_samples * mc_escalation)),
+                    mc_max)
+        objective.num_mc_samples = new_S
+        if engine.stateful:
+            # re-derive every restart's estimator-state row at the new
+            # count (single-run FASO's escalate, batched)
+            obj_states = engine.resize_obj_states(obj_states, var_params)
+        mc_escalated_at = k
+        mc_events.append((k + k_offset, new_S))
+        for b in range(B):
+            mc_plateau_r[b].clear()
+            mc_plateau_m[b].clear()
+        # watch the new noise regime at full cadence; converged restarts
+        # recheck one W_min after the climb (their multiplicative
+        # recheck schedule was calibrated to the old regime) —
+        # round-local, like every async detection quantity
+        check_interval = 1
+        next_check_at = 0
+        interval_adjusted_at = k
+        for b in live:
+            if k_conv[b] >= 0:
+                W_check[b] = (k - round_start[b] - k_conv[b]) + W_min
+        if verbose:
+            print("MC escalation: convergence gates stalled (worst "
+                  "{:.3g}); num_mc_samples -> {} at iteration {}".format(
+                      max(stats), new_S, k + k_offset))
 
     # wall-clock budget: a fresh per-call allotment (unlike loop_start,
     # which continues the recheck cost model across resumes); consulted
@@ -1225,6 +1376,7 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         while pending and k - int(pending[0]["k"]) >= (
                 check_pipeline * k_check):
             process_check(pending.popleft())
+            maybe_escalate()
 
         # batched MCSE stop checks (round-local windows per restart)
         kb = k - round_start
@@ -1234,33 +1386,46 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         if due:
             W = np.minimum(np.maximum(kb - k_conv, 1),
                            np.maximum(np.minimum(R, kb), 1))
-            mcse_start = _now()
-            effs, mcses = engine.mcse_b(rings, jnp.asarray(W), t)
-            effs = np.asarray(effs)
-            mcses = np.asarray(mcses)
-            mcse_interval = _now() - mcse_start
+            # Timer (not a raw _now() pair) so the deterministic-clock
+            # tests stub the MCSE cost identically to FASO and the
+            # lockstep engine — the measured interval feeds the recheck
+            # growth factor (the round-5 Timer unification; a mixed
+            # clock blew the escalation tests' recheck schedules up)
+            with Timer() as mcse_timer:
+                effs, mcses = engine.mcse_b(rings, jnp.asarray(W), t)
+                effs = np.asarray(effs)
+                mcses = np.asarray(mcses)
+            mcse_interval = mcse_timer.interval
             mcse_time_total += mcse_interval
             avgs = engine.mean_b(rings, jnp.asarray(W), t)
             for b in due:
                 if rhat_allowed is None:
-                    gates_pass = (np.max(mcses[b]) < mcse[b]
-                                  and np.min(effs[b]) > ESS_min)
+                    mcse_stat = float(np.max(mcses[b]))
+                    ess_stat = float(np.min(effs[b]))
                 else:
                     q = float(rhat_quantile)
-                    gates_pass = (
-                        float(np.quantile(mcses[b][:D], q)) < mcse[b]
-                        and float(np.quantile(effs[b][:D], 1.0 - q))
-                        > ESS_min)
+                    mcse_stat = float(np.quantile(mcses[b][:D], q))
+                    ess_stat = float(np.quantile(effs[b][:D], 1.0 - q))
+                gates_pass = mcse_stat < mcse[b] and ess_stat > ESS_min
                 if gates_pass:
                     k_stopped[b] = int(kb[b])
                     frozen[b] = jnp.asarray(avgs[b])
                 else:
                     last_checked_avg[b] = jnp.asarray(avgs[b])
+                    if (mc_escalation is not None and int(W[b]) >= R
+                            and int(objective.num_mc_samples) < mc_max):
+                        # ring-capped window: more iterations cannot
+                        # widen it — a stalled MCSE/ESS gate here is an
+                        # SNR wall (FASO's rule, round-local per restart)
+                        mc_plateau_m[b].append(_clamp_stat(
+                            max(mcse_stat / mcse[b],
+                                ESS_min / max(ess_stat, 1e-300))))
                     total_opt = max(_now() - loop_start - mcse_time_total,
                                     1e-9)
                     W_check[b] = int(_recheck_scale(
                         total_opt / k, mcse_interval / int(W[b]))
                         * W_check[b] + 1)
+            maybe_escalate()
 
         # per-restart round advancement + budget enforcement
         advanced = {}
@@ -1338,6 +1503,9 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         for b in range(B)])
     return {
         "opt_param": opt_param,
+        **({"mc_escalation_history": np.asarray(
+            mc_events, dtype=np.int64).reshape(-1, 2)}
+           if mc_escalation is not None else {}),
         "k_stopped_final": k_stopped_final,
         "timed_out": timed_out,
         "budget_overrun": [int(v) for v in budget_overrun],

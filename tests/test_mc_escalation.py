@@ -648,6 +648,35 @@ def test_multistart_raabbvi_async_escalation(monkeypatch):
     assert int(res["resume_state"]["mc_samples"]) == obj.num_mc_samples
 
 
+def test_async_init_rmsprop_prelude_ladders(monkeypatch):
+    """``init_rmsprop`` + async + escalation: the warm LOCKSTEP round
+    ladders the shared S (at S=4 it could never pass its gate), its
+    events ride into the continuous program's results, and the climbed
+    S seeds round two — every restart completes round one and decays
+    its lr, which is impossible without the prelude's climb."""
+    from viabel_tpu.parallel import multistart_raabbvi
+
+    _stub_dense_clock_everywhere(monkeypatch)
+    inits = jnp.stack([jnp.full(4, 3.0), jnp.full(4, -2.0)])
+    kw = dict(W_min=200, ESS_min=60, mcse_threshold=0.2, max_history=800,
+              rho=0.5, inefficiency_threshold=1.0, accuracy_threshold=0.1)
+
+    obj = SNRObjectiveKL(4)
+    res = multistart_raabbvi(RMSProp(0.05), 20000, obj, inits,
+                             jax.random.PRNGKey(0), schedule="async",
+                             init_rmsprop=True, mc_escalation=4.0,
+                             verbose=False, **kw)
+    events = res["mc_escalation_history"]
+    assert len(events) >= 1
+    assert obj.num_mc_samples == int(events[-1, 1]) > 4
+    assert all(events[i, 1] < events[i + 1, 1]
+               for i in range(len(events) - 1))
+    # the warm round completed at the climbed S: round-one bookkeeping
+    # happened for every restart (k_dec >= 1 shows as a decayed lr)
+    assert all(len(h) >= 1 for h in res["learning_rate_hist"])
+    assert all(v >= 1 for v in res["n_rounds_per_restart"])
+
+
 def test_multistart_raabbvi_async_escalation_resume(monkeypatch, tmp_path):
     """Resume the async continuous program from a mid-run
     ``round_callback`` snapshot (the async elastic-recovery surface),

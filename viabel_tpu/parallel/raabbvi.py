@@ -884,7 +884,6 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
     # round holds it — conservatively correct)
     mc_escalation = None if mc_escalation is None else float(mc_escalation)
     mc_max = None
-    mc_event_cap = 1
     if mc_escalation is not None:
         if mc_escalation <= 1.0:
             raise ValueError('"mc_escalation" must be greater than one')
@@ -895,10 +894,6 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
         if int(mc_max_samples) <= 0:
             raise ValueError('"mc_max_samples" must be positive')
         mc_max = int(mc_max_samples)
-        S_entry = max(int(objective.num_mc_samples), 1)
-        mc_event_cap = 1 + max(0, int(np.ceil(
-            np.log(max(mc_max / S_entry, 1.0))
-            / np.log(mc_escalation) + 1e-9)))
     mc_patience = int(mc_patience)
     mc_plateau_rtol = float(mc_plateau_rtol)
     mc_plateau_r = [[] for _ in range(B)]  # failing R-hat stats, round-local
@@ -1051,6 +1046,18 @@ def _multistart_raabbvi_async(sgo, K_max, objective, init_params, key, *,
             mc_events = [(int(a), int(b)) for a, b in np.asarray(
                 rs.get("mc_events", np.zeros((0, 2)))).reshape(-1, 2)
                 if a >= 0]
+
+    # fixed event capacity for THIS run's snapshots, sized AFTER the
+    # prelude/resume restores: events already held plus every climb
+    # still possible from the current S (the cap computed from the
+    # post-prelude S alone would truncate the prelude's own events out
+    # of _pad_events' fixed-shape encoding)
+    mc_event_cap = 1
+    if mc_escalation is not None:
+        S_entry = max(int(objective.num_mc_samples), 1)
+        mc_event_cap = len(mc_events) + 1 + max(0, int(np.ceil(
+            np.log(max(mc_max / S_entry, 1.0))
+            / np.log(mc_escalation) + 1e-9)))
 
     def outer_snapshot():
         """Segment-boundary state of the continuous program: a

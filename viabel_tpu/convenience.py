@@ -130,7 +130,12 @@ def bbvi(dimension, *, n_iters=10000, num_mc_samples=10, log_density=None,
     independent and set by gradient SNR alone, so at the d=1000
     full-rank flagship S=10 never passes split-R-hat at ANY learning
     rate while S=400 passes cleanly (docs/benchmarks.md "Pathfinder",
-    the gate-passing-config paragraph);
+    the gate-passing-config paragraph) — which is why every adaptive
+    path here arms ``mc_escalation=4.0`` by default: a provably
+    plateaued gate multiplies ``num_mc_samples`` automatically, so the
+    defaults self-heal at the SNR wall (the escalation ladder is in
+    ``results["mc_escalation_history"]``; disable with
+    ``FASO_kwargs/RAABBVI_kwargs = dict(mc_escalation=None)``);
     and the max-over-coordinates convergence gates become very strict at
     1e6+ flat coordinates — ``FASO_kwargs/RAABBVI_kwargs = dict(
     max_history=..., rhat_quantile=0.999, rhat_backoff=1.4)`` bounds ring

@@ -28,9 +28,9 @@ import pytest  # noqa: E402
 # ---------------------------------------------------------------------------
 # Fast tier: `make test-fast` runs `-m "not slow"` (~8.5 min measured on
 # the IDLE 1-core dev host, round 4 — 12 min under concurrent load;
-# compile time dominates, so it cannot go much lower) so the ~42-minute
-# full suite (fast 8m20s + slow 33m49s) isn't the only loop.  Slow tests
-# (statistical
+# compile time dominates, so it cannot go much lower) so the ~50-minute
+# full suite (349 tests; 58 min measured under light load in round 5)
+# isn't the only loop.  Slow tests (statistical
 # 1e6-sample family checks, end-to-end convergence runs, bit-exact resume
 # comparisons) are curated here centrally instead of decorating each file;
 # durations measured on the 1-core dev host (pytest --durations).
